@@ -1,0 +1,58 @@
+"""pages -> paragraphs / paragraphs -> sentences (S2, F2-F6; SURVEY.md §2.1-2.2).
+
+The HTML->text extraction is an Arrow-batched pandas UDF around the pure
+extractor in sources/html_extract.py (byte-identity invariant); the
+explode + dense index is relational (posexplode), so Catalyst prunes the
+heavy ``html BINARY`` column everywhere downstream of this stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from ..sources.html_extract import extract_paragraphs_text, split_sentences
+
+
+@pandas_udf(ArrayType(StringType()))
+def _extract_paragraphs_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_paragraphs_text(h, t) for h, t in zip(html, text)]
+    )
+
+
+@pandas_udf(ArrayType(StringType()))
+def _split_sentences_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([split_sentences(t) for t in text])
+
+
+def extract_paragraphs(pages: DataFrame, lang: str | None = "en") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> paragraphs(url, warc_ts, para_idx, text).
+
+    ``lang`` predicate is applied before the UDF so Catalyst pushes it to the
+    scan (partition pruning on a lang-partitioned table at scale).
+    """
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+    return (
+        pages.select(
+            "url",
+            "warc_ts",
+            F.posexplode(_extract_paragraphs_udf(F.col("html"), F.col("text"))).alias(
+                "para_idx", "text"
+            ),
+        )
+    )
+
+
+def split_into_sentences(paragraphs: DataFrame) -> DataFrame:
+    """paragraphs -> sentences(url, warc_ts, para_idx, sent_idx, sentence)."""
+    return paragraphs.select(
+        "url",
+        "warc_ts",
+        "para_idx",
+        F.posexplode(_split_sentences_udf(F.col("text"))).alias("sent_idx", "sentence"),
+    )

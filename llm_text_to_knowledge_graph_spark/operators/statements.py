@@ -1,0 +1,123 @@
+"""C2 — deterministic open triple extraction (the reference's LLM stage).
+
+Reference parity: sentence_level_extraction.py:43-78 + bel_model.py +
+prompt_file_v7.txt. The prompt's hard constraints become code:
+
+  * >=2 annotated entities per sentence, else skip  (prompt rule 2)
+  * entities only from the annotation list           (prompt rule 3 — the
+    extractor only sees grounded mentions, so this holds by construction)
+  * fixed namespace -> BEL-function mapping          (prompt namespace table)
+  * fixed relation vocabulary                        (prompt relation table)
+  * skip non-interaction sentences                   (prompt rule 4; includes
+    negation cues)
+  * dedup per sentence                               (prompt rule 5)
+
+The pattern matcher reads the inter-mention text of each adjacent grounded
+mention pair; an exact (longest-first) hit in the relation-phrase lexicon or
+a pmod verb emits one BEL statement with the sentence as evidence. Runs as
+an Arrow-batched pandas UDF — no per-row Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from ..functions.bel import (
+    NEGATION_CUES,
+    PMOD_RESIDUES,
+    PMOD_VERBS,
+    RELATION_PHRASES,
+    make_term,
+)
+from ..schemas import STATEMENT
+
+import re
+
+_PHRASE_TO_REL = {p: r for p, r in RELATION_PHRASES}
+_PMOD_BY_VERB = {v: (rel, mod) for v, rel, mod in PMOD_VERBS}
+_PMOD_SITE_RE = re.compile(
+    rf"^\s*at\s+({'|'.join(PMOD_RESIDUES)})\s+(\d+)\b"
+)
+
+
+def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]]:
+    """Pure per-sentence extraction -> [(bel_statement, evidence)].
+
+    ``mentions``: sequence of dict-like rows with begin/end/db/entry_name.
+    """
+    if mentions is None or len(mentions) < 2:
+        return []
+    ms = sorted(mentions, key=lambda m: (m["begin"], -(m["end"] - m["begin"])))
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for left, right in zip(ms, ms[1:]):
+        inter = sentence[left["end"] : right["begin"]].strip()
+        if not inter:
+            continue
+        low = inter + " "
+        if any(low.startswith(cue) for cue in NEGATION_CUES):
+            continue
+        stmt = None
+        if inter in _PMOD_BY_VERB:
+            rel, mod = _PMOD_BY_VERB[inter]
+            site = _PMOD_SITE_RE.match(sentence[right["end"] :])
+            pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
+            subj = make_term(left["db"], left["entry_name"])
+            if site:
+                obj = make_term(right["db"], right["entry_name"], pmod=pmod)
+            else:
+                func_obj = make_term(right["db"], right["entry_name"])
+                obj = func_obj[:-1] + f", pmod({mod}))"
+            stmt = f"{subj} {rel} {obj}"
+        elif inter in _PHRASE_TO_REL:
+            rel = _PHRASE_TO_REL[inter]
+            subj = make_term(left["db"], left["entry_name"])
+            obj = make_term(right["db"], right["entry_name"])
+            stmt = f"{subj} {rel} {obj}"
+        if stmt is not None and stmt not in seen:
+            seen.add(stmt)
+            out.append((stmt, sentence))
+    return out
+
+
+def extract_statements(mentions_df: DataFrame) -> DataFrame:
+    """MENTIONS -> STATEMENTS (url, warc_ts, para_idx, sent_idx,
+    bel_statement, evidence)."""
+
+    @F.pandas_udf(ArrayType(STATEMENT))
+    def _extract(sent: pd.Series, ments: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    {"bel_statement": s, "evidence": e}
+                    for s, e in extract_from_sentence(txt, mlist)
+                ]
+                for txt, mlist in zip(sent, ments)
+            ]
+        )
+
+    return (
+        mentions_df.withColumn(
+            "results", _extract(F.col("sentence"), F.col("mentions"))
+        )
+        # F9 empty-result filter (grounding_genes.py:65-68)
+        .filter(F.size("results") > 0)
+        .select(
+            "url",
+            "warc_ts",
+            "para_idx",
+            "sent_idx",
+            F.explode("results").alias("r"),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "para_idx",
+            "sent_idx",
+            F.col("r.bel_statement").alias("bel_statement"),
+            F.col("r.evidence").alias("evidence"),
+        )
+    )

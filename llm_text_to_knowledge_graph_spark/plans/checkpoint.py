@@ -1,0 +1,147 @@
+"""Iceberg-style table store shim: atomic commits, lineage, resume.
+
+The reference checkpoints every stage to a JSON file (main.py:63,68,75,98).
+At scale that becomes one *table* per stage with snapshot semantics. The
+sandbox has no Iceberg runtime jar, so this shim gives the minimal surface
+(commit / read-latest / lineage / resume) over parquet directories:
+
+  <root>/<table>/data-<token>/...parquet     (written first)
+  <root>/<table>/manifest.json               (os.replace'd last => atomic)
+
+A stage is "already done" iff its manifest exists and carries the same
+input fingerprint — that is the resume contract (north_rule: resumable from
+checkpoint with per-partition lineage + metrics). Swapping in real Iceberg
+touches only this module (``df.writeTo(...).overwritePartitions()``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "manifest.json")
+
+    # -- read side ----------------------------------------------------------
+    def manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name), encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_current(self, name: str, fingerprint: str) -> bool:
+        m = self.manifest(name)
+        return m is not None and m.get("fingerprint") == fingerprint
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        m = self.manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot for table {name!r}")
+        return spark.read.parquet(os.path.join(self._tdir(name), m["data_dir"]))
+
+    # -- write side ---------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        name: str,
+        fingerprint: str,
+        run_id: str,
+    ) -> DataFrame:
+        """Write df as the new snapshot of ``name`` and atomically publish it.
+
+        Returns the read-back DataFrame (pipeline-breaker, like the
+        reference's JSON checkpoints — downstream stages read columnar
+        parquet instead of recomputing the UDF chain).
+        """
+        spark = df.sparkSession
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        data_dir = f"data-{token}"
+        data_path = os.path.join(tdir, data_dir)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(data_path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        committed = spark.read.parquet(data_path)
+        lineage = self._lineage(committed)
+        rows = sum(p["rows"] for p in lineage) if lineage else committed.count()
+
+        manifest = {
+            "table": name,
+            "fingerprint": fingerprint,
+            "run_id": run_id,
+            "data_dir": data_dir,
+            "rows": rows,
+            "wall_ms": wall_ms,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partitions": lineage,
+        }
+        tmp = self._manifest_path(name) + f".tmp-{token}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))  # atomic publish
+        self._gc(name, keep=data_dir)
+        return committed
+
+    def resume_or_compute(
+        self,
+        spark: SparkSession,
+        name: str,
+        fingerprint: str,
+        run_id: str,
+        compute,
+    ) -> tuple[DataFrame, bool]:
+        """Return (df, resumed). ``compute`` is a thunk producing the stage
+        DataFrame; it is NOT invoked when the snapshot is current."""
+        if self.is_current(name, fingerprint):
+            return self.read(spark, name), True
+        return self.commit(compute(), name, fingerprint, run_id), False
+
+    # -- internals ------------------------------------------------------------
+    @staticmethod
+    def _lineage(committed: DataFrame) -> list[dict]:
+        """Per-file lineage rows: url range, warc_ts watermark, row count."""
+        cols = set(committed.columns)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if "url" in cols:
+            aggs += [F.min("url").alias("url_min"), F.max("url").alias("url_max")]
+        if "warc_ts" in cols:
+            aggs += [F.max("warc_ts").alias("warc_ts_max")]
+        rows = (
+            committed.groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .collect()
+        )
+        out = []
+        for i, r in enumerate(sorted(rows, key=lambda r: r["file"])):
+            d = {"partition_id": i, "rows": r["rows"]}
+            if "url_min" in r:
+                d["url_min"], d["url_max"] = r["url_min"], r["url_max"]
+            if "warc_ts_max" in r and r["warc_ts_max"] is not None:
+                d["warc_ts_max"] = r["warc_ts_max"].isoformat()
+            out.append(d)
+        return out
+
+    def _gc(self, name: str, keep: str) -> None:
+        tdir = self._tdir(name)
+        for entry in os.listdir(tdir):
+            if entry.startswith("data-") and entry != keep:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)

@@ -1,0 +1,67 @@
+"""Scalable dense-id assignment and skew-salted joins.
+
+The reference assigns node ids with an in-memory first-seen counter
+(convert_to_cx2.py:92-111) — impossible at 10^12 rows. Here:
+
+dense_ids: two-phase assignment with NO global single-partition sort —
+  (1) bucket rows by murmur hash of the key, rank within each bucket
+      (shuffle-parallel window), (2) compute exclusive prefix-sums of bucket
+      counts (a tiny B-row window) and add the offset. Ids are dense
+      0..n-1 and deterministic for a given key set (documented relaxation of
+      the reference's scan-order ids; graph isomorphism preserved).
+
+salted_join: explicit hot-key salting for Zipf-skewed join keys (north_rule)
+  — the big (skewed) side gets a deterministic salt derived from its row
+  identity; the small-ish side is replicated K ways. AQE skew-join is also
+  enabled in the session; this utility is for when the planner can't see the
+  skew (e.g. post-UDF stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign dense ids 0..n-1 ordered by (bucket(key), key). Deterministic
+    across partitionings and runs (murmur3 hash is seed-fixed)."""
+    b = df.withColumn("_bkt", F.pmod(F.hash(*key_cols), F.lit(buckets)).cast("int"))
+    w = Window.partitionBy("_bkt").orderBy(*key_cols)
+    ranked = b.withColumn("_rnk", F.row_number().over(w))
+    counts = ranked.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).select("_bkt", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_rnk") - 1).cast("long"))
+        .drop("_bkt", "_rnk", "_off")
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Join a Zipf-skewed fact side to a dimension on ``on`` with explicit
+    key salting: fact rows get salt = hash(row)%K, dim rows are replicated
+    K ways, and the join key becomes (on, salt) — splitting each hot key
+    across K reducers."""
+    fact = skewed.withColumn(
+        "_salt", F.pmod(F.hash(*skewed.columns), F.lit(salt)).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = fact.join(replicated, on=[on, "_salt"], how=how)
+    return joined.drop("_salt")

@@ -1,0 +1,133 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §3.1 Spark lifecycle).
+
+pages -> paragraphs -> sentences -> mentions -> statements -> triples
+      -> nodes + edges
+
+Two modes:
+  * lazy (workdir=None): one Catalyst plan end to end — UDF stages fuse into
+    scan-side projections, no materialization.
+  * checkpointed (workdir set): each stage commits an atomic snapshot via
+    the TableStore shim with per-partition lineage + a metrics row; a rerun
+    with the same input fingerprint resumes past completed stages
+    (reference analog: per-stage JSON checkpoints, main.py:55-98).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import annotation_map, build_edges, build_nodes
+from ..operators.mentions import detect_mentions, explode_mentions
+from ..operators.paragraphs import extract_paragraphs, split_into_sentences
+from ..operators.statements import extract_statements
+from ..operators.triples import parse_triples
+from .checkpoint import TableStore
+
+STAGES = (
+    "paragraphs",
+    "sentences",
+    "mentions",
+    "statements",
+    "triples",
+    "flat_mentions",
+    "nodes",
+    "edges",
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_rows: list,
+    workdir: str | None = None,
+    input_token: str = "adhoc",
+    run_id: str = "run-0",
+    lang: str | None = "en",
+    parallelism: int | None = None,
+    broadcast_nodes: bool = False,
+) -> dict:
+    """Run the full pipeline; returns dict of stage-name -> DataFrame plus
+    ``metrics`` (list of dicts) when checkpointing."""
+    par = parallelism or spark.sparkContext.defaultParallelism * 2
+    store = TableStore(workdir) if workdir else None
+    metrics: list[dict] = []
+
+    def stage(name: str, thunk):
+        if store is None:
+            return thunk()
+        t0 = time.monotonic()
+        df, resumed = store.resume_or_compute(
+            spark, name, f"{input_token}:{name}", run_id, thunk
+        )
+        m = store.manifest(name)
+        metrics.append(
+            {
+                "run_id": run_id,
+                "stage": name,
+                "rows": m["rows"],
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "resumed": resumed,
+            }
+        )
+        return df
+
+    paragraphs = stage("paragraphs", lambda: extract_paragraphs(pages, lang=lang))
+    sentences = stage(
+        "sentences",
+        # explicit repartition before the heavy UDF stages so extraction
+        # parallelism matches cores (north_rule: explicit partitioning)
+        lambda: split_into_sentences(paragraphs).repartition(par, "url"),
+    )
+    mentions = stage("mentions", lambda: detect_mentions(sentences, alias_rows))
+    statements = stage("statements", lambda: extract_statements(mentions))
+    triples = stage("triples", lambda: parse_triples(statements))
+    flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
+    ann_map = annotation_map(flat_mentions)
+    nodes = stage("nodes", lambda: build_nodes(triples, ann_map))
+    edges = stage(
+        "edges", lambda: build_edges(triples, nodes, broadcast_nodes=broadcast_nodes)
+    )
+
+    out = {
+        "paragraphs": paragraphs,
+        "sentences": sentences,
+        "mentions": mentions,
+        "statements": statements,
+        "triples": triples,
+        "flat_mentions": flat_mentions,
+        "nodes": nodes,
+        "edges": edges,
+        "metrics": metrics,
+    }
+    if store is not None:
+        _write_metrics(spark, store, metrics)
+    return out
+
+
+def _write_metrics(spark: SparkSession, store: TableStore, metrics: list[dict]) -> None:
+    if not metrics:
+        return
+    df = spark.createDataFrame(
+        [
+            (m["run_id"], m["stage"], int(m["rows"]), int(m["wall_ms"]))
+            for m in metrics
+        ],
+        schema="run_id string, stage string, rows long, wall_ms long",
+    )
+    df.coalesce(1).write.mode("append").parquet(f"{store.root}/metrics_log")
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the pages input schema —
+    lets the same pipeline run over /root/testdata corpora."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

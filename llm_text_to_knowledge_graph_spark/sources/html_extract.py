@@ -1,0 +1,69 @@
+"""Rule-based HTML -> paragraph-text extraction (trafilatura-style, pure).
+
+This is the single-node "reference extractor" for the byte-identity
+invariant (BASELINE.json input_hint): the distributed pandas-UDF path calls
+exactly this function, so extracted text per url is byte-identical across
+any partitioning. Mirrors the reference's passage filters
+(pub.py:29-66: skip ref/title sections, strip, drop len<20, dense renumber)
+re-expressed over Common-Crawl-style HTML.
+
+Deliberately dependency-free (no lxml in the sandbox): a deterministic
+regex scanner over well-formed-ish HTML. Pure function of the input bytes —
+no locale, no dict-order, no hash-seed dependence.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+MIN_PARAGRAPH_LEN = 20  # pub.py:56-58
+
+# boilerplate containers whose <p> content must be dropped (the reference's
+# section_type in {ref, title} filter, pub.py:48-52)
+_BOILERPLATE_DIV_RE = re.compile(
+    r'<(?:div|section|footer|nav|aside)\b[^>]*class="[^"]*\b(?:refs?|references|footer|nav|sidebar)\b[^"]*"[^>]*>.*?</(?:div|section|footer|nav|aside)>',
+    re.DOTALL | re.IGNORECASE,
+)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_paragraphs_text(html: bytes | None, text: str | None) -> list[str]:
+    """Extract content paragraphs from a page.
+
+    html-mode: parse <p> blocks outside boilerplate containers.
+    text-mode (html is None): pre-extracted text split on blank lines
+    (process_text_file.py:57 split semantics).
+
+    Returns the dense, filtered, stripped paragraph list — index in the list
+    IS para_idx (pub.py:61-64 dense renumbering).
+    """
+    if html is None:
+        raw_paras = (text or "").split("\n\n")
+    else:
+        doc = html.decode("utf-8", errors="replace")
+        doc = _SCRIPT_STYLE_RE.sub(" ", doc)
+        doc = _BOILERPLATE_DIV_RE.sub(" ", doc)
+        raw_paras = []
+        for m in _P_RE.finditer(doc):
+            inner = _TAG_RE.sub(" ", m.group(1))
+            raw_paras.append(_html.unescape(inner))
+
+    out: list[str] = []
+    for p in raw_paras:
+        p = _WS_RE.sub(" ", p).strip()
+        if len(p) < MIN_PARAGRAPH_LEN:
+            continue
+        out.append(p)
+    return out
+
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(paragraph: str) -> list[str]:
+    """Deterministic sentence segmentation: split after terminal punctuation."""
+    return [s for s in (_s.strip() for _s in _SENT_SPLIT_RE.split(paragraph)) if s]

@@ -1,0 +1,105 @@
+"""Unit tests for the pure BEL utilities — parity cases derived from the
+reference's observable behavior (transform_bel_statements.py, convert_to_cx2.py)."""
+
+from llm_text_to_knowledge_graph_spark.functions.bel import (
+    extract_label,
+    extract_type,
+    identifiers_url,
+    make_term,
+    split_statement,
+)
+
+
+def test_split_binary():
+    assert split_statement("p(HGNC:AKT1) increases p(HGNC:TP53)") == (
+        "p(HGNC:AKT1)",
+        "increases",
+        "p(HGNC:TP53)",
+    )
+
+
+def test_split_nested_complex():
+    s = "complex(p(HGNC:A), p(HGNC:B)) directlyIncreases bp(GO:0006915)"
+    assert split_statement(s) == (
+        "complex(p(HGNC:A), p(HGNC:B))",
+        "directlyIncreases",
+        "bp(GO:0006915)",
+    )
+
+
+def test_split_pmod_with_spaces_inside():
+    s = "p(HGNC:AKT1) directlyIncreases p(HGNC:HSF1, pmod(Ph, Thr, 142))"
+    assert split_statement(s) == (
+        "p(HGNC:AKT1)",
+        "directlyIncreases",
+        "p(HGNC:HSF1, pmod(Ph, Thr, 142))",
+    )
+
+
+def test_split_quoted_namespace_value():
+    s = 'a(CHEBI:"oxygen atom") decreases p(HGNC:EGFR)'
+    assert split_statement(s) == (
+        'a(CHEBI:"oxygen atom")',
+        "decreases",
+        "p(HGNC:EGFR)",
+    )
+
+
+def test_split_unary():
+    # unary statements return (stmt, None, None) — transform_bel_statements.py:13-15
+    assert split_statement("p(HGNC:AKT1)") == ("p(HGNC:AKT1)", None, None)
+
+
+def test_split_empty():
+    assert split_statement("") == (None, None, None)
+
+
+def test_split_act_wrapped():
+    s = "act(p(HGNC:MAPK1)) increases act(p(HGNC:JUN))"
+    assert split_statement(s) == (
+        "act(p(HGNC:MAPK1))",
+        "increases",
+        "act(p(HGNC:JUN))",
+    )
+
+
+def test_extract_type():
+    assert extract_type("p(HGNC:AKT1)") == "p"
+    assert extract_type("complex(p(HGNC:A), p(HGNC:B))") == "complex"
+    assert extract_type("bareword") == "unknown"
+
+
+def test_extract_label_simple():
+    assert extract_label("p(HGNC:AKT1)") == "AKT1"
+
+
+def test_extract_label_quoted():
+    assert extract_label('a(CHEBI:"oxygen atom")') == "oxygen atom"
+
+
+def test_extract_label_no_ns():
+    assert extract_label("something") == "something"
+
+
+def test_extract_label_pmod():
+    # reference regex captures through the pmod args and appends the pmod
+    # type (convert_to_cx2.py:11-39 observable behavior)
+    lbl = extract_label("p(HGNC:HSF1, pmod(Ph, Thr, 142))")
+    assert lbl.startswith("HSF1")
+    assert "Ph" in lbl
+
+
+def test_identifiers_url_bare_and_prefixed():
+    # grounding_genes.py:80-88 both branches
+    assert identifiers_url("HGNC", "14929") == "https://identifiers.org/HGNC:14929"
+    assert identifiers_url("CHEBI", "CHEBI:15846") == "https://identifiers.org/CHEBI:15846"
+
+
+def test_make_term():
+    assert make_term("HGNC", "AKT1") == "p(HGNC:AKT1)"
+    assert make_term("CHEBI", "thapsigargin") == "a(CHEBI:thapsigargin)"
+    assert (
+        make_term("HGNC", "HSF1", pmod=("Ph", "Thr", 142))
+        == "p(HGNC:HSF1, pmod(Ph, Thr, 142))"
+    )
+    assert make_term("CHEBI", "oxygen atom") == 'a(CHEBI:"oxygen atom")'
