@@ -1,0 +1,224 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, each with a different cost/recall point at 100TB:
+
+  * exact           — md5 groupBy; one shuffle on a 16-byte key
+  * ngram Jaccard   — exact set similarity via an inverted n-gram index
+                      (explode -> self-join on gram -> pair agg); fully
+                      relational, no UDF, Catalyst-optimizable
+  * MinHash + LSH   — pyspark.ml MinHashLSH over shingle vectors; banding
+                      happens inside approxSimilarityJoin (sub-quadratic)
+  * SimHash         — 64-bit hyperplane sketch via a vectorized pandas UDF,
+                      band-bucket join for candidate pairs (Hamming <= k)
+
+All keep the smallest doc_id of a duplicate group as the canonical survivor
+(deterministic at any scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: canonical (min id) + duplicate count.
+    Shuffles once on md5(text) — never on the raw text bytes."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_dupes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep only the canonical row of each exact-duplicate group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, relational)
+# ---------------------------------------------------------------------------
+
+def _grams(text_col, n: int):
+    """Distinct word n-grams as an array column (built-ins only)."""
+    toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window via transform over index range
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted n-gram index:
+    explode grams -> self-join on gram -> |A∩B| -> filter on
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. No UDF; the join key (gram) is
+    high-cardinality so the shuffle is well spread; hot grams can be
+    stop-gram-filtered upstream at extreme scale."""
+    grams = docs.select(
+        F.col(id_col).alias("id"), _grams(F.col(text_col), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (pyspark.ml)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Approximate near-dup pairs: shingle -> HashingTF (binary) -> MinHashLSH
+    approxSimilarityJoin. Sub-quadratic banding; the scale path for fuzzy
+    dedup (and for alias-candidate blocking in entity linking)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    grams = docs.select(
+        F.col(id_col).alias("id"), _grams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(grams)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, vectorized)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_hash64(token: str) -> int:
+    """FNV-1a 64-bit — deterministic, seed-free, portable."""
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (signed int64 for Spark)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = _token_hash64(tok)
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t or ""))
+
+    return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates: split the 64-bit sketch into ``bands`` 16-bit
+    bands; pairs sharing any band are candidates (pigeonhole: hamming<=3
+    with 4 bands guarantees a shared band); verify with exact popcount."""
+    sh = with_simhash(docs, id_col, text_col)
+    width = 64 // bands
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

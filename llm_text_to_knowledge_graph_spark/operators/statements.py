@@ -83,6 +83,51 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
     return out
 
 
+def extract_cooccurrence(mentions_df: DataFrame) -> DataFrame:
+    """Baseline association extraction: one ``association`` statement per
+    adjacent grounded-mention pair in a sentence (dedup'd per sentence).
+
+    This is the weakest-evidence fallback of the relation vocabulary — the
+    reference prompt calls ``association`` the "least informative
+    relationship" (prompt_file_v7.txt relation table). Kept separate from
+    the pattern extractor so precision-sensitive runs can exclude it.
+    """
+
+    @F.pandas_udf(ArrayType(STATEMENT))
+    def _cooc(sent: pd.Series, ments: pd.Series) -> pd.Series:
+        out = []
+        for txt, mlist in zip(sent, ments):
+            stmts = []
+            seen = set()
+            if mlist is not None and len(mlist) >= 2:
+                ms = sorted(mlist, key=lambda m: m["begin"])
+                for left, right in zip(ms, ms[1:]):
+                    if left["entry_name"] == right["entry_name"]:
+                        continue
+                    subj = make_term(left["db"], left["entry_name"])
+                    obj = make_term(right["db"], right["entry_name"])
+                    stmt = f"{subj} association {obj}"
+                    if stmt not in seen:
+                        seen.add(stmt)
+                        stmts.append({"bel_statement": stmt, "evidence": txt})
+            out.append(stmts)
+        return pd.Series(out)
+
+    return (
+        mentions_df.withColumn("results", _cooc(F.col("sentence"), F.col("mentions")))
+        .filter(F.size("results") > 0)
+        .select("url", "warc_ts", "para_idx", "sent_idx", F.explode("results").alias("r"))
+        .select(
+            "url",
+            "warc_ts",
+            "para_idx",
+            "sent_idx",
+            F.col("r.bel_statement").alias("bel_statement"),
+            F.col("r.evidence").alias("evidence"),
+        )
+    )
+
+
 def extract_statements(mentions_df: DataFrame) -> DataFrame:
     """MENTIONS -> STATEMENTS (url, warc_ts, para_idx, sent_idx,
     bel_statement, evidence)."""

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: dedup, similarity, textstats, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "der hund ist nicht mit der katze und der maus", "de"),
+        (5, "le chat est dans la maison pour le moment", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact(docs):
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        dedup_exact,
+        drop_exact_dupes,
+    )
+
+    groups = dedup_exact(docs).collect()
+    assert len(groups) == 5  # 6 docs, one exact pair
+    dup = [g for g in groups if g["dup_count"] == 2]
+    assert len(dup) == 1 and dup[0]["canonical_id"] == 0
+    kept = drop_exact_dupes(docs)
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4, 5}
+
+
+def test_ngram_jaccard_pairs(docs):
+    from llm_text_to_knowledge_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got and (1, 2) in got  # one word differs
+    assert all(3 not in p and 4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_lsh_pairs(docs):
+    from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, n=2, max_jaccard_distance=0.5).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in got
+
+
+def test_simhash_pairs(docs):
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs,
+    )
+
+    # pure function determinism
+    assert simhash64("hello world") == simhash64("hello world")
+    pairs = simhash_candidate_pairs(docs, max_hamming=8).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in got
+    h01 = [p["hamming"] for p in pairs if (p["id_a"], p["id_b"]) == (0, 1)][0]
+    assert h01 == 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8).astype("float32")
+    base[1] = base[0] + 0.001  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(embeddings):
+    from llm_text_to_knowledge_graph_spark.operators.similarity import brute_force_topk
+
+    res = brute_force_topk(embeddings, query_ids=[0], k=3).collect()
+    assert len(res) == 3
+    assert res[0]["rank"] == 1 and res[0]["neighbor_id"] == 1
+    assert res[0]["cosine"] > 0.999
+
+
+def test_lsh_topk_contains_near_dup(embeddings):
+    from llm_text_to_knowledge_graph_spark.operators.similarity import lsh_topk
+
+    res = lsh_topk(embeddings, query_ids=[0], k=3, bits=4).collect()
+    assert any(r["neighbor_id"] == 1 for r in res)
+
+
+def test_embedding_dup_pairs(embeddings):
+    from llm_text_to_knowledge_graph_spark.operators.similarity import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(embeddings, threshold=0.999, bits=4).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+
+def test_token_count_and_quality(docs):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[0] == 9
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["stop_ratio"] > 0
+
+
+def test_lang_id(docs):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import lang_id
+
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "fr"
+
+
+def test_fingerprint_deterministic(docs):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import fingerprint
+
+    a = {r["doc_id"]: (r["md5_fp"], r["rolling_fp"]) for r in fingerprint(docs).collect()}
+    b = {r["doc_id"]: (r["md5_fp"], r["rolling_fp"]) for r in fingerprint(docs.repartition(5)).collect()}
+    assert a == b
+    assert a[0] == a[1]  # exact dups share fingerprints
+    assert a[0] != a[2]
+
+
+def test_multimodal_features(spark):
+    from llm_text_to_knowledge_graph_spark.operators.multimodal import (
+        MEDIA,
+        decode_media,
+        extract_features,
+        sample_frames,
+    )
+
+    rows = [
+        (0, "image", b"imgbytes0", 64, 64, None),
+        (1, "image", b"imgbytes1", 32, 32, None),
+        (2, "audio", b"audiobytes", None, None, 2500),
+        (3, "video", b"videobytes", 640, 480, 3500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 4
+    for f in feats:
+        assert len(f["feature"]) == 16
+        assert abs(sum(x * x for x in f["feature"]) - 1.0) < 1e-3
+    # deterministic across partitionings
+    feats2 = extract_features(media.repartition(3), fake=True).collect()
+    assert {f["media_id"]: f["feature"] for f in feats} == {
+        f["media_id"]: f["feature"] for f in feats2
+    }
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert len(frames) == 4  # 3500ms -> t=0,1000,2000,3000
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image", fake=False)
