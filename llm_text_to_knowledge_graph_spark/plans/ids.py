@@ -34,7 +34,9 @@ def dense_ids(
     b = df.withColumn("_bkt", F.pmod(F.hash(*key_cols), F.lit(buckets)).cast("int"))
     w = Window.partitionBy("_bkt").orderBy(*key_cols)
     ranked = b.withColumn("_rnk", F.row_number().over(w))
-    counts = ranked.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # bucket counts come from the pre-window projection (map-side combinable
+    # agg), NOT from `ranked` — otherwise the window executes twice
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))

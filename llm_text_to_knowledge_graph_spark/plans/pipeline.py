@@ -48,16 +48,30 @@ def run_pipeline(
     lang: str | None = "en",
     parallelism: int | None = None,
     broadcast_nodes: bool = False,
+    persist: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict of stage-name -> DataFrame plus
-    ``metrics`` (list of dicts) when checkpointing."""
+    ``metrics`` (list of dicts) when checkpointing.
+
+    ``persist=True`` caches the multiply-referenced stages (mentions,
+    triples, nodes) MEMORY_AND_DISK in lazy mode — without it the graph
+    build re-executes the whole UDF chain once per downstream reference
+    (the edges plan references triples three times). The checkpointed mode
+    gets the same cut for free from its parquet snapshots.
+    """
+    from pyspark import StorageLevel
+
     par = parallelism or spark.sparkContext.defaultParallelism * 2
     store = TableStore(workdir) if workdir else None
     metrics: list[dict] = []
+    _multi_ref = {"mentions", "triples", "nodes"}
 
     def stage(name: str, thunk):
         if store is None:
-            return thunk()
+            df = thunk()
+            if persist and name in _multi_ref:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            return df
         t0 = time.monotonic()
         df, resumed = store.resume_or_compute(
             spark, name, f"{input_token}:{name}", run_id, thunk

@@ -1,0 +1,84 @@
+"""One scaling-bench level: the identical KG job at a given core count.
+
+Reads the shared pre-generated pages corpus (same bytes at every level),
+warms the Python worker pool untimed, then times N trials of:
+  (a) fused extraction (pages -> triples, one Arrow crossing)
+  (b) full job (extraction + graph canonicalization -> edges)
+and prints one JSON line with the best trial of each (best-of to shed
+neighbor-load noise on this shared box).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel  # noqa: E402
+
+from llm_text_to_knowledge_graph_spark import get_spark  # noqa: E402
+from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows  # noqa: E402
+from llm_text_to_knowledge_graph_spark.operators.fused import extract_triples_fused  # noqa: E402
+from llm_text_to_knowledge_graph_spark.operators.graph import build_edges, build_nodes  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--pages", required=True, help="parquet dir of the shared corpus")
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        f"kg-scaling-{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+        extra_conf={
+            # identical fine-grained splits at every level
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
+    alias_rows = build_alias_rows()
+    pages = spark.read.parquet(args.pages)
+
+    # untimed warmup
+    extract_triples_fused(pages.limit(200), alias_rows).count()
+
+    best_fused, best_full, n_triples = 1e18, 1e18, 0
+    for _ in range(args.trials):
+        t0 = time.monotonic()
+        n_triples = extract_triples_fused(pages, alias_rows).count()
+        best_fused = min(best_fused, time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        triples = extract_triples_fused(pages, alias_rows).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        triples.count()
+        nodes = build_nodes(triples).persist(StorageLevel.MEMORY_AND_DISK)
+        build_edges(triples, nodes).count()
+        best_full = min(best_full, time.monotonic() - t0)
+        triples.unpersist()
+        nodes.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "n_triples": n_triples,
+                "fused_sec": round(best_fused, 3),
+                "fused_triples_per_sec": round(n_triples / best_fused, 1),
+                "full_sec": round(best_full, 3),
+                "full_triples_per_sec": round(n_triples / best_full, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
