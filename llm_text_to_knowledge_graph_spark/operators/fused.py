@@ -18,25 +18,29 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+import uuid
+
 from ..functions.bel import split_statement
 from ..schemas import TRIPLES
 from ..sources.html_extract import extract_paragraphs_text, split_sentences
 from .mentions import AliasMatcher
 from .statements import extract_from_sentence
 
-_MATCHER_CACHE: dict[int, AliasMatcher] = {}
+# keyed by per-call uuid token, never id() (address reuse serves stale dicts)
+_MATCHER_CACHE: dict[str, AliasMatcher] = {}
 
 
 def extract_triples_fused(pages: DataFrame, alias_rows: list) -> DataFrame:
     """pages -> TRIPLES with identical semantics to the five-stage chain."""
     spark = pages.sparkSession
     bc = spark.sparkContext.broadcast(list(alias_rows))
+    token = uuid.uuid4().hex
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = _MATCHER_CACHE.get(id(bc))
+        matcher = _MATCHER_CACHE.get(token)
         if matcher is None:
             matcher = AliasMatcher(bc.value)
-            _MATCHER_CACHE[id(bc)] = matcher
+            _MATCHER_CACHE[token] = matcher
         for pdf in batches:
             out = {k: [] for k in (
                 "url", "warc_ts", "para_idx", "sent_idx",

@@ -14,6 +14,7 @@ embarrassingly parallel with zero shuffle.
 from __future__ import annotations
 
 import re
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -22,9 +23,11 @@ from pyspark.sql.types import ArrayType
 
 from ..schemas import MENTION
 
-# per-executor-process matcher cache, keyed by broadcast id (lazy init once
-# per Python worker — the reference's lru_cache analog, SURVEY.md §4)
-_MATCHER_CACHE: dict[int, "AliasMatcher"] = {}
+# per-executor-process matcher cache, keyed by a per-call uuid token (lazy
+# init once per Python worker — the reference's lru_cache analog, SURVEY.md
+# §4). NOT keyed by id(broadcast): memory addresses are reused after GC,
+# which silently served a stale dictionary to later runs in one session.
+_MATCHER_CACHE: dict[str, "AliasMatcher"] = {}
 
 
 class AliasMatcher:
@@ -58,12 +61,11 @@ class AliasMatcher:
         return out
 
 
-def _get_matcher(bc) -> AliasMatcher:
-    key = id(bc)
-    matcher = _MATCHER_CACHE.get(key)
+def _get_matcher(bc, token: str) -> AliasMatcher:
+    matcher = _MATCHER_CACHE.get(token)
     if matcher is None:
         matcher = AliasMatcher(bc.value)
-        _MATCHER_CACHE[key] = matcher
+        _MATCHER_CACHE[token] = matcher
     return matcher
 
 
@@ -75,10 +77,11 @@ def detect_mentions(sentences: DataFrame, alias_rows: list) -> DataFrame:
     """
     spark = sentences.sparkSession
     bc = spark.sparkContext.broadcast(list(alias_rows))
+    token = uuid.uuid4().hex
 
     @F.pandas_udf(ArrayType(MENTION))
     def _annotate(sent: pd.Series) -> pd.Series:
-        matcher = _get_matcher(bc)
+        matcher = _get_matcher(bc, token)
         return pd.Series(
             [
                 [
