@@ -393,6 +393,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mention_counts"] = mention_counts
 
+    # ---- sessionization: gap-based session ids (lag + running sum) -----------
+    def sessionize(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .withColumn("session_idx", F.sum("new_sess").over(w).cast("long"))
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_id").cast("long").alias("event_id"),
+                "session_idx",
+            )
+        )
+
+    q["sessionize"] = sessionize
+
+    # ---- rollup aggregation ----------------------------------------------------
+    def rollup_agg(spark, sf):
+        o = _read(spark, sf, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "cnt",
+                "total_cents",
+            )
+        )
+
+    q["rollup_agg"] = rollup_agg
+
+    # ---- window frame: moving average over 3 rows ------------------------------
+    def moving_avg(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-2, Window.currentRow)
+        )
+        return ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round(F.avg("value").over(w), 6).alias("mavg3"),
+        )
+
+    q["moving_avg"] = moving_avg
+
+    # ---- set ops: intersect / except on key sets --------------------------------
+    def set_ops(spark, sf):
+        o = _read(spark, sf, "orders")
+        h1 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+        h2 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+        both = h1.intersect(h2).withColumn("set_kind", F.lit("both_years"))
+        only94 = h1.exceptAll(h2).withColumn("set_kind", F.lit("only_1996"))
+        return both.unionByName(only94).select(
+            F.col("o_custkey").cast("long").alias("custkey"), "set_kind"
+        )
+
+    q["set_ops"] = set_ops
+
     # ---- rows-only (non-SQL-expressible) entries ------------------------------
     def kg_flagship_synthetic(spark, sf):
         from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
@@ -466,6 +534,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feats.select("media_id", "media_type", "n_bytes")
 
     q["multimodal_features"] = multimodal_features
+
+    def doc_meta_synthetic(spark, sf):
+        from llm_text_to_knowledge_graph_spark.corpus import pages_df
+        from llm_text_to_knowledge_graph_spark.operators.doc_meta import (
+            extract_doc_meta,
+        )
+
+        return extract_doc_meta(pages_df(spark, 80, seed=42))
+
+    q["doc_meta_synthetic"] = doc_meta_synthetic
+
+    def annotation_faithfulness_synthetic(spark, sf):
+        from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
+        from llm_text_to_knowledge_graph_spark.eval.annotation_check import (
+            annotation_faithfulness,
+        )
+        from llm_text_to_knowledge_graph_spark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(spark, pages_df(spark, 60, seed=21), build_alias_rows(21))
+        return annotation_faithfulness(res["triples"], res["flat_mentions"])
+
+    q["annotation_faithfulness_synthetic"] = annotation_faithfulness_synthetic
+
+    def fuzzy_linking_synthetic(spark, sf):
+        from llm_text_to_knowledge_graph_spark.corpus import alias_df, pages_df
+        from llm_text_to_knowledge_graph_spark.operators.linking import (
+            candidate_spans,
+            link_fuzzy,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.paragraphs import (
+            extract_paragraphs,
+            split_into_sentences,
+        )
+
+        sents = split_into_sentences(extract_paragraphs(pages_df(spark, 40, seed=42)))
+        adf = alias_df(spark)
+        known = [r["alias"] for r in adf.select("alias").collect()]
+        spans = candidate_spans(sents, known)
+        return link_fuzzy(spans, adf)
+
+    q["fuzzy_linking_synthetic"] = fuzzy_linking_synthetic
 
     def lsh_ann_topk(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.similarity import lsh_topk
@@ -701,5 +810,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mention_counts": f"""
             SELECT entry_name, n_mentions FROM ({mention_union}) WHERE n_mentions > 0
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+              FROM events)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+            FROM g
+        """,
+        "rollup_agg": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "moving_avg": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+            FROM events
+        """,
+        "set_ops": """
+            WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+                 h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+            SELECT CAST(o_custkey AS BIGINT) AS custkey, 'both_years' AS set_kind
+            FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+            UNION ALL
+            SELECT CAST(o_custkey AS BIGINT) AS custkey, 'only_1996' AS set_kind
+            FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
         """,
     }

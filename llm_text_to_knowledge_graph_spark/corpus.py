@@ -116,8 +116,8 @@ def _zipf_entity_idx(rng: np.random.RandomState) -> int:
 def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
     """One sentence + its gold triple (or None for adversarial rows)."""
     kind = rng.choice(
-        ["relation", "pmod", "single", "distractor", "noninteraction", "negation"],
-        p=[0.45, 0.15, 0.1, 0.1, 0.1, 0.1],
+        ["relation", "pmod", "single", "distractor", "noninteraction", "negation", "near_miss"],
+        p=[0.45, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05],
     )
     filler = _FILLERS[int(rng.randint(0, len(_FILLERS)))]
 
@@ -137,6 +137,19 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
         fake = f"QUUX{int(rng.randint(0, 100))}"
         return {
             "text": f"{filler}{alias_of(a)} interacts weakly with {fake} in vitro.",
+            "gold": None,
+        }
+
+    if kind == "near_miss":
+        # seeded near-miss surface form (FIXTURES.md F2): a single-char typo
+        # of a real alias — exact matching must miss it (only one grounded
+        # mention -> no statement), the fuzzy MinHash-LSH linker must hit it
+        a, b = pick(), pick()
+        name = a["entry_name"]
+        mid = max(1, len(name) // 2)
+        typo = name[:mid] + name[mid] + name[mid:]
+        return {
+            "text": f"{filler}{typo} was elevated alongside {alias_of(b)}.",
             "gold": None,
         }
 
