@@ -1,0 +1,59 @@
+"""salted_join correctness + eval-parser robustness on real reference BEL."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REF_FIXTURE = "/root/reference/results/pmid9813040/sentences_with_extractions.json"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from llm_text_to_knowledge_graph_spark.plans.ids import salted_join
+
+    # Zipf-skewed fact side: hot key 'k0' dominates
+    fact = spark.createDataFrame(
+        [(f"k{min(i % 50, i % 7)}", i) for i in range(5000)], "k string, v long"
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"name-{i}") for i in range(50)], "k string, name string"
+    )
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, on="k").select("k", "v", "name")
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+    assert len(a) == 5000
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference not present")
+def test_eval_parser_on_reference_gold_statements():
+    """Parse every gold BEL statement from the reference's per-sentence
+    fixture: the split + component parse must succeed and the statement
+    must self-match at the 0.80 ceiling when relational."""
+    from llm_text_to_knowledge_graph_spark.eval.bel_eval import (
+        match_score,
+        parse_statement,
+    )
+    from llm_text_to_knowledge_graph_spark.functions.bel import split_statement
+
+    with open(REF_FIXTURE, encoding="utf-8") as f:
+        data = json.load(f)
+    stmts = []
+    for entry in data.values():
+        for s in entry.get("bel_statements", []):
+            s = s.strip()
+            # fixture interleaves BEL-script SET directives with statements
+            if s and not s.startswith(("SET ", "UNSET")):
+                stmts.append(s)
+    assert len(stmts) > 10
+    n_relational = 0
+    for s in stmts:
+        subj, rel, obj = split_statement(s)
+        assert subj is not None
+        p = parse_statement(s)
+        if p["rel"] is not None and p["obj_entities"]:
+            n_relational += 1
+            assert match_score(p, p) >= 0.5, s
+    assert n_relational > 5
