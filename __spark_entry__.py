@@ -517,20 +517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def multimodal_features(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.multimodal import (
-            MEDIA,
             extract_features,
         )
 
         docs = _read(spark, sf, "documents").limit(50)
         media = docs.select(
-            F.col("doc_id").alias("media_id"),
+            F.col("doc_id").cast("long").alias("media_id"),
             F.lit("image").alias("media_type"),
             F.encode(F.col("text"), "utf-8").alias("payload"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         )
-        feats = extract_features(spark.createDataFrame(media.collect(), MEDIA), fake=True)
+        feats = extract_features(media, fake=True)
         return feats.select("media_id", "media_type", "n_bytes")
 
     q["multimodal_features"] = multimodal_features

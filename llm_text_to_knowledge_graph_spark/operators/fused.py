@@ -39,6 +39,8 @@ def extract_triples_fused(pages: DataFrame, alias_rows: list) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = _MATCHER_CACHE.get(token)
         if matcher is None:
+            if len(_MATCHER_CACHE) >= 8:  # bound worker memory across runs
+                _MATCHER_CACHE.clear()
             matcher = AliasMatcher(bc.value)
             _MATCHER_CACHE[token] = matcher
         for pdf in batches:

@@ -64,6 +64,8 @@ class AliasMatcher:
 def _get_matcher(bc, token: str) -> AliasMatcher:
     matcher = _MATCHER_CACHE.get(token)
     if matcher is None:
+        if len(_MATCHER_CACHE) >= 8:  # bound worker memory across many runs
+            _MATCHER_CACHE.clear()
         matcher = AliasMatcher(bc.value)
         _MATCHER_CACHE[token] = matcher
     return matcher
