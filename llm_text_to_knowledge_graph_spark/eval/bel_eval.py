@@ -169,27 +169,49 @@ def match_group(
     pred_statements: list[str],
     gold_statements: list[str],
     threshold: float = 0.5,
+    method: str = "greedy",
 ) -> list[dict]:
-    """Greedy 1:1 bipartite matching within one evidence group
-    (bel_parser.py:516-545 fallback semantics, pinned)."""
+    """1:1 bipartite matching within one evidence group.
+
+    method="greedy": sorted-by-score greedy (bel_parser.py:516-545 fallback
+    semantics — the pinned default). method="hungarian": optimal assignment
+    (bel_parser.py:479-514 scipy path, reimplemented in eval/hungarian.py).
+    """
     pred_parsed = [parse_statement(s) for s in pred_statements]
     gold_parsed = [parse_statement(s) for s in gold_statements]
-    candidates = []
-    for i, pp in enumerate(pred_parsed):
-        for j, gp in enumerate(gold_parsed):
-            s = match_score(pp, gp)
-            if s >= threshold:
-                candidates.append((s, i, j))
-    # sort desc by score; stable deterministic tie-break on (-score, i, j)
-    candidates.sort(key=lambda t: (-t[0], t[1], t[2]))
-    matched_p: set[int] = set()
-    matched_g: set[int] = set()
+    scores = [
+        [match_score(pp, gp) for gp in gold_parsed] for pp in pred_parsed
+    ]
+
+    assigned: list[tuple[float, int, int]] = []
+    if method == "hungarian" and pred_statements and gold_statements:
+        from .hungarian import max_score_assignment
+
+        for i, j in max_score_assignment(scores):
+            if scores[i][j] >= threshold:
+                assigned.append((scores[i][j], i, j))
+    else:
+        candidates = [
+            (s, i, j)
+            for i, row in enumerate(scores)
+            for j, s in enumerate(row)
+            if s >= threshold
+        ]
+        # sort desc by score; stable deterministic tie-break on (-score, i, j)
+        candidates.sort(key=lambda t: (-t[0], t[1], t[2]))
+        matched_p: set[int] = set()
+        matched_g: set[int] = set()
+        for s, i, j in candidates:
+            if i in matched_p or j in matched_g:
+                continue
+            matched_p.add(i)
+            matched_g.add(j)
+            assigned.append((s, i, j))
+
+    matched_p = {i for _, i, _ in assigned}
+    matched_g = {j for _, _, j in assigned}
     results = []
-    for s, i, j in candidates:
-        if i in matched_p or j in matched_g:
-            continue
-        matched_p.add(i)
-        matched_g.add(j)
+    for s, i, j in sorted(assigned, key=lambda t: (-t[0], t[1], t[2])):
         results.append(
             {
                 "pred_statement": pred_statements[i],
