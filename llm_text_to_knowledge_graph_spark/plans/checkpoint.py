@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 
 
 class TableStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, retain: int = 3):
         self.root = root
+        self.retain = max(1, retain)  # snapshots kept for time travel
         os.makedirs(root, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -50,11 +51,27 @@ class TableStore:
         m = self.manifest(name)
         return m is not None and m.get("fingerprint") == fingerprint
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, name: str, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Read the current snapshot, or time-travel to a retained one."""
         m = self.manifest(name)
         if m is None:
             raise FileNotFoundError(f"no committed snapshot for table {name!r}")
-        return spark.read.parquet(os.path.join(self._tdir(name), m["data_dir"]))
+        if snapshot_id is None:
+            return spark.read.parquet(os.path.join(self._tdir(name), m["data_dir"]))
+        for snap in m.get("snapshots", []):
+            if snap["snapshot_id"] == snapshot_id:
+                return spark.read.parquet(
+                    os.path.join(self._tdir(name), snap["data_dir"])
+                )
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id!r} of table {name!r} not retained"
+        )
+
+    def snapshots(self, name: str) -> list[dict]:
+        m = self.manifest(name)
+        return list(m.get("snapshots", [])) if m else []
 
     # -- write side ---------------------------------------------------------
     def commit(
@@ -84,6 +101,16 @@ class TableStore:
         lineage = self._lineage(committed)
         rows = sum(p["rows"] for p in lineage) if lineage else committed.count()
 
+        snapshot = {
+            "snapshot_id": token,
+            "data_dir": data_dir,
+            "fingerprint": fingerprint,
+            "run_id": run_id,
+            "rows": rows,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        prev = self.manifest(name)
+        history = (prev.get("snapshots", []) if prev else [])[-(self.retain - 1):] if self.retain > 1 else []
         manifest = {
             "table": name,
             "fingerprint": fingerprint,
@@ -91,14 +118,16 @@ class TableStore:
             "data_dir": data_dir,
             "rows": rows,
             "wall_ms": wall_ms,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at": snapshot["committed_at"],
             "partitions": lineage,
+            # snapshot log, newest last (Iceberg time-travel analog)
+            "snapshots": history + [snapshot],
         }
         tmp = self._manifest_path(name) + f".tmp-{token}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic publish
-        self._gc(name, keep=data_dir)
+        self._gc(name, keep={s["data_dir"] for s in manifest["snapshots"]})
         return committed
 
     def resume_or_compute(
@@ -140,8 +169,8 @@ class TableStore:
             out.append(d)
         return out
 
-    def _gc(self, name: str, keep: str) -> None:
+    def _gc(self, name: str, keep: set[str]) -> None:
         tdir = self._tdir(name)
         for entry in os.listdir(tdir):
-            if entry.startswith("data-") and entry != keep:
+            if entry.startswith("data-") and entry not in keep:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)

@@ -1,0 +1,32 @@
+"""TableStore snapshot history: time travel to retained snapshots."""
+
+from llm_text_to_knowledge_graph_spark.plans.checkpoint import TableStore
+
+
+def test_time_travel(spark, tmp_path):
+    store = TableStore(str(tmp_path / "tbl"), retain=2)
+    df1 = spark.range(0, 10).withColumnRenamed("id", "v")
+    store.commit(df1, "t", fingerprint="f1", run_id="r1")
+    df2 = spark.range(0, 25).withColumnRenamed("id", "v")
+    store.commit(df2, "t", fingerprint="f2", run_id="r2")
+
+    snaps = store.snapshots("t")
+    assert len(snaps) == 2
+    assert [s["rows"] for s in snaps] == [10, 25]
+
+    assert store.read(spark, "t").count() == 25
+    old = store.read(spark, "t", snapshot_id=snaps[0]["snapshot_id"])
+    assert old.count() == 10
+
+    # third commit evicts the oldest snapshot (retain=2)
+    df3 = spark.range(0, 7).withColumnRenamed("id", "v")
+    store.commit(df3, "t", fingerprint="f3", run_id="r3")
+    snaps3 = store.snapshots("t")
+    assert [s["rows"] for s in snaps3] == [25, 7]
+    assert store.read(spark, "t").count() == 7
+    assert store.read(spark, "t", snapshot_id=snaps3[0]["snapshot_id"]).count() == 25
+    try:
+        store.read(spark, "t", snapshot_id=snaps[0]["snapshot_id"])
+        raise AssertionError("evicted snapshot must not be readable")
+    except FileNotFoundError:
+        pass
