@@ -116,8 +116,12 @@ def _zipf_entity_idx(rng: np.random.RandomState) -> int:
 def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
     """One sentence + its gold triple (or None for adversarial rows)."""
     kind = rng.choice(
-        ["relation", "pmod", "single", "distractor", "noninteraction", "negation", "near_miss"],
-        p=[0.45, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05],
+        [
+            "relation", "pmod", "single", "distractor", "noninteraction",
+            "negation", "near_miss", "act_relation", "complex_relation",
+            "phospho_subj",
+        ],
+        p=[0.33, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05, 0.04, 0.04, 0.04],
     )
     filler = _FILLERS[int(rng.randint(0, len(_FILLERS)))]
 
@@ -172,6 +176,41 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
     a, b = pick(), pick()
     while b["entry_name"] == a["entry_name"]:
         b = entities[int(rng.randint(0, N_ENTITIES))]
+
+    if kind == "act_relation":
+        # "The catalytic activity of A <phrase> B." -> act(tA) rel tB
+        word = ["catalytic", "kinase", "enzymatic"][int(rng.randint(0, 3))]
+        phrase, rel = RELATION_PHRASES[int(rng.randint(0, len(RELATION_PHRASES)))]
+        text = f"{filler}The {word} activity of {alias_of(a)} {phrase} {alias_of(b)}."
+        subj = f"act({make_term(a['ns'], a['entry_name'])})"
+        obj = make_term(b["ns"], b["entry_name"])
+        return {"text": text, "gold": (subj, rel, obj, f"{subj} {rel} {obj}")}
+
+    if kind == "phospho_subj":
+        # "Phosphorylated A <phrase> B." -> p(A, pmod(Ph)) rel tB
+        phrase, rel = RELATION_PHRASES[int(rng.randint(0, len(RELATION_PHRASES)))]
+        text = f"{filler}Phosphorylated {alias_of(a)} {phrase} {alias_of(b)}."
+        subj = make_term(a["ns"], a["entry_name"], pmod=("Ph", None, None))
+        obj = make_term(b["ns"], b["entry_name"])
+        return {"text": text, "gold": (subj, rel, obj, f"{subj} {rel} {obj}")}
+
+    if kind == "complex_relation":
+        # "The A/B complex <phrase> C." -> complex(tA, tB) rel tC
+        # canonical names only (hyphenated aliases break '/' adjacency)
+        c = pick()
+        while c["entry_name"] in (a["entry_name"], b["entry_name"]):
+            c = entities[int(rng.randint(0, N_ENTITIES))]
+        phrase, rel = RELATION_PHRASES[int(rng.randint(0, len(RELATION_PHRASES)))]
+        text = (
+            f"{filler}The {a['entry_name']}/{b['entry_name']} complex "
+            f"{phrase} {alias_of(c)}."
+        )
+        subj = (
+            f"complex({make_term(a['ns'], a['entry_name'])}, "
+            f"{make_term(b['ns'], b['entry_name'])})"
+        )
+        obj = make_term(c["ns"], c["entry_name"])
+        return {"text": text, "gold": (subj, rel, obj, f"{subj} {rel} {obj}")}
 
     if kind == "pmod":
         verb, rel, mod = PMOD_VERBS[int(rng.randint(0, len(PMOD_VERBS)))]

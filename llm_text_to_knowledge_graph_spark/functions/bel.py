@@ -109,13 +109,15 @@ NS_FUNC = {
 }
 
 
-def make_term(db: str, entry_name: str, pmod: tuple[str, str, int] | None = None) -> str:
-    """Render a BEL term, e.g. ``p(HGNC:AKT1)`` or with a modification
-    ``p(HGNC:HSF1, pmod(Ph, Thr, 142))``."""
+def make_term(db: str, entry_name: str, pmod: tuple[str, str | None, int | None] | None = None) -> str:
+    """Render a BEL term, e.g. ``p(HGNC:AKT1)``, ``p(HGNC:X, pmod(Ph))``,
+    or ``p(HGNC:HSF1, pmod(Ph, Thr, 142))``."""
     func = NS_FUNC.get(db, "a")
     name = entry_name if re.fullmatch(r"[\w\-]+", entry_name) else f'"{entry_name}"'
     if pmod is not None:
         mod_type, residue, position = pmod
+        if residue is None:
+            return f"{func}({db}:{name}, pmod({mod_type}))"
         return f"{func}({db}:{name}, pmod({mod_type}, {residue}, {position}))"
     return f"{func}({db}:{name})"
 

@@ -41,6 +41,8 @@ _PMOD_BY_VERB = {v: (rel, mod) for v, rel, mod in PMOD_VERBS}
 _PMOD_SITE_RE = re.compile(
     rf"^\s*at\s+({'|'.join(PMOD_RESIDUES)})\s+(\d+)\b"
 )
+# "...The catalytic activity of <SUBJ> ..." -> act(subj)
+_ACTIVITY_PREFIX_RE = re.compile(r"\b[a-z]+ activity of $")
 
 
 def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]]:
@@ -53,6 +55,27 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
     ms = sorted(mentions, key=lambda m: (m["begin"], -(m["end"] - m["begin"])))
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
+
+    # complex pattern over three consecutive mentions:
+    # "... A/B complex <phrase> C ..." -> complex(tA, tB) rel tC
+    for a, b, c in zip(ms, ms[1:], ms[2:]):
+        if sentence[a["end"] : b["begin"]] != "/":
+            continue
+        inter2 = sentence[b["end"] : c["begin"]].strip()
+        if not inter2.startswith("complex "):
+            continue
+        phrase = inter2[len("complex ") :]
+        if phrase not in _PHRASE_TO_REL:
+            continue
+        subj = (
+            f"complex({make_term(a['db'], a['entry_name'])}, "
+            f"{make_term(b['db'], b['entry_name'])})"
+        )
+        stmt = f"{subj} {_PHRASE_TO_REL[phrase]} {make_term(c['db'], c['entry_name'])}"
+        if stmt not in seen:
+            seen.add(stmt)
+            out.append((stmt, sentence))
+
     for left, right in zip(ms, ms[1:]):
         inter = sentence[left["end"] : right["begin"]].strip()
         if not inter:
@@ -61,20 +84,22 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
         if any(low.startswith(cue) for cue in NEGATION_CUES):
             continue
         stmt = None
+        subj = make_term(left["db"], left["entry_name"])
+        # subject wrappers cued by the text immediately before the subject
+        # (prompt BEL-function list: act(), pmod() as term arguments)
+        prefix = sentence[: left["begin"]]
+        if _ACTIVITY_PREFIX_RE.search(prefix):
+            subj = f"act({subj})"
+        elif prefix.endswith("Phosphorylated "):
+            subj = make_term(left["db"], left["entry_name"], pmod=("Ph", None, None))
         if inter in _PMOD_BY_VERB:
             rel, mod = _PMOD_BY_VERB[inter]
             site = _PMOD_SITE_RE.match(sentence[right["end"] :])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
-            subj = make_term(left["db"], left["entry_name"])
-            if site:
-                obj = make_term(right["db"], right["entry_name"], pmod=pmod)
-            else:
-                func_obj = make_term(right["db"], right["entry_name"])
-                obj = func_obj[:-1] + f", pmod({mod}))"
+            obj = make_term(right["db"], right["entry_name"], pmod=pmod)
             stmt = f"{subj} {rel} {obj}"
         elif inter in _PHRASE_TO_REL:
             rel = _PHRASE_TO_REL[inter]
-            subj = make_term(left["db"], left["entry_name"])
             obj = make_term(right["db"], right["entry_name"])
             stmt = f"{subj} {rel} {obj}"
         if stmt is not None and stmt not in seen:

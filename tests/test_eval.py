@@ -139,6 +139,9 @@ def test_held_out_perturbations(spark):
             "TP53 interacts weakly with XYZQ99 here.",       # 1 mention -> skip
             "p53 activates HSF1 in this assay.",             # synonym grounding
             "AKT1 and HSF1 were measured in all samples.",   # non-interaction
+            "The kinase activity of AKT1 inhibits TP53.",    # act() subject
+            "Phosphorylated TP53 is associated with HSF1.",  # pmod subject
+            "The AKT1/TP53 complex upregulates HSF1.",       # complex subject
         ]
     )
     pages = spark.createDataFrame(
@@ -152,4 +155,7 @@ def test_held_out_perturbations(spark):
     assert got == {
         ("p(HGNC:AKT1)", "directlyIncreases", "p(HGNC:HSF1, pmod(Ph, Thr, 142))"),
         ("p(HGNC:TP53)", "increases", "p(HGNC:HSF1)"),
+        ("act(p(HGNC:AKT1))", "decreases", "p(HGNC:TP53)"),
+        ("p(HGNC:TP53, pmod(Ph))", "association", "p(HGNC:HSF1)"),
+        ("complex(p(HGNC:AKT1), p(HGNC:TP53))", "increases", "p(HGNC:HSF1)"),
     }
