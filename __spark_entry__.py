@@ -461,6 +461,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["set_ops"] = set_ops
 
+    # ---- graph query: 2-hop neighborhood over a bipartite graph ---------------
+    def two_hop_neighborhood(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            k_hop_neighborhood,
+        )
+
+        li = _read(spark, sf, "lineitem")
+        # bipartite supplier-part graph; part ids offset to a disjoint range
+        edges = li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + F.lit(1_000_000)).cast("long").alias("t"),
+        ).distinct()
+        out = k_hop_neighborhood(edges, seed_node_ids=[1], k=2)
+        return out.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("hop").cast("long").alias("hop"),
+        )
+
+    q["two_hop_neighborhood"] = two_hop_neighborhood
+
     # ---- rows-only (non-SQL-expressible) entries ------------------------------
     def kg_flagship_synthetic(spark, sf):
         from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
@@ -834,6 +854,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
             FROM events
+        """,
+        "two_hop_neighborhood": """
+            WITH hop1 AS (
+              SELECT DISTINCT l_partkey + 1000000 AS node_id
+              FROM lineitem WHERE l_suppkey = 1),
+            hop2 AS (
+              SELECT DISTINCT l_suppkey AS node_id
+              FROM lineitem
+              WHERE l_partkey + 1000000 IN (SELECT node_id FROM hop1)
+                AND l_suppkey != 1)
+            SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS hop
+            UNION ALL
+            SELECT CAST(node_id AS BIGINT), CAST(1 AS BIGINT) FROM hop1
+            UNION ALL
+            SELECT CAST(node_id AS BIGINT), CAST(2 AS BIGINT) FROM hop2
         """,
         "set_ops": """
             WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),

@@ -20,11 +20,10 @@ from pyspark.sql import functions as F
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
-    """(s, t) plus (t, s) — neighborhood queries ignore direction."""
-    fwd = edges.select("s", "t", "interaction", "evidence")
-    rev = edges.select(
-        F.col("t").alias("s"), F.col("s").alias("t"), "interaction", "evidence"
-    )
+    """(s, t) plus (t, s) — neighborhood queries ignore direction.
+    Only the endpoint columns are kept (works for any edge-like input)."""
+    fwd = edges.select("s", "t")
+    rev = edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
     return fwd.unionByName(rev)
 
 
@@ -39,7 +38,7 @@ def k_hop_neighborhood(
     neighborhood, not the graph.
     """
     spark = edges.sparkSession
-    und = undirected_edges(edges).select("s", "t")
+    und = undirected_edges(edges)
     visited = spark.createDataFrame(
         [(int(i), 0) for i in seed_node_ids], "node_id long, hop int"
     )
