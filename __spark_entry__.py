@@ -162,6 +162,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edge_materialization"] = edge_materialization
 
+    # ---- P6/P7 hash-id (content-addressed) graph build: build hash nodes +
+    # join-free hash edges from a supplier->part triple table, then resolve
+    # endpoint ids back to names — the SQL oracle reproduces the name-level
+    # result, so the driver's value-hash check proves the hash ids'
+    # referential integrity end-to-end.
+    def hash_graph_roundtrip(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph import (
+            build_edges,
+            build_nodes,
+        )
+
+        li = _read(spark, sf, "lineitem")
+        s = _read(spark, sf, "supplier")
+        p = _read(spark, sf, "part")
+        triples = (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("l_orderkey").cast("string").alias("url"),
+                F.col("l_linenumber").cast("int").alias("para_idx"),
+                F.lit(0).alias("sent_idx"),
+                F.col("s_name").alias("subj"),
+                F.lit("supplies").alias("pred"),
+                F.col("p_name").alias("obj"),
+                F.lit("").alias("evidence"),
+            )
+        )
+        nodes = build_nodes(triples, id_strategy="hash")
+        edges = build_edges(triples, id_strategy="hash")
+        sn = nodes.select(F.col("node_id").alias("s"), F.col("name").alias("subj_name"))
+        tn = nodes.select(F.col("node_id").alias("t"), F.col("name").alias("obj_name"))
+        return (
+            edges.join(F.broadcast(sn), "s")
+            .join(F.broadcast(tn), "t")
+            .groupBy("subj_name", "interaction", "obj_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["hash_graph_roundtrip"] = hash_graph_roundtrip
+
     # ---- P3/P4: label & type extraction (regex) ------------------------------
     def label_type_extract(spark, sf):
         return _read(spark, sf, "part").select(
@@ -392,6 +432,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mention_counts"] = mention_counts
+
+    # same counts, zero Python crossings (JVM regexp_extract_all + broadcast
+    # grounding join) — the counting-workload fast path
+    def mention_counts_native(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.mentions import (
+            count_mentions_native,
+        )
+
+        return count_mentions_native(_docs_as_sentences(spark, sf), VOCAB_ALIAS_ROWS)
+
+    q["mention_counts_native"] = mention_counts_native
 
     # ---- sessionization: gap-based session ids (lag + running sum) -----------
     def sessionize(spark, sf):
@@ -676,6 +727,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS node_id
             FROM (SELECT DISTINCT p_brand AS name FROM part)
         """,
+        "hash_graph_roundtrip": """
+            SELECT s.s_name AS subj_name,
+                   'supplies' AS interaction,
+                   p.p_name AS obj_name,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem li
+            JOIN supplier s ON li.l_suppkey = s.s_suppkey
+            JOIN part p ON li.l_partkey = p.p_partkey
+            GROUP BY 1, 2, 3
+        """,
         "edge_materialization": """
             SELECT CAST(l_orderkey AS BIGINT) AS edge_key,
                    CAST(l_linenumber AS BIGINT) AS line_no,
@@ -828,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "mention_counts": f"""
+            SELECT entry_name, n_mentions FROM ({mention_union}) WHERE n_mentions > 0
+        """,
+        "mention_counts_native": f"""
             SELECT entry_name, n_mentions FROM ({mention_union}) WHERE n_mentions > 0
         """,
         "sessionize": """

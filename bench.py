@@ -78,6 +78,19 @@ def main() -> int:
     timings["kg_graph_materialize"] = round(time.monotonic() - t0, 3)
     extras["kg_edges"] = n_edges
 
+    # --- headline 2b: hash-id (content-addressed) graph build — the 100TB
+    # scale path: join-free edges + one-distinct nodes over cached triples
+    from llm_text_to_knowledge_graph_spark.operators.graph import (
+        build_edges,
+        build_nodes,
+    )
+
+    t0 = time.monotonic()
+    n_edges_h = build_edges(res["triples"], id_strategy="hash").count()
+    build_nodes(res["triples"], id_strategy="hash").count()
+    timings["kg_graph_hash"] = round(time.monotonic() - t0, 3)
+    assert n_edges_h == n_edges
+
     # --- oracle-contract queries over the sf dir -----------------------------
     qs = entrymod.queries()
     bench_queries = [
@@ -91,6 +104,7 @@ def main() -> int:
         "lang_id",
         "embedding_topk",
         "mention_counts",
+        "mention_counts_native",
         "minhash_pairs",
         "simhash_pairs",
     ]

@@ -75,16 +75,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted n-gram index:
     explode grams -> self-join on gram -> |A∩B| -> filter on
     |A∩B| / (|A|+|B|-|A∩B|) >= threshold. No UDF; the join key (gram) is
-    high-cardinality so the shuffle is well spread; hot grams can be
-    stop-gram-filtered upstream at extreme scale."""
+    high-cardinality so the shuffle is well spread.
+
+    ``max_doc_freq`` is the scale guard: the self-join on gram produces
+    O(df^2) candidate rows per gram, so one boilerplate phrase shared by
+    10^6 pages would alone emit 10^12 rows. Grams whose document frequency
+    exceeds the cap are dropped from candidate generation via a broadcast
+    anti-join (the hot-gram set is tiny by construction). Doc gram counts
+    (n_a/n_b) still count all grams, so the reported jaccard becomes a
+    LOWER BOUND on the true similarity — the filter can only lose recall on
+    pairs whose overlap is mostly stop-grams, never emit false positives."""
     grams = docs.select(
         F.col(id_col).alias("id"), _grams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram"
     )

@@ -34,6 +34,44 @@ def _type_udf(name: pd.Series) -> pd.Series:
     return name.map(extract_type)
 
 
+# --- native (JVM-side, codegen'd) forms of the label/type extraction -------
+# Same regexes as functions/bel.py:232-235 (reference semantics:
+# convert_to_cx2.py:135-149). Staying inside WholeStageCodegen removes the
+# Arrow crossing from the node build entirely; parity with the Python forms
+# is pinned by tests/test_graph_hash_ids.py.
+
+_NS_VALUE_PAT = ':["\']?([^"\')]+)["\']?'
+_PMOD_PAT = r"pmod\(([a-zA-Z]+)"
+_LOC_PAT = r"loc\([a-zA-Z]+:([^)]+)\)"
+_TYPE_PAT = r"^([a-zA-Z]+)\("
+
+
+def label_col(bel) -> F.Column:
+    """Native column form of ``extract_label``: all ns:value names, pmod
+    types, and loc names comma-joined; the raw expression when none match."""
+    bel = F.col(bel) if isinstance(bel, str) else bel
+    ns = F.transform(
+        F.regexp_extract_all(bel, F.lit(_NS_VALUE_PAT), F.lit(1)),
+        # Python str.strip() parity: trim ALL whitespace, not just spaces
+        lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+    )
+    pm = F.regexp_extract_all(bel, F.lit(_PMOD_PAT), F.lit(1))
+    lc = F.transform(
+        F.regexp_extract_all(bel, F.lit(_LOC_PAT), F.lit(1)),
+        lambda x: F.translate(x, "\"'", ""),
+    )
+    parts = F.concat(ns, pm, lc)
+    return F.when(F.size(parts) == 0, bel).otherwise(F.array_join(parts, ", "))
+
+
+def type_col(bel) -> F.Column:
+    """Native column form of ``extract_type``: BEL function prefix before the
+    first '(' else 'unknown'."""
+    bel = F.col(bel) if isinstance(bel, str) else bel
+    ex = F.regexp_extract(bel, _TYPE_PAT, 1)
+    return F.when(ex == "", "unknown").otherwise(ex)
+
+
 def annotation_map(flat_mentions: DataFrame) -> DataFrame:
     """entry_name -> identifiers.org URL, first occurrence wins
     (convert_to_cx2.py:77-82; determinism via min_by over the occurrence key
@@ -54,18 +92,59 @@ def annotation_map(flat_mentions: DataFrame) -> DataFrame:
     )
 
 
-def build_nodes(triples: DataFrame, ann_map: DataFrame | None = None) -> DataFrame:
-    """Canonical nodes: dedup by exact BEL-term string, dense ids, label/type,
-    URL via name-then-label lookup (convert_to_cx2.py:151-166)."""
+def node_id_col(name) -> F.Column:
+    """Content-addressed node id: seed-fixed xxhash64 of the canonical BEL
+    term. Deterministic with no shuffle — any operator can recompute a
+    node's id from its name alone, which removes the endpoint-id lookup
+    join (and with it the pipeline's only Zipf-skew-sensitive shuffle).
+
+    Collision bound: 64-bit hash, so for E distinct entities
+    P(any collision) ~ E^2 / 2^65 — ~5e-9 at 1e4 entities, ~0.03 at 1e9.
+    At the top end run ``audit_id_collisions`` (one cheap agg) and fall
+    back to ``id_strategy='dense'`` if it ever fires."""
+    name = F.col(name) if isinstance(name, str) else name
+    return F.xxhash64(name)
+
+
+def audit_id_collisions(nodes: DataFrame) -> int:
+    """Number of hash-id collisions (distinct names sharing a node_id).
+    One map-side-combinable aggregation; run as a post-build audit at scale."""
+    return (
+        nodes.groupBy("node_id")
+        .agg(F.countDistinct("name").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def build_nodes(
+    triples: DataFrame,
+    ann_map: DataFrame | None = None,
+    id_strategy: str = "dense",
+) -> DataFrame:
+    """Canonical nodes: dedup by exact BEL-term string, ids, label/type,
+    URL via name-then-label lookup (convert_to_cx2.py:151-166).
+
+    id_strategy:
+      * ``dense``  — reference-parity 0..n-1 ids via two-phase ``dense_ids``
+        (CX2 export shape); costs the bucket-window shuffle chain.
+      * ``hash``   — content-addressed ``xxhash64(name)`` ids; the node
+        table is one distinct away from the triples and edges need no join
+        at all (see ``build_edges``). This is the 100TB hot path; exports
+        can renumber per-document subgraphs with ``renumber_for_export``.
+    """
     names = (
         triples.select(F.col("subj").alias("name"))
         .unionAll(triples.select(F.col("obj").alias("name")))
         .filter(F.col("name").isNotNull())
         .distinct()
     )
-    nodes = dense_ids(names, ["name"], out_col="node_id")
-    nodes = nodes.withColumn("label", _label_udf(F.col("name"))).withColumn(
-        "type", _type_udf(F.col("name"))
+    if id_strategy == "hash":
+        nodes = names.withColumn("node_id", node_id_col("name"))
+    else:
+        nodes = dense_ids(names, ["name"], out_col="node_id")
+    nodes = nodes.withColumn("label", label_col("name")).withColumn(
+        "type", type_col("name")
     )
     if ann_map is None:
         return nodes.withColumn("url", F.lit(None).cast("string")).select(
@@ -86,9 +165,45 @@ def build_nodes(triples: DataFrame, ann_map: DataFrame | None = None) -> DataFra
     return nodes
 
 
-def build_edges(triples: DataFrame, nodes: DataFrame, broadcast_nodes: bool = False) -> DataFrame:
-    """Edge materialization (convert_to_cx2.py:104-133): endpoint-id joins +
-    bel_expression/text/evidence carry-through, dense edge ids."""
+def build_edges(
+    triples: DataFrame,
+    nodes: DataFrame | None = None,
+    broadcast_nodes: bool = False,
+    id_strategy: str = "dense",
+) -> DataFrame:
+    """Edge materialization (convert_to_cx2.py:104-133): endpoint ids +
+    bel_expression/text/evidence carry-through, edge ids.
+
+    ``dense`` strategy: endpoint-id lookup joins against the node table
+    (broadcast when it fits, sort-merge + AQE skew split otherwise) and a
+    two-phase dense edge id. ``hash`` strategy: endpoint ids are recomputed
+    from the names (``node_id_col``) and the edge id is a seed-fixed hash of
+    the edge's identity key — ZERO joins and ZERO shuffles, so the whole
+    edge build fuses into the extraction stage. ``nodes`` is unused there.
+    """
+    edges = triples.withColumn(
+        "bel_expression",
+        F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj")),
+    )
+    if id_strategy == "hash":
+        edges = (
+            # dense-path parity: the endpoint inner joins drop null-endpoint
+            # triples; xxhash64(NULL) is a non-null constant, so filter here
+            edges.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+            .withColumn("s", node_id_col("subj"))
+            .withColumn("t", node_id_col("obj"))
+            .withColumn(
+                "edge_id",
+                F.xxhash64("url", "para_idx", "sent_idx", "bel_expression"),
+            )
+        )
+        return edges.select(
+            "edge_id", "s", "t",
+            F.col("pred").alias("interaction"),
+            "bel_expression",
+            F.col("evidence").alias("text"),
+            "evidence",
+        )
     node_ids = nodes.select("node_id", "name")
     if broadcast_nodes:
         node_ids = F.broadcast(node_ids)
@@ -97,10 +212,7 @@ def build_edges(triples: DataFrame, nodes: DataFrame, broadcast_nodes: bool = Fa
     )
     t_ids = node_ids.select(F.col("name").alias("obj"), F.col("node_id").alias("t"))
     edges = (
-        triples.join(s_ids, "subj").join(t_ids, "obj")
-        .withColumn(
-            "bel_expression", F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"))
-        )
+        edges.join(s_ids, "subj").join(t_ids, "obj")
         .select(
             "url",
             "para_idx",
@@ -132,11 +244,42 @@ def identifiers_url_col(db, the_id):
     )
 
 
+def renumber_for_export(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map hash-strategy ids back to dense 0..n-1 for CX2 export parity
+    (the reference exports one small per-document network at a time —
+    convert_to_cx2.py:92-111 — so this runs over export-sized subgraphs,
+    not the full 10^12-doc graph)."""
+    dense_nodes = dense_ids(
+        nodes.withColumnRenamed("node_id", "_old"), ["name"], out_col="node_id"
+    )
+    idmap = F.broadcast(dense_nodes.select("_old", "node_id"))
+    dense_edges = (
+        edges.join(idmap.withColumnRenamed("_old", "s").withColumnRenamed("node_id", "_s2"), "s")
+        .join(idmap.withColumnRenamed("_old", "t").withColumnRenamed("node_id", "_t2"), "t")
+        .drop("s", "t")
+        .withColumnRenamed("_s2", "s")
+        .withColumnRenamed("_t2", "t")
+    )
+    dense_edges = dense_ids(
+        dense_edges.withColumnRenamed("edge_id", "_old_eid"),
+        ["bel_expression", "s", "t", "_old_eid"],
+        out_col="edge_id",
+    ).drop("_old_eid")
+    return dense_nodes.drop("_old"), dense_edges.select(
+        "edge_id", "s", "t", "interaction", "bel_expression", "text", "evidence"
+    )
+
+
 # keep the pure-Python version importable next to the column version
 __all__ = [
     "annotation_map",
     "build_nodes",
     "build_edges",
+    "node_id_col",
+    "label_col",
+    "type_col",
+    "audit_id_collisions",
+    "renumber_for_export",
     "identifiers_url_col",
     "identifiers_url",
 ]

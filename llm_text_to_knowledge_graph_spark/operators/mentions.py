@@ -127,3 +127,41 @@ def explode_mentions(mentions_df: DataFrame) -> DataFrame:
         F.col("m.entry_name").alias("entry_name"),
         F.col("m.score").alias("score"),
     )
+
+
+def count_mentions_native(sentences: DataFrame, alias_rows: list) -> DataFrame:
+    """Pure-counting fast path: per-entity mention counts with NO Python
+    crossing (PLANS.md round-1 follow-up).
+
+    Builds the same leftmost-longest alternation pattern as ``AliasMatcher``
+    (length-desc ordered alternates, word-boundary lookarounds) and runs it
+    through the JVM's ``regexp_extract_all`` inside WholeStageCodegen; the
+    alias -> entry_name grounding is a broadcast join against the top-1
+    dictionary. Match parity with the Python matcher: both engines use
+    ordered-alternation leftmost semantics, and ``(?U)`` forces Java's \\w
+    to the Unicode class Python uses. For counting workloads (entity
+    frequency tables, vocab pruning) this is the plan to use — the full
+    ``detect_mentions`` is only needed when downstream wants spans/scores.
+    """
+    spark = sentences.sparkSession
+    matcher = AliasMatcher(alias_rows)
+    if not matcher.lookup:
+        return spark.createDataFrame([], "entry_name string, n_mentions long")
+    ordered = sorted(matcher.lookup, key=len, reverse=True)
+    pattern = (
+        r"(?U)(?<![\w-])(" + "|".join(re.escape(a) for a in ordered) + r")(?![\w-])"
+    )
+    amap = spark.createDataFrame(
+        [(a, v[2]) for a, v in matcher.lookup.items()],
+        "alias string, entry_name string",
+    )
+    hits = sentences.select(
+        F.explode(
+            F.regexp_extract_all(F.col("sentence"), F.lit(pattern), F.lit(1))
+        ).alias("alias")
+    )
+    return (
+        hits.join(F.broadcast(amap), "alias")
+        .groupBy("entry_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )

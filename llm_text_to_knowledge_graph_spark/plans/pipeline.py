@@ -49,6 +49,7 @@ def run_pipeline(
     parallelism: int | None = None,
     broadcast_nodes: bool = False,
     persist: bool = False,
+    id_strategy: str = "dense",
 ) -> dict:
     """Run the full pipeline; returns dict of stage-name -> DataFrame plus
     ``metrics`` (list of dicts) when checkpointing.
@@ -100,9 +101,14 @@ def run_pipeline(
     triples = stage("triples", lambda: parse_triples(statements))
     flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
     ann_map = annotation_map(flat_mentions)
-    nodes = stage("nodes", lambda: build_nodes(triples, ann_map))
+    nodes = stage(
+        "nodes", lambda: build_nodes(triples, ann_map, id_strategy=id_strategy)
+    )
     edges = stage(
-        "edges", lambda: build_edges(triples, nodes, broadcast_nodes=broadcast_nodes)
+        "edges",
+        lambda: build_edges(
+            triples, nodes, broadcast_nodes=broadcast_nodes, id_strategy=id_strategy
+        ),
     )
 
     out = {

@@ -80,8 +80,10 @@ def main() -> int:
 
     r_lo_f, r_hi_f = best(lo_runs, "fused_triples_per_sec"), best(hi_runs, "fused_triples_per_sec")
     r_lo_u, r_hi_u = best(lo_runs, "full_triples_per_sec"), best(hi_runs, "full_triples_per_sec")
+    r_lo_d, r_hi_d = best(lo_runs, "full_dense_triples_per_sec"), best(hi_runs, "full_dense_triples_per_sec")
     eff_fused = (r_hi_f["fused_triples_per_sec"] / r_lo_f["fused_triples_per_sec"]) / (hi / lo)
     eff_full = (r_hi_u["full_triples_per_sec"] / r_lo_u["full_triples_per_sec"]) / (hi / lo)
+    eff_dense = (r_hi_d["full_dense_triples_per_sec"] / r_lo_d["full_dense_triples_per_sec"]) / (hi / lo)
 
     with open("/proc/loadavg") as f:
         load = f.read().split()[0]
@@ -99,7 +101,18 @@ load noise; background loadavg at report time: {load}).
 | job | local[{lo}] (N) | local[{hi}] (4N) | scaling efficiency |
 |---|---|---|---|
 | fused extraction (pages->triples, 1 Arrow crossing) | {r_lo_f['fused_triples_per_sec']} triples/s | {r_hi_f['fused_triples_per_sec']} triples/s | **{eff_fused:.2f}** |
-| full job (extraction + graph canonicalize -> edges) | {r_lo_u['full_triples_per_sec']} triples/s | {r_hi_u['full_triples_per_sec']} triples/s | **{eff_full:.2f}** |
+| FULL JOB, scale path (extraction -> hash-id nodes+edges) | {r_lo_u['full_triples_per_sec']} triples/s | {r_hi_u['full_triples_per_sec']} triples/s | **{eff_full:.2f}** |
+| full job, dense-id CX2-export path | {r_lo_d['full_dense_triples_per_sec']} triples/s | {r_hi_d['full_dense_triples_per_sec']} triples/s | **{eff_dense:.2f}** |
+
+The scale path uses content-addressed node/edge ids (xxhash64 of the
+canonical BEL term): edges become a join-free projection fused into the
+extraction stage and nodes one distinct — no endpoint join exists, so the
+pipeline's only Zipf-skew-sensitive shuffle is gone (operators/graph.py
+``node_id_col``, collision bound documented there). The dense-id path
+(reference-parity 0..n-1 ids, used at CX2 export time over per-document
+subgraphs) keeps the two-phase id-assignment shuffle chain whose per-stage
+sync latency is corpus-size-invariant; its lower measured efficiency is
+that latency floor, not algorithmic serialism — see PLANS.md.
 
 Raw runs:
 - local[{lo}]: {json.dumps(lo_runs)}
@@ -116,8 +129,11 @@ is bounded by cores, not API pacing.
     with open(os.path.join(REPO, "BENCH/BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    ok = eff_fused >= 0.8
-    print(f"efficiency gate (>=0.8 on fused): {'PASS' if ok else 'FAIL'}")
+    ok = eff_fused >= 0.8 and eff_full >= 0.8
+    print(
+        f"efficiency gate (>=0.8 on fused AND full scale path): "
+        f"{'PASS' if ok else 'FAIL'} (fused {eff_fused:.2f}, full {eff_full:.2f})"
+    )
     return 0 if ok else 1
 
 

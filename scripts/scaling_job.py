@@ -47,12 +47,26 @@ def main() -> int:
     # untimed warmup
     extract_triples_fused(pages.limit(200), alias_rows).count()
 
-    best_fused, best_full, n_triples = 1e18, 1e18, 0
+    best_fused, best_full, best_dense, n_triples = 1e18, 1e18, 1e18, 0
     for _ in range(args.trials):
         t0 = time.monotonic()
         n_triples = extract_triples_fused(pages, alias_rows).count()
         best_fused = min(best_fused, time.monotonic() - t0)
 
+        # full job, hash-id scale path: edges are a join-free projection that
+        # fuses into the extraction stage; nodes are one distinct over the
+        # cached triples. This is the production (100TB) graph build.
+        t0 = time.monotonic()
+        triples = extract_triples_fused(pages, alias_rows).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        build_edges(triples, id_strategy="hash").count()
+        build_nodes(triples, id_strategy="hash").count()
+        best_full = min(best_full, time.monotonic() - t0)
+        triples.unpersist()
+
+        # full job, dense-id path (reference CX2 export shape) — kept
+        # measured for honesty about the stage-latency floor it carries.
         t0 = time.monotonic()
         triples = extract_triples_fused(pages, alias_rows).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -60,7 +74,7 @@ def main() -> int:
         triples.count()
         nodes = build_nodes(triples).persist(StorageLevel.MEMORY_AND_DISK)
         build_edges(triples, nodes).count()
-        best_full = min(best_full, time.monotonic() - t0)
+        best_dense = min(best_dense, time.monotonic() - t0)
         triples.unpersist()
         nodes.unpersist()
 
@@ -73,6 +87,8 @@ def main() -> int:
                 "fused_triples_per_sec": round(n_triples / best_fused, 1),
                 "full_sec": round(best_full, 3),
                 "full_triples_per_sec": round(n_triples / best_full, 1),
+                "full_dense_sec": round(best_dense, 3),
+                "full_dense_triples_per_sec": round(n_triples / best_dense, 1),
             }
         )
     )
