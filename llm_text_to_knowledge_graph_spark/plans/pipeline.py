@@ -50,15 +50,22 @@ def run_pipeline(
     broadcast_nodes: bool = False,
     persist: bool = False,
     id_strategy: str = "dense",
+    fuse: bool = True,
 ) -> dict:
     """Run the full pipeline; returns dict of stage-name -> DataFrame plus
     ``metrics`` (list of dicts) when checkpointing.
 
-    ``persist=True`` caches the multiply-referenced stages (mentions,
-    triples, nodes) MEMORY_AND_DISK in lazy mode — without it the graph
-    build re-executes the whole UDF chain once per downstream reference
-    (the edges plan references triples three times). The checkpointed mode
-    gets the same cut for free from its parquet snapshots.
+    ``persist=True`` caches the multiply-referenced stages MEMORY_AND_DISK
+    in lazy mode — without it the graph build re-executes the extraction
+    once per downstream reference. The checkpointed mode gets the same cut
+    for free from its parquet snapshots.
+
+    ``fuse=True`` (lazy mode only): run extraction as ONE fused Python
+    crossing (``extract_sentence_level_fused``) and derive every stage
+    relationally — same outputs, ~5x fewer Arrow round-trips. ``fuse=False``
+    forces the modular five-UDF chain (each stage independently computed).
+    Checkpointed runs always use the modular chain: each stage is a table
+    with its own lineage.
     """
     from pyspark import StorageLevel
 
@@ -89,17 +96,66 @@ def run_pipeline(
         )
         return df
 
-    paragraphs = stage("paragraphs", lambda: extract_paragraphs(pages, lang=lang))
-    sentences = stage(
-        "sentences",
-        # explicit repartition before the heavy UDF stages so extraction
-        # parallelism matches cores (north_rule: explicit partitioning)
-        lambda: split_into_sentences(paragraphs).repartition(par, "url"),
-    )
-    mentions = stage("mentions", lambda: detect_mentions(sentences, alias_rows))
-    statements = stage("statements", lambda: extract_statements(mentions))
-    triples = stage("triples", lambda: parse_triples(statements))
-    flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
+    if store is None and fuse:
+        # Lazy mode: ONE Python crossing computes sentences + mentions +
+        # parsed statements (operators/fused.py); every stage below is a
+        # relational view of it. The modular five-UDF chain stacks five
+        # ArrowEvalPython/MapInPandas nodes in one physical stage — each
+        # chained node holds its own Python worker per task (measured 2-7x
+        # slowdown from worker oversubscription) — so it is reserved for
+        # checkpointed runs where stages materialize to tables anyway.
+        from ..operators.fused import extract_sentence_level_fused
+
+        base = extract_sentence_level_fused(pages, alias_rows, lang=lang)
+        if persist:
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        paragraphs = extract_paragraphs(pages, lang=lang)  # lazy; free unless used
+        sentences = base.select("url", "warc_ts", "para_idx", "sent_idx", "sentence")
+        mentions = base.drop("results")
+        statements = (
+            base.filter(F.size("results") > 0)
+            .select(
+                "url", "warc_ts", "para_idx", "sent_idx",
+                F.explode("results").alias("r"),
+            )
+            .select(
+                "url", "warc_ts", "para_idx", "sent_idx",
+                F.col("r.bel_statement").alias("bel_statement"),
+                F.col("r.evidence").alias("evidence"),
+            )
+        )
+        triples = (
+            base.select(
+                "url", "warc_ts", "para_idx", "sent_idx",
+                F.explode("results").alias("r"),
+            )
+            .select(
+                "url", "warc_ts", "para_idx", "sent_idx",
+                F.col("r.subj").alias("subj"),
+                F.col("r.pred").alias("pred"),
+                F.col("r.obj").alias("obj"),
+                F.col("r.bel_statement").alias("bel_statement"),
+                F.col("r.evidence").alias("evidence"),
+            )
+            .filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+        )
+        flat_mentions = explode_mentions(mentions)
+    else:
+        paragraphs = stage("paragraphs", lambda: extract_paragraphs(pages, lang=lang))
+        sentences = stage(
+            "sentences",
+            # explicit repartition before the heavy UDF stages so extraction
+            # parallelism matches cores (north_rule: explicit partitioning)
+            lambda: split_into_sentences(paragraphs).repartition(par, "url"),
+        )
+        mentions = stage("mentions", lambda: detect_mentions(sentences, alias_rows))
+        statements = stage("statements", lambda: extract_statements(mentions))
+        triples = stage("triples", lambda: parse_triples(statements))
+        flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
     ann_map = annotation_map(flat_mentions)
     nodes = stage(
         "nodes", lambda: build_nodes(triples, ann_map, id_strategy=id_strategy)
