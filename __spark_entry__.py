@@ -654,6 +654,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    # ---- IVF ANN: deterministic coarse quantizer -> probe-limited search.
+    # Centroids are the 16 lowest-id vectors, so DuckDB can rebuild the
+    # identical index and the result is fully SQL-checkable (unlike LSH,
+    # whose hyperplanes live in numpy).
+    def ivf_ann_topk(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import ivf_topk
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return ivf_topk(emb, query_ids=[0, 1, 2], k=5, n_centroids=16, nprobe=2)
+
+    q["ivf_ann_topk"] = ivf_ann_topk
+
     return q
 
 
@@ -885,6 +900,33 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
             SELECT query_id, neighbor_id, cosine,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "ivf_ann_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, c.cid,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 9) DESC,
+                                c.cid ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            corpus AS (SELECT vec_id, vec, cid AS cell FROM assign WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, vec AS qvec, cid AS cell
+                       FROM assign WHERE vec_id IN (0, 1, 2) AND rn <= 2),
+            scored AS (
+              SELECT p.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(c.vec, p.qvec), 3) AS cosine
+              FROM corpus c JOIN probes p ON c.cell = p.cell
+              WHERE c.vec_id != p.query_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
         """,

@@ -103,6 +103,7 @@ def main() -> int:
         "quality_score",
         "lang_id",
         "embedding_topk",
+        "ivf_ann_topk",
         "mention_counts",
         "mention_counts_native",
         "minhash_pairs",

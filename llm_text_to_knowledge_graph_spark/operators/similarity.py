@@ -144,3 +144,88 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer cells + probe-limited search
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id vectors
+    serve as cell centroids (TakeOrdered on the driver — K rows, no full
+    sort). Deterministic selection keeps the index reproducible run-to-run
+    and lets a SQL oracle rebuild the identical index; swapping in a KMeans
+    refinement (pyspark.ml) is a drop-in that changes only this function."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _nearest_cells(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Array of the ``nprobe`` nearest centroid ids (cosine, id-asc ties) —
+    literal centroid arrays, so assignment is a map-only JVM projection."""
+    scored = [
+        F.struct(
+            F.round(
+                cosine_col(vec_col, F.array(*[F.lit(x) for x in cvec])), 9
+            ).alias("cos"),
+            F.lit(-cid).alias("neg_cid"),  # desc sort => cid ASC on ties
+        )
+        for cid, cvec in centroids
+    ]
+    ranked = F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe)
+    return F.transform(ranked, lambda s: -s["neg_cid"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: every corpus vector lands in its
+    nearest centroid's cell (1 list membership); each query scores only the
+    vectors in its ``nprobe`` nearest cells.
+
+    Scale shape: cell assignment is a shuffle-free projection (centroids are
+    literals); at rest the corpus would be written partitioned by ``cell``
+    so probes prune file-level; the query side is a broadcast join; the only
+    shuffle is the per-query top-k window over ~nprobe/n_centroids of the
+    corpus. Recall < 1 by design — ``brute_force_topk`` is the exact
+    baseline, and the planted-duplicate test pins recall on near-dup pairs.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    corpus = embeddings.withColumn(
+        "cell", _nearest_cells(F.col(vec_col), cents, 1)[0]
+    )
+    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    joined = corpus.join(F.broadcast(q), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 3).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,76 @@
+"""IVF ANN: deterministic index, probe-limited search, recall vs exact."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from llm_text_to_knowledge_graph_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_centroids,
+    ivf_topk,
+)
+
+
+def _emb_df(spark, n=300, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    # 4 well-separated gaussian clusters so cells are meaningful
+    centers = rng.randn(4, dim) * 4
+    rows = []
+    for i in range(n):
+        v = centers[i % 4] + rng.randn(dim) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicates of vectors 0..2 (the query ids)
+    for j, qid in enumerate([0, 1, 2]):
+        v = np.array(rows[qid][1]) + rng.randn(dim) * 1e-3
+        rows.append((n + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = _emb_df(spark)
+    a = ivf_centroids(emb, 8)
+    b = ivf_centroids(emb.repartition(13), 8)
+    assert a == b
+    assert [c[0] for c in a] == list(range(8))
+
+
+def test_ivf_finds_planted_near_dups_and_overlaps_exact(spark):
+    emb = _emb_df(spark)
+    k = 10
+    exact = brute_force_topk(emb, [0, 1, 2], k=k)
+    approx = ivf_topk(emb, [0, 1, 2], k=k, n_centroids=8, nprobe=2)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # planted near-dup is every query's top hit in both
+    for j, qid in enumerate([0, 1, 2]):
+        assert (qid, 300 + j) in ap
+    # recall@10 of the probe-limited search on clustered data
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_results_ranked_and_bounded(spark):
+    emb = _emb_df(spark)
+    out = ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= 5
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    emb = _emb_df(spark)
+    cents = ivf_centroids(emb, 8)
+    from llm_text_to_knowledge_graph_spark.operators.similarity import _nearest_cells
+
+    plan = (
+        emb.withColumn("cell", _nearest_cells(F.col("embedding"), cents, 1)[0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
