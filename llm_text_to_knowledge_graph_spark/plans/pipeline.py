@@ -74,7 +74,7 @@ def run_pipeline(
     metrics: list[dict] = []
     _multi_ref = {"mentions", "triples", "nodes"}
 
-    def stage(name: str, thunk):
+    def stage(name: str, thunk, token_extra: str = ""):
         if store is None:
             df = thunk()
             if persist and name in _multi_ref:
@@ -82,7 +82,7 @@ def run_pipeline(
             return df
         t0 = time.monotonic()
         df, resumed = store.resume_or_compute(
-            spark, name, f"{input_token}:{name}", run_id, thunk
+            spark, name, f"{input_token}:{name}{token_extra}", run_id, thunk
         )
         m = store.manifest(name)
         metrics.append(
@@ -157,14 +157,20 @@ def run_pipeline(
         triples = stage("triples", lambda: parse_triples(statements))
         flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
     ann_map = annotation_map(flat_mentions)
+    # id_strategy participates in the snapshot fingerprint: resuming a dense
+    # run under --id-strategy hash (or vice versa) must recompute, not serve
+    # the other scheme's snapshot
     nodes = stage(
-        "nodes", lambda: build_nodes(triples, ann_map, id_strategy=id_strategy)
+        "nodes",
+        lambda: build_nodes(triples, ann_map, id_strategy=id_strategy),
+        token_extra=f":{id_strategy}",
     )
     edges = stage(
         "edges",
         lambda: build_edges(
             triples, nodes, broadcast_nodes=broadcast_nodes, id_strategy=id_strategy
         ),
+        token_extra=f":{id_strategy}",
     )
 
     out = {

@@ -24,6 +24,13 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=200)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--id-strategy",
+        choices=["dense", "hash"],
+        default="dense",
+        help="graph id scheme: dense 0..n-1 (CX2 parity) or content-addressed "
+        "xxhash64 (join-free edge build — the at-scale default)",
+    )
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args()
 
@@ -37,6 +44,7 @@ def main() -> int:
         workdir=args.workdir,
         input_token=f"synthetic-{args.seed}-{args.n_docs}",
         run_id=f"run-{int(t0)}",
+        id_strategy=args.id_strategy,
     )
 
     counts = {}

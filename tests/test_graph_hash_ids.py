@@ -111,3 +111,25 @@ def test_renumber_for_export_dense_and_consistent(spark, triples):
     eids = sorted(r.edge_id for r in de.collect())
     assert eids == list(range(de.count()))
     assert _name_level_edges(dn, de) == _name_level_edges(hn, he)
+
+
+def test_checkpoint_fingerprint_includes_id_strategy(spark, tmp_path):
+    """Switching --id-strategy on a checkpointed workdir must recompute the
+    graph tables instead of serving the other scheme's snapshots."""
+    from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
+    from llm_text_to_knowledge_graph_spark.plans.pipeline import run_pipeline
+
+    pages = pages_df(spark, 20, seed=3)
+    alias = build_alias_rows(3)
+    wd = str(tmp_path / "ckpt")
+    run_pipeline(spark, pages, alias, workdir=wd, id_strategy="dense")
+    r2 = run_pipeline(spark, pages, alias, workdir=wd, id_strategy="dense")
+    assert all(m["resumed"] for m in r2["metrics"])
+    r3 = run_pipeline(spark, pages, alias, workdir=wd, id_strategy="hash")
+    res = {m["stage"]: m["resumed"] for m in r3["metrics"]}
+    assert res["triples"] and not res["nodes"] and not res["edges"]
+    # and the recomputed tables really are hash-addressed
+    nodes = {r.name: r.node_id for r in r3["nodes"].collect()}
+    for r in r3["edges"].limit(20).collect():
+        assert r.s in nodes.values() and r.t in nodes.values()
+    assert any(v < 0 or v >= len(nodes) for v in nodes.values())  # not dense
