@@ -30,27 +30,143 @@ from ..schemas import MENTION
 _MATCHER_CACHE: dict[str, "AliasMatcher"] = {}
 
 
-class AliasMatcher:
-    """Leftmost-longest dictionary matcher over word-boundary alias spans."""
+# above this many aliases the alternation regex's O(|text| * |alternates|)
+# worst case starts to dominate; the Aho-Corasick automaton scans in
+# O(|text| + matches) regardless of dictionary size
+_AC_THRESHOLD = 2048
 
-    def __init__(self, alias_rows: list[tuple[str, str, str, str, float]]):
-        best: dict[str, tuple[str, str, str, float]] = {}
-        for alias, db, ent_id, entry_name, prior in alias_rows:
-            cur = best.get(alias)
-            cand = (db, ent_id, entry_name, float(prior))
-            # top-1 by prior, stable tie-break by (db, id)
-            if (
-                cur is None
-                or cand[3] > cur[3]
-                or (cand[3] == cur[3] and (cand[0], cand[1]) < (cur[0], cur[1]))
-            ):
-                best[alias] = cand
+_WB_RE = re.compile(r"[\w-]")  # the boundary class of the regex engine
+
+
+def _top1(alias_rows) -> dict[str, tuple[str, str, str, float]]:
+    """alias -> (db, id, entry_name, prior): top-1 by prior, stable (db, id)
+    tie-break — the relational 'keep Gilda's top match'."""
+    best: dict[str, tuple[str, str, str, float]] = {}
+    for alias, db, ent_id, entry_name, prior in alias_rows:
+        cur = best.get(alias)
+        cand = (db, ent_id, entry_name, float(prior))
+        if (
+            cur is None
+            or cand[3] > cur[3]
+            or (cand[3] == cur[3] and (cand[0], cand[1]) < (cur[0], cur[1]))
+        ):
+            best[alias] = cand
+    return best
+
+
+class AliasMatcher:
+    """Leftmost-longest dictionary matcher over word-boundary alias spans.
+
+    Two interchangeable engines with identical match semantics (pinned by
+    tests/test_ac_matcher.py):
+
+      * ``regex`` — one alternation ordered by length desc; at each position
+        the longest boundary-valid alias wins, scan resumes at match end.
+        Simple, fast for small dictionaries.
+      * ``ac``    — Aho-Corasick automaton (pure Python, built once per
+        worker from the broadcast rows). All occurrences are collected in a
+        single O(|text|) pass, then reduced to the same leftmost-longest
+        non-overlapping selection. This is the 100TB engine for real alias
+        dictionaries (10^5-10^6 surface forms), where the alternation regex
+        degrades linearly in dictionary size per character.
+
+    ``engine='auto'`` (default) picks ``ac`` at >= 2048 aliases.
+    """
+
+    def __init__(
+        self,
+        alias_rows: list[tuple[str, str, str, str, float]],
+        engine: str = "auto",
+    ):
+        best = _top1(alias_rows)
         self.lookup = best
-        ordered = sorted(best, key=len, reverse=True)
-        pattern = "|".join(re.escape(a) for a in ordered)
-        self.rx = re.compile(rf"(?<![\w-])({pattern})(?![\w-])") if ordered else None
+        if engine == "auto":
+            engine = "ac" if len(best) >= _AC_THRESHOLD else "regex"
+        self.engine = engine
+        if engine == "ac":
+            self._build_ac(list(best))
+            self.rx = None
+        else:
+            ordered = sorted(best, key=len, reverse=True)
+            pattern = "|".join(re.escape(a) for a in ordered)
+            self.rx = (
+                re.compile(rf"(?<![\w-])({pattern})(?![\w-])") if ordered else None
+            )
+
+    # -- Aho-Corasick ---------------------------------------------------------
+    def _build_ac(self, patterns: list[str]) -> None:
+        goto: list[dict[str, int]] = [{}]
+        term: list[int] = [0]  # pattern length terminating at node, else 0
+        for pat in patterns:
+            node = 0
+            for ch in pat:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    term.append(0)
+                    nxt = len(goto) - 1
+                    goto[node][ch] = nxt
+                node = nxt
+            term[node] = len(pat)
+        fail = [0] * len(goto)
+        out: list[tuple[int, ...]] = [()] * len(goto)
+        from collections import deque
+
+        dq = deque()
+        for child in goto[0].values():
+            dq.append(child)
+        while dq:
+            u = dq.popleft()
+            # fail[u] already final (BFS order: strictly shorter depth first)
+            fu = fail[u]
+            out[u] = ((term[u],) if term[u] else ()) + out[fu]
+            for ch, v in goto[u].items():
+                f = fu
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[v] = goto[f].get(ch, 0)
+                if fail[v] == v:  # depth-1 nodes fall back to root
+                    fail[v] = 0
+                dq.append(v)
+        self._goto, self._fail, self._out = goto, fail, out
+
+    def _find_ac(self, text: str) -> list[tuple]:
+        goto, fail, out = self._goto, self._fail, self._out
+        by_start: dict[int, int] = {}
+        node = 0
+        n = len(text)
+        for i, ch in enumerate(text):
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            lens = out[node]
+            if not lens:
+                continue
+            if i + 1 < n and _WB_RE.match(text[i + 1]):
+                continue  # right boundary fails for every length ending at i
+            for length in lens:
+                start = i - length + 1
+                if start > 0 and _WB_RE.match(text[start - 1]):
+                    continue  # left boundary
+                if length > by_start.get(start, 0):
+                    by_start[start] = length
+        # leftmost-longest non-overlapping selection == the ordered-alternation
+        # regex scan (longest alias wins at each position, resume at match end)
+        result = []
+        pos = 0
+        for start in sorted(by_start):
+            if start < pos:
+                continue
+            end = start + by_start[start]
+            alias = text[start:end]
+            db, ent_id, entry_name, prior = self.lookup[alias]
+            result.append((start, end, alias, db, ent_id, entry_name, prior))
+            pos = end
+        return result
 
     def find(self, text: str) -> list[tuple]:
+        if self.engine == "ac":
+            return self._find_ac(text)
         if self.rx is None:
             return []
         out = []
@@ -61,21 +177,24 @@ class AliasMatcher:
         return out
 
 
-def _get_matcher(bc, token: str) -> AliasMatcher:
+def _get_matcher(bc, token: str, engine: str = "auto") -> AliasMatcher:
     matcher = _MATCHER_CACHE.get(token)
     if matcher is None:
         if len(_MATCHER_CACHE) >= 8:  # bound worker memory across many runs
             _MATCHER_CACHE.clear()
-        matcher = AliasMatcher(bc.value)
+        matcher = AliasMatcher(bc.value, engine=engine)
         _MATCHER_CACHE[token] = matcher
     return matcher
 
 
-def detect_mentions(sentences: DataFrame, alias_rows: list) -> DataFrame:
+def detect_mentions(
+    sentences: DataFrame, alias_rows: list, engine: str = "auto"
+) -> DataFrame:
     """sentences -> MENTIONS schema (sentence + array<mention struct>).
 
     ``alias_rows``: list of (alias, db, id, entry_name, prior) broadcast to
-    every executor.
+    every executor. ``engine`` selects the matcher implementation (see
+    ``AliasMatcher``); ``auto`` switches to Aho-Corasick for big dicts.
     """
     spark = sentences.sparkSession
     bc = spark.sparkContext.broadcast(list(alias_rows))
@@ -83,7 +202,7 @@ def detect_mentions(sentences: DataFrame, alias_rows: list) -> DataFrame:
 
     @F.pandas_udf(ArrayType(MENTION))
     def _annotate(sent: pd.Series) -> pd.Series:
-        matcher = _get_matcher(bc, token)
+        matcher = _get_matcher(bc, token, engine)
         return pd.Series(
             [
                 [
