@@ -75,3 +75,49 @@ def hourly_page_counts(
             "n_pages",
         )
     )
+
+
+def incremental_graph(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    alias_rows: list,
+    available_now: bool = True,
+):
+    """Incremental graph construction: each micro-batch of new pages appends
+    hash-id edges and (batch-distinct) nodes.
+
+    Content-addressed ids (operators/graph.py::node_id_col) are what makes
+    this possible: a node's id is a pure function of its name, so two
+    micro-batches — or a micro-batch and a historical backfill — assign the
+    SAME id to the same entity with no coordination, no global counter, no
+    id-lookup join. Dense 0..n-1 ids fundamentally cannot do this.
+    Cross-batch duplicate node rows are benign (identical bytes); read the
+    node table through ``read_incremental_nodes`` (Iceberg MERGE INTO is the
+    at-scale equivalent of that dedup)."""
+    from ..operators.graph import build_edges, build_nodes
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = extract_triples_fused(batch_df, alias_rows)
+        build_edges(t, id_strategy="hash").write.mode("append").parquet(
+            f"{out_root}/edges"
+        )
+        build_nodes(t, id_strategy="hash").write.mode("append").parquet(
+            f"{out_root}/nodes"
+        )
+
+    writer = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_nodes(spark: SparkSession, out_root: str) -> DataFrame:
+    """Deduplicated view of the incrementally-appended node table. Rows for
+    one name are byte-identical across batches, so any-row-per-id wins."""
+    return spark.read.parquet(f"{out_root}/nodes").dropDuplicates(["node_id"])
