@@ -28,15 +28,39 @@ def dense_ids(
     key_cols: list[str],
     out_col: str = "id",
     buckets: int = 256,
+    dedup: bool = False,
 ) -> DataFrame:
     """Assign dense ids 0..n-1 ordered by (bucket(key), key). Deterministic
-    across partitionings and runs (murmur3 hash is seed-fixed)."""
+    across partitionings and runs (murmur3 hash is seed-fixed).
+
+    ``dedup=False`` (default) assumes unique keys — the caller's upstream
+    ``distinct`` gets map-side partial aggregation, so at scale the bucket
+    shuffle moves ~unique keys per partition. ``dedup=True`` folds the
+    dedup into the bucket window itself (dense_rank + first-occurrence
+    filter, one Window exec): one shuffle instead of two, but that shuffle
+    carries every input row — the right trade for latency-dominated
+    export-sized inputs, the wrong one for a Zipf-skewed 100TB key stream.
+    """
     b = df.withColumn("_bkt", F.pmod(F.hash(*key_cols), F.lit(buckets)).cast("int"))
     w = Window.partitionBy("_bkt").orderBy(*key_cols)
-    ranked = b.withColumn("_rnk", F.row_number().over(w))
-    # bucket counts come from the pre-window projection (map-side combinable
-    # agg), NOT from `ranked` — otherwise the window executes twice
-    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    if dedup:
+        key_struct = F.struct(*key_cols)
+        # dense_rank + lag share one Window exec (same partition/order spec)
+        ranked = (
+            b.withColumn("_rnk", F.dense_rank().over(w))
+            .withColumn("_prev", F.lag(key_struct).over(w))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != key_struct))
+            .drop("_prev")
+        )
+        counts = b.groupBy("_bkt").agg(
+            F.countDistinct(*key_cols).alias("_cnt")
+        )
+    else:
+        ranked = b.withColumn("_rnk", F.row_number().over(w))
+        # bucket counts come from the pre-window projection (map-side
+        # combinable agg), NOT from `ranked` — otherwise the window executes
+        # twice
+        counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))

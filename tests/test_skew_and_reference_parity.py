@@ -57,3 +57,24 @@ def test_eval_parser_on_reference_gold_statements():
             n_relational += 1
             assert match_score(p, p) >= 0.5, s
     assert n_relational > 5
+
+
+def test_dense_ids_dedup_fold_matches_distinct_path(spark):
+    """dense_ids(dedup=True) over duplicated keys == dense_ids over distinct
+    keys, with one fewer exchange in the plan."""
+    from llm_text_to_knowledge_graph_spark.plans.ids import dense_ids
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i % 37}", i % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    via_distinct = dense_ids(df.distinct(), ["a", "b"], out_col="id", buckets=8)
+    via_fold = dense_ids(df, ["a", "b"], out_col="id", buckets=8, dedup=True)
+    assert sorted(map(tuple, via_distinct.collect())) == sorted(
+        map(tuple, via_fold.collect())
+    )
+    n = via_fold.count()
+    assert sorted(r.id for r in via_fold.collect()) == list(range(n))
+    # the fold saves the distinct's exchange: strictly fewer shuffles overall
+    plan_fold = via_fold._jdf.queryExecution().executedPlan().toString()
+    plan_dist = via_distinct._jdf.queryExecution().executedPlan().toString()
+    assert plan_fold.count("Exchange") < plan_dist.count("Exchange")
