@@ -75,3 +75,55 @@ def test_on_pipeline_output(spark):
     assert nb.count() > 1
     sub = subgraph(edges, nb)
     assert 0 < sub.count() <= edges.count()
+
+
+def test_graph_query_layer_is_id_scheme_agnostic(spark):
+    """k-hop / hubs / evidence work identically over hash-id tables, and the
+    CX2 exporter round-trips them through renumber_for_export."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
+    from llm_text_to_knowledge_graph_spark.operators.fused import extract_triples_fused
+    from llm_text_to_knowledge_graph_spark.operators.graph import (
+        build_edges,
+        build_nodes,
+        renumber_for_export,
+    )
+
+    t = extract_triples_fused(pages_df(spark, 30, seed=4), build_alias_rows(4)).persist()
+    hn = build_nodes(t, id_strategy="hash").persist()
+    he = build_edges(t, id_strategy="hash").persist()
+    dn = build_nodes(t).persist()
+    de = build_edges(t, dn, broadcast_nodes=True).persist()
+
+    # hub degrees must agree name-level between schemes
+    def hub_names(nodes, edges):
+        return sorted(
+            (r["name"], r["degree"]) for r in top_hubs(edges, nodes, k=5).collect()
+        )
+
+    assert hub_names(hn, he) == hub_names(dn, de)
+
+    # k-hop frontier sizes agree when seeded from the same entity
+    seed_name = top_hubs(he, hn, k=1).collect()[0]["name"]
+    hid = [r.node_id for r in hn.filter(F.col("name") == seed_name).collect()]
+    did = [r.node_id for r in dn.filter(F.col("name") == seed_name).collect()]
+    h_hops = k_hop_neighborhood(he, hid, k=2).groupBy("hop").count().collect()
+    d_hops = k_hop_neighborhood(de, did, k=2).groupBy("hop").count().collect()
+    assert sorted(map(tuple, h_hops)) == sorted(map(tuple, d_hops))
+
+    # CX2 export of the hash graph via export-time renumber: valid aspects
+    import tempfile, os
+    rn, re_ = renumber_for_export(hn, he)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "g.cx2")
+        from llm_text_to_knowledge_graph_spark.export.cx2 import write_cx2
+
+        write_cx2(rn, re_, path)
+        doc = json.load(open(path))
+    aspects = {k for a in doc for k in (a if isinstance(a, dict) else {})}
+    assert "nodes" in aspects and "edges" in aspects
+    for p in (t, hn, he, dn, de):
+        p.unpersist()
