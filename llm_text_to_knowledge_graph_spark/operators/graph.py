@@ -92,18 +92,24 @@ def annotation_map(flat_mentions: DataFrame) -> DataFrame:
     )
 
 
-def node_id_col(name) -> F.Column:
+def node_id_col(name, hash_seed: int = 0) -> F.Column:
     """Content-addressed node id: seed-fixed xxhash64 of the canonical BEL
     term. Deterministic with no shuffle — any operator can recompute a
     node's id from its name alone, which removes the endpoint-id lookup
     join (and with it the pipeline's only Zipf-skew-sensitive shuffle).
 
-    Collision bound: 64-bit hash, so for E distinct entities
+    Collision handling: 64-bit hash, so for E distinct entities
     P(any collision) ~ E^2 / 2^65 — ~5e-9 at 1e4 entities, ~0.03 at 1e9.
-    At the top end run ``audit_id_collisions`` (one cheap agg) and fall
-    back to ``id_strategy='dense'`` if it ever fires."""
+    At the top end run ``audit_id_collisions`` (one cheap agg) after the
+    node build; if it ever fires, rebuild with ``hash_seed + 1`` — the seed
+    feeds the hash as a literal prefix column, so every id changes
+    deterministically and the probability that consecutive seeds both
+    collide is the product of the per-seed bounds (~1e-3 at 1e9). The
+    chosen seed is part of the table's metadata, like a schema version."""
     name = F.col(name) if isinstance(name, str) else name
-    return F.xxhash64(name)
+    if hash_seed == 0:
+        return F.xxhash64(name)
+    return F.xxhash64(F.lit(hash_seed), name)
 
 
 def audit_id_collisions(nodes: DataFrame) -> int:
@@ -121,6 +127,7 @@ def build_nodes(
     triples: DataFrame,
     ann_map: DataFrame | None = None,
     id_strategy: str = "dense",
+    hash_seed: int = 0,
 ) -> DataFrame:
     """Canonical nodes: dedup by exact BEL-term string, ids, label/type,
     URL via name-then-label lookup (convert_to_cx2.py:151-166).
@@ -140,7 +147,7 @@ def build_nodes(
         .distinct()
     )
     if id_strategy == "hash":
-        nodes = names.withColumn("node_id", node_id_col("name"))
+        nodes = names.withColumn("node_id", node_id_col("name", hash_seed))
     else:
         nodes = dense_ids(names, ["name"], out_col="node_id")
     nodes = nodes.withColumn("label", label_col("name")).withColumn(
@@ -170,6 +177,7 @@ def build_edges(
     nodes: DataFrame | None = None,
     broadcast_nodes: bool = False,
     id_strategy: str = "dense",
+    hash_seed: int = 0,
 ) -> DataFrame:
     """Edge materialization (convert_to_cx2.py:104-133): endpoint ids +
     bel_expression/text/evidence carry-through, edge ids.
@@ -190,8 +198,8 @@ def build_edges(
             # dense-path parity: the endpoint inner joins drop null-endpoint
             # triples; xxhash64(NULL) is a non-null constant, so filter here
             edges.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
-            .withColumn("s", node_id_col("subj"))
-            .withColumn("t", node_id_col("obj"))
+            .withColumn("s", node_id_col("subj", hash_seed))
+            .withColumn("t", node_id_col("obj", hash_seed))
             .withColumn(
                 "edge_id",
                 F.xxhash64("url", "para_idx", "sent_idx", "bel_expression"),

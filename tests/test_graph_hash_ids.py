@@ -133,3 +133,20 @@ def test_checkpoint_fingerprint_includes_id_strategy(spark, tmp_path):
     for r in r3["edges"].limit(20).collect():
         assert r.s in nodes.values() and r.t in nodes.values()
     assert any(v < 0 or v >= len(nodes) for v in nodes.values())  # not dense
+
+
+def test_hash_seed_bump_changes_ids_preserves_topology(spark, triples):
+    """Collision remediation: rebuilding with hash_seed+1 re-keys every node
+    deterministically while the name-level graph is unchanged."""
+    n0 = build_nodes(triples, id_strategy="hash")
+    e0 = build_edges(triples, id_strategy="hash")
+    n1 = build_nodes(triples, id_strategy="hash", hash_seed=1)
+    e1 = build_edges(triples, id_strategy="hash", hash_seed=1)
+    ids0 = {r.name: r.node_id for r in n0.collect()}
+    ids1 = {r.name: r.node_id for r in n1.collect()}
+    assert set(ids0) == set(ids1)
+    assert all(ids0[k] != ids1[k] for k in ids0)  # every id re-keyed
+    assert _name_level_edges(n0, e0) == _name_level_edges(n1, e1)
+    # deterministic: same seed, same ids
+    again = {r.name: r.node_id for r in build_nodes(triples, id_strategy="hash", hash_seed=1).collect()}
+    assert again == ids1
