@@ -178,6 +178,7 @@ def build_edges(
     broadcast_nodes: bool = False,
     id_strategy: str = "dense",
     hash_seed: int = 0,
+    carry_names: bool = False,
 ) -> DataFrame:
     """Edge materialization (convert_to_cx2.py:104-133): endpoint ids +
     bel_expression/text/evidence carry-through, edge ids.
@@ -205,13 +206,21 @@ def build_edges(
                 F.xxhash64("url", "para_idx", "sent_idx", "bel_expression"),
             )
         )
-        return edges.select(
+        cols = [
             "edge_id", "s", "t",
             F.col("pred").alias("interaction"),
             "bel_expression",
             F.col("evidence").alias("text"),
             "evidence",
-        )
+        ]
+        if carry_names:
+            # denormalized endpoint names (the reference's edge rows carry
+            # source/target labels too — convert_to_cx2.py:104-133). With
+            # names on the edge table, the node table derives from WRITTEN
+            # edges (``nodes_from_edges``) and the full graph job becomes a
+            # single extraction pass with no triples cache.
+            cols += [F.col("subj").alias("s_name"), F.col("obj").alias("t_name")]
+        return edges.select(*cols)
     node_ids = nodes.select("node_id", "name")
     if broadcast_nodes:
         node_ids = F.broadcast(node_ids)
@@ -252,6 +261,30 @@ def identifiers_url_col(db, the_id):
     )
 
 
+def nodes_from_edges(edges: DataFrame) -> DataFrame:
+    """Node table derived from a name-carrying hash-id edge table
+    (``build_edges(..., id_strategy="hash", carry_names=True)``).
+
+    This is the single-pass full-job shape: extraction writes edges once,
+    and the (much smaller) node table is a distinct over the written edges'
+    endpoints — no triples cache, no second extraction pass. Output matches
+    ``build_nodes(triples, id_strategy="hash")`` row-for-row (ann_map-less
+    form; pinned by test)."""
+    endpoints = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("node_id"), F.col("s_name").alias("name")),
+                F.struct(F.col("t").alias("node_id"), F.col("t_name").alias("name")),
+            )
+        ).alias("n")
+    ).select("n.node_id", "n.name").distinct()
+    return endpoints.withColumn("label", label_col("name")).withColumn(
+        "type", type_col("name")
+    ).withColumn("url", F.lit(None).cast("string")).select(
+        "node_id", "name", "label", "type", "url"
+    )
+
+
 def renumber_for_export(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Map hash-strategy ids back to dense 0..n-1 for CX2 export parity
     (the reference exports one small per-document network at a time —
@@ -284,6 +317,7 @@ __all__ = [
     "build_nodes",
     "build_edges",
     "node_id_col",
+    "nodes_from_edges",
     "label_col",
     "type_col",
     "audit_id_collisions",

@@ -36,6 +36,16 @@ _MATCHER_CACHE: dict[str, "AliasMatcher"] = {}
 _AC_THRESHOLD = 2048
 
 _WB_RE = re.compile(r"[\w-]")  # the boundary class of the regex engine
+_ASCII_WB = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-"
+)
+
+
+def _is_wb(ch: str) -> bool:
+    """True if ch is in the [\\w-] boundary class (ASCII fast path)."""
+    if ch.isascii():
+        return ch in _ASCII_WB
+    return _WB_RE.match(ch) is not None
 
 
 def _top1(alias_rows) -> dict[str, tuple[str, str, str, float]]:
@@ -129,24 +139,36 @@ class AliasMatcher:
                     fail[v] = 0
                 dq.append(v)
         self._goto, self._fail, self._out = goto, fail, out
+        # lazily-built DFA transition cache: (node << 21 | ord(ch)) -> next
+        # node. Replaces the fail-link walk with one dict hit per character
+        # after warm-up; bounded by live states x alphabet actually seen.
+        self._trans: dict[int, int] = {}
 
     def _find_ac(self, text: str) -> list[tuple]:
         goto, fail, out = self._goto, self._fail, self._out
+        trans = self._trans
+        is_wb = _is_wb
         by_start: dict[int, int] = {}
         node = 0
         n = len(text)
         for i, ch in enumerate(text):
-            while node and ch not in goto[node]:
-                node = fail[node]
-            node = goto[node].get(ch, 0)
+            key = (node << 21) | ord(ch)
+            nxt = trans.get(key)
+            if nxt is None:
+                m = node
+                while m and ch not in goto[m]:
+                    m = fail[m]
+                nxt = goto[m].get(ch, 0)
+                trans[key] = nxt
+            node = nxt
             lens = out[node]
             if not lens:
                 continue
-            if i + 1 < n and _WB_RE.match(text[i + 1]):
+            if i + 1 < n and is_wb(text[i + 1]):
                 continue  # right boundary fails for every length ending at i
             for length in lens:
                 start = i - length + 1
-                if start > 0 and _WB_RE.match(text[start - 1]):
+                if start > 0 and is_wb(text[start - 1]):
                     continue  # left boundary
                 if length > by_start.get(start, 0):
                     by_start[start] = length

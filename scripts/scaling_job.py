@@ -21,7 +21,11 @@ from pyspark import StorageLevel  # noqa: E402
 from llm_text_to_knowledge_graph_spark import get_spark  # noqa: E402
 from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows  # noqa: E402
 from llm_text_to_knowledge_graph_spark.operators.fused import extract_triples_fused  # noqa: E402
-from llm_text_to_knowledge_graph_spark.operators.graph import build_edges, build_nodes  # noqa: E402
+from llm_text_to_knowledge_graph_spark.operators.graph import (  # noqa: E402
+    build_edges,
+    build_nodes,
+    nodes_from_edges,
+)
 
 
 def main() -> int:
@@ -53,17 +57,19 @@ def main() -> int:
         n_triples = extract_triples_fused(pages, alias_rows).count()
         best_fused = min(best_fused, time.monotonic() - t0)
 
-        # full job, hash-id scale path: edges are a join-free projection that
-        # fuses into the extraction stage; nodes are one distinct over the
-        # cached triples. This is the production (100TB) graph build.
+        # full job, hash-id scale path (production shape): ONE extraction
+        # pass writes the name-carrying edge table to parquet; the node
+        # table derives from the WRITTEN edges (nodes_from_edges) — no
+        # triples cache, no second extraction. The edge write is the
+        # checkpoint the north_rule requires anyway.
         t0 = time.monotonic()
-        triples = extract_triples_fused(pages, alias_rows).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        build_edges(triples, id_strategy="hash").count()
-        build_nodes(triples, id_strategy="hash").count()
+        triples = extract_triples_fused(pages, alias_rows)
+        edges = build_edges(triples, id_strategy="hash", carry_names=True)
+        edges.write.mode("overwrite").parquet("/tmp/kg_scaling_edges")
+        nodes_from_edges(
+            spark.read.parquet("/tmp/kg_scaling_edges")
+        ).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
         best_full = min(best_full, time.monotonic() - t0)
-        triples.unpersist()
 
         # full job, dense-id path (reference CX2 export shape) — kept
         # measured for honesty about the stage-latency floor it carries.

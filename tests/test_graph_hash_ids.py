@@ -150,3 +150,16 @@ def test_hash_seed_bump_changes_ids_preserves_topology(spark, triples):
     # deterministic: same seed, same ids
     again = {r.name: r.node_id for r in build_nodes(triples, id_strategy="hash", hash_seed=1).collect()}
     assert again == ids1
+
+
+def test_nodes_from_edges_matches_build_nodes(spark, triples):
+    from llm_text_to_knowledge_graph_spark.operators.graph import nodes_from_edges
+
+    he = build_edges(triples, id_strategy="hash", carry_names=True)
+    derived = sorted(map(tuple, nodes_from_edges(he).collect()))
+    direct = sorted(map(tuple, build_nodes(triples, id_strategy="hash").collect()))
+    assert derived == direct
+    # and carry_names adds exactly the two name columns
+    assert he.columns[-2:] == ["s_name", "t_name"]
+    base = build_edges(triples, id_strategy="hash")
+    assert base.columns == he.columns[:-2]
