@@ -172,17 +172,25 @@ def ivf_centroids(
 
 def _nearest_cells(vec_col, centroids: list[tuple[int, list[float]]], nprobe: int):
     """Array of the ``nprobe`` nearest centroid ids (cosine, id-asc ties) —
-    literal centroid arrays, so assignment is a map-only JVM projection."""
-    scored = [
-        F.struct(
-            F.round(
-                cosine_col(vec_col, F.array(*[F.lit(x) for x in cvec])), 9
-            ).alias("cos"),
-            F.lit(-cid).alias("neg_cid"),  # desc sort => cid ASC on ties
-        )
-        for cid, cvec in centroids
-    ]
-    ranked = F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe)
+    literal centroid arrays, so assignment is a map-only JVM projection.
+
+    The K cosines are computed by ONE ``transform`` over a literal
+    array<array<double>> rather than K unrolled fold expressions: the
+    lambda compiles once and loops, keeping codegen size (and compile
+    time) independent of K."""
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in centroids]
+    )
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    scored = F.transform(
+        cvecs,
+        lambda c, i: F.struct(
+            F.round(cosine_col(vec_col, c), 9).alias("cos"),
+            # desc sort => cid ASC on ties
+            (-F.element_at(cids, i + F.lit(1))).alias("neg_cid"),
+        ),
+    )
+    ranked = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
     return F.transform(ranked, lambda s: -s["neg_cid"])
 
 
