@@ -669,6 +669,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    # ---- iterative graph algorithm: connected components over the
+    # customer/supplier/nation star graph. The oracle recomputes components
+    # with a completely different algorithm (recursive-CTE transitive
+    # closure + min-reachable-id) — an independent check of the distributed
+    # min-label-propagation fixpoint.
+    def connected_components_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            connected_components,
+        )
+
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        s = _read(spark, sf, "supplier").select(
+            (F.col("s_suppkey").cast("long") + 1_000_000).alias("s"),
+            (F.col("s_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        comp = connected_components(c.unionByName(s))
+        return comp.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    q["connected_components_graph"] = connected_components_graph
+
+    # PageRank: deterministic fixed-iteration ranks over the same graph
+    # (rows-only driver check: float fold order differs engine-to-engine)
+    def pagerank_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import pagerank
+
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        pr = pagerank(c, iterations=5)
+        return pr.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+
+    q["pagerank_graph"] = pagerank_graph
+
     return q
 
 
@@ -902,6 +945,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "connected_components_graph": """
+            WITH RECURSIVE und AS (
+              SELECT CAST(c_custkey AS BIGINT) AS s,
+                     CAST(2000000 + c_nationkey AS BIGINT) AS t FROM customer
+              UNION ALL
+              SELECT CAST(1000000 + s_suppkey AS BIGINT),
+                     CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+              UNION ALL
+              SELECT CAST(2000000 + c_nationkey AS BIGINT),
+                     CAST(c_custkey AS BIGINT) FROM customer
+              UNION ALL
+              SELECT CAST(2000000 + s_nationkey AS BIGINT),
+                     CAST(1000000 + s_suppkey AS BIGINT) FROM supplier),
+            reach(node, r) AS (
+              SELECT DISTINCT s, s FROM und
+              UNION
+              SELECT u.s, reach.r FROM und u JOIN reach ON u.t = reach.node)
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CAST(MIN(r) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         "ivf_ann_topk": """
             WITH cents AS (

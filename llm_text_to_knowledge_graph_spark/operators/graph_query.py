@@ -98,3 +98,122 @@ def evidence_for_pair(
         ((edges.s == pair.id_a) & (edges.t == pair.id_b))
         | ((edges.s == pair.id_b) & (edges.t == pair.id_a)),
     ).select("interaction", "bel_expression", "evidence")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation:
+    every node's component id converges to the minimum node id reachable
+    from it. Returns (node_id, component).
+
+    Each iteration is one join + one map-side-combinable min aggregation;
+    convergence is checked with a cheap changed-count, and each round's
+    label table is ``localCheckpoint``ed: persist alone does NOT truncate
+    lineage, so without the checkpoint Catalyst re-analyzes an
+    exponentially nesting plan each round and the driver OOMs — the
+    standard pitfall of iterative DataFrame algorithms. Path compression
+    (label-of-label) makes rounds O(log diameter). At 100TB scale swap
+    localCheckpoint for reliable checkpointing to the cluster store.
+    """
+    und = undirected_edges(edges).distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over self and neighbor labels
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("node_id", "t")
+                     .withColumnRenamed("component", "n_comp"), "t")
+            .groupBy("s")
+            .agg(F.min("n_comp").alias("n_comp"))
+            .withColumnRenamed("s", "node_id")
+        )
+        prop = labels.join(neighbor_min, "node_id", "left").select(
+            "node_id",
+            F.least(
+                F.col("component"), F.coalesce("n_comp", F.col("component"))
+            ).alias("component"),
+        )
+        # path compression (label-of-label): follow each node's label one
+        # more step so long chains converge in O(log diameter) rounds
+        # instead of O(diameter)
+        redirect = prop.select(
+            F.col("node_id").alias("component"), F.col("component").alias("_root")
+        )
+        new_labels = (
+            prop.join(redirect, "component", "left")
+            .select(
+                "node_id",
+                F.coalesce("_root", F.col("component")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "node_id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank over the edge table (fixed iteration count — deterministic
+    output for a given input). Returns (node_id, rank); ranks sum to ~1.
+
+    Per iteration: one join of ranks to edges + one sum aggregation —
+    the canonical Pregel-as-DataFrame shape. Dangling mass (nodes with no
+    out-edges; impossible in undirected mode) is redistributed uniformly
+    so the distribution stays normalized.
+    """
+    g = undirected_edges(edges).distinct() if undirected else edges.select("s", "t").distinct()
+    g = g.localCheckpoint(eager=True)
+    out_deg = g.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        g.select(F.col("s").alias("node_id"))
+        .unionByName(g.select(F.col("t").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # lineage truncation per round (see connected_components docstring)
+    g_deg = g.join(out_deg, "s").localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            g_deg.join(
+                ranks.withColumnRenamed("node_id", "s"), "s"
+            )
+            .select(F.col("t").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if not undirected:
+            # redistribute dangling mass uniformly to keep sum(rank) = 1
+            s = new_ranks.agg(F.sum("rank")).first()[0]
+            new_ranks = new_ranks.withColumn(
+                "rank", F.col("rank") + F.lit((1.0 - s) / n)
+            )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks
