@@ -695,6 +695,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["connected_components_graph"] = connected_components_graph
 
+    # near-duplicate CLUSTERS: components over the Jaccard pair graph —
+    # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
+    # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
+    def dedup_clusters_q(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.dedup import dedup_clusters
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return dedup_clusters(docs, n=1, threshold=0.5).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+
+    q["dedup_clusters"] = dedup_clusters_q
+
     # PageRank: deterministic fixed-iteration ranks over the same graph
     # (rows-only driver check: float fold order differs engine-to-engine)
     def pagerank_graph(spark, sf):
@@ -945,6 +959,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE grams AS (
+              SELECT doc_id AS id,
+                     list_distinct(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS g
+              FROM documents WHERE doc_id < 300),
+            sized AS (SELECT id, g, len(g) AS n FROM grams),
+            inv AS (SELECT id, n, unnest(g) AS gram FROM sized),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+                     COUNT(*) AS common
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY 1,2,3,4),
+            sim AS (SELECT id_a, id_b FROM pairs
+                    WHERE common / (n_a + n_b - common) >= 0.5),
+            edges AS (SELECT id_a AS s, id_b AS t FROM sim
+                      UNION ALL SELECT id_b, id_a FROM sim),
+            reach(node, r) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.node),
+            comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            WHERE d.doc_id < 300
         """,
         "connected_components_graph": """
             WITH RECURSIVE und AS (

@@ -239,3 +239,40 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the n-gram-Jaccard
+    pair graph, one row per document with its cluster id (= min doc_id in
+    the cluster; singletons are their own cluster).
+
+    This is the operational dedup deliverable — "keep one doc per cluster"
+    is ``filter(doc_id == cluster)``. Pair generation is the inverted-index
+    join of ``ngram_jaccard_pairs`` (with its stop-gram cap at scale);
+    clustering is the O(log diameter) label propagation of
+    ``connected_components``, so transitive near-dup chains (A~B~C with
+    A!~C) land in ONE cluster — pairwise dedup alone would keep both ends.
+    """
+    from .graph_query import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_doc_freq=max_doc_freq,
+    )
+    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+    comp = connected_components(edges).withColumnRenamed("component", "cluster")
+    return (
+        docs.select(F.col(id_col).alias("node_id"))
+        .join(comp, "node_id", "left")
+        .select(
+            F.col("node_id").alias(id_col),
+            F.coalesce("cluster", F.col("node_id")).alias("cluster"),
+        )
+    )

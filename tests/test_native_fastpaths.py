@@ -111,3 +111,20 @@ def test_native_mention_counts_plan_is_jvm_only(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from llm_text_to_knowledge_graph_spark.operators.dedup import dedup_clusters
+
+    # A~B and B~C overlap heavily, A~C do not — pairwise dedup would keep
+    # both A and C; clustering must put all three together
+    rows = [
+        (1, "aa bb cc dd ee ff"),
+        (2, "aa bb cc dd xx yy"),   # ~ A
+        (3, "cc dd xx yy zz ww"),   # ~ B, not ~ A
+        (9, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster for r in dedup_clusters(docs, n=1, threshold=0.4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[9] == 9  # singleton keeps its own id
