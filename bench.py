@@ -106,6 +106,7 @@ def main() -> int:
         "ivf_ann_topk",
         "mention_counts",
         "mention_counts_native",
+        "connected_components_graph",
         "minhash_pairs",
         "simhash_pairs",
     ]
