@@ -109,11 +109,14 @@ NS_FUNC = {
 }
 
 
+_BARE_NAME_RE = re.compile(r"[\w\-]+")
+
+
 def make_term(db: str, entry_name: str, pmod: tuple[str, str | None, int | None] | None = None) -> str:
     """Render a BEL term, e.g. ``p(HGNC:AKT1)``, ``p(HGNC:X, pmod(Ph))``,
     or ``p(HGNC:HSF1, pmod(Ph, Thr, 142))``."""
     func = NS_FUNC.get(db, "a")
-    name = entry_name if re.fullmatch(r"[\w\-]+", entry_name) else f'"{entry_name}"'
+    name = entry_name if _BARE_NAME_RE.fullmatch(entry_name) else f'"{entry_name}"'
     if pmod is not None:
         mod_type, residue, position = pmod
         if residue is None:
