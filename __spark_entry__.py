@@ -709,6 +709,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters_q
 
+    # ---- as-of join (operator Spark lacks): for each 'view'/'click' event,
+    # the latest same-user 'purchase'-stream event at or before it. Our
+    # union + last(ignorenulls) window formulation vs DuckDB's NATIVE
+    # ASOF JOIN as the oracle.
+    def asof_events(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.timeseries import asof_join
+
+        ev = _read(spark, sf, "events")
+        left = ev.filter(F.col("event_type").isin("view", "click")).select(
+            F.col("event_id").cast("long").alias("event_id"), "user_id", "ts"
+        )
+        right = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").cast("long").alias("r_event_id"), "user_id", "ts", "value"
+        )
+        # unique per (user_id, ts): keep max event id (both engines agree)
+        w = Window.partitionBy("user_id", "ts").orderBy(F.desc("r_event_id"))
+        right = (
+            right.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out = asof_join(left, right, on="user_id", ts="ts",
+                        right_cols=["r_event_id", "value"])
+        return out.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_id",
+            F.col("right_r_event_id").cast("long").alias("matched_event_id"),
+            F.round("right_value", 6).alias("matched_value"),
+        )
+
+    q["asof_events"] = asof_events
+
     # PageRank: deterministic fixed-iteration ranks over the same graph
     # (rows-only driver check: float fold order differs engine-to-engine)
     def pagerank_graph(spark, sf):
@@ -959,6 +991,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "asof_events": """
+            WITH l AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts
+              FROM events WHERE event_type IN ('view', 'click')),
+            r0 AS (
+              SELECT CAST(event_id AS BIGINT) AS r_event_id, user_id, ts, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT r_event_id, user_id, ts, value FROM r0 WHERE rn = 1)
+            SELECT CAST(l.user_id AS BIGINT) AS user_id,
+                   l.event_id,
+                   CAST(r.r_event_id AS BIGINT) AS matched_event_id,
+                   ROUND(r.value, 6) AS matched_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "dedup_clusters": """
             WITH RECURSIVE grams AS (

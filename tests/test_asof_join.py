@@ -1,0 +1,59 @@
+"""as-of join: inclusive-tie semantics, tolerance, null misses, plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from llm_text_to_knowledge_graph_spark.operators.timeseries import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(5)), (2, "k", _ts(10)), (3, "k", _ts(2)), (4, "z", _ts(9))],
+        "id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(3), 30.0), ("k", _ts(10), 100.0), ("k", _ts(12), 120.0)],
+        "key string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _frames(spark)
+    got = {
+        r.id: (r.right_ts, r.right_v)
+        for r in asof_join(left, right, on="key", ts="ts", right_cols=["v"]).collect()
+    }
+    assert got[1] == (_ts(3), 30.0)      # latest at-or-before 00:05
+    assert got[2] == (_ts(10), 100.0)    # equal ts matches (inclusive)
+    assert got[3] == (None, None)        # nothing at-or-before 00:02
+    assert got[4] == (None, None)        # key with no right rows at all
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r.id: r.right_v
+        for r in asof_join(
+            left, right, on="key", ts="ts", right_cols=["v"], tolerance_seconds=60
+        ).collect()
+    }
+    assert got[1] is None  # match was 2 minutes stale
+    assert got[2] == 100.0  # zero staleness survives
+
+
+def test_asof_single_shuffle(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="key", ts="ts", right_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # the union window's key shuffle only
+    assert "Join" not in plan  # no join node at all — linear, no blowup
