@@ -741,6 +741,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_events"] = asof_events
 
+    # ---- range join (bin-bucketed): lineitem prices against +-10% bands
+    # around small-order totals — the inequality join as an equi-join
+    def range_join_prices(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.timeseries import range_join
+
+        li = _read(spark, sf, "lineitem").select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        o = _read(spark, sf, "orders").filter(F.col("o_orderkey") < 100).select(
+            F.col("o_orderkey").cast("long").alias("band_id"),
+            (F.col("o_totalprice") * 0.09).alias("lo"),
+            (F.col("o_totalprice") * 0.11).alias("hi"),
+        )
+        out = range_join(li, o, "price", "lo", "hi", bin_width=1000.0)
+        return out.groupBy("band_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_band"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+
+    q["range_join_prices"] = range_join_prices
+
     # PageRank: deterministic fixed-iteration ranks over the same graph
     # (rows-only driver check: float fold order differs engine-to-engine)
     def pagerank_graph(spark, sf):
@@ -991,6 +1014,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "range_join_prices": """
+            WITH bands AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS band_id,
+                     o_totalprice * 0.09 AS lo, o_totalprice * 0.11 AS hi
+              FROM orders WHERE o_orderkey < 100)
+            SELECT band_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_in_band,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN bands
+              ON l_extendedprice BETWEEN lo AND hi
+            GROUP BY band_id
         """,
         "asof_events": """
             WITH l AS (

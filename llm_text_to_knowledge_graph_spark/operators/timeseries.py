@@ -65,3 +65,43 @@ def asof_join(
     keep = [c for c in left.columns]
     renames = [F.col(f"_m_{c}").alias(f"right_{c}") for c in right_cols]
     return res.select(*keep, F.col("_m_ts").alias("right_ts"), *renames)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join (``lo <= p <= hi``) via bin bucketing.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin — O(N*M)
+    compares. Bucketing multiplies each interval into the bins it covers
+    and each point into its single bin, so the match becomes an EQUI-join
+    on bin (hash-partitionable, AQE-optimizable) followed by the exact
+    range filter. Cost: O(N + M * avg_span/bin_width + matches). Pick
+    ``bin_width`` near the median interval span; a point joins each
+    matching interval exactly once (its bin is listed once per interval),
+    so no post-dedup is needed.
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(float(bin_width))).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(float(bin_width))).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(float(bin_width))).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -57,3 +57,35 @@ def test_asof_single_shuffle(spark):
     )
     assert plan.count("Exchange") == 1  # the union window's key shuffle only
     assert "Join" not in plan  # no join node at all — linear, no blowup
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from llm_text_to_knowledge_graph_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 3 % 97)) for i in range(200)], "pid long, p double"
+    )
+    ivals = spark.createDataFrame(
+        [(j, float(j * 7 % 80), float(j * 7 % 80 + 10)) for j in range(40)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, ivals, "p", "lo", "hi", bin_width=8.0).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(ivals)
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(got) > 100
+
+    plan = (
+        range_join(points, ivals, "p", "lo", "hi", bin_width=8.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan  # the bin made the join an equi-join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
