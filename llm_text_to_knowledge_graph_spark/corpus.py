@@ -119,9 +119,9 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
         [
             "relation", "pmod", "single", "distractor", "noninteraction",
             "negation", "near_miss", "act_relation", "complex_relation",
-            "phospho_subj",
+            "phospho_subj", "passive_pmod",
         ],
-        p=[0.33, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05, 0.04, 0.04, 0.04],
+        p=[0.29, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05, 0.04, 0.04, 0.04, 0.04],
     )
     filler = _FILLERS[int(rng.randint(0, len(_FILLERS)))]
 
@@ -217,6 +217,22 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
         residue = PMOD_RESIDUES[int(rng.randint(0, len(PMOD_RESIDUES)))]
         pos = int(rng.randint(2, 999))
         text = f"{filler}{alias_of(a)} {verb} {alias_of(b)} at {residue} {pos}."
+        subj = make_term(a["ns"], a["entry_name"])
+        obj = make_term(b["ns"], b["entry_name"], pmod=(mod, residue, pos))
+        return {
+            "text": text,
+            "gold": (subj, rel, obj, f"{subj} {rel} {obj}"),
+        }
+
+    if kind == "passive_pmod":
+        # "B is phosphorylated by A at Ser 123." -> A rel p(B, pmod(...))
+        verb, rel, mod = PMOD_VERBS[int(rng.randint(0, len(PMOD_VERBS)))]
+        residue = PMOD_RESIDUES[int(rng.randint(0, len(PMOD_RESIDUES)))]
+        pos = int(rng.randint(2, 999))
+        text = (
+            f"{filler}{alias_of(b)} is {verb[:-1]}d by {alias_of(a)}"
+            f" at {residue} {pos}."
+        )
         subj = make_term(a["ns"], a["entry_name"])
         obj = make_term(b["ns"], b["entry_name"], pmod=(mod, residue, pos))
         return {

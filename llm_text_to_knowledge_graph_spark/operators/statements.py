@@ -38,6 +38,9 @@ import re
 
 _PHRASE_TO_REL = {p: r for p, r in RELATION_PHRASES}
 _PMOD_BY_VERB = {v: (rel, mod) for v, rel, mod in PMOD_VERBS}
+# passive voice reverses the roles: "B is phosphorylated by A" ->
+# A directlyIncreases p(B, pmod(Ph)); participle = verb stem + "d"
+_PASSIVE_PMOD = {f"is {v[:-1]}d by": (rel, mod) for v, rel, mod in PMOD_VERBS}
 _PMOD_SITE_RE = re.compile(
     rf"^\s*at\s+({'|'.join(PMOD_RESIDUES)})\s+(\d+)\b"
 )
@@ -98,6 +101,15 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             obj = make_term(right["db"], right["entry_name"], pmod=pmod)
             stmt = f"{subj} {rel} {obj}"
+        elif inter in _PASSIVE_PMOD:
+            # roles reversed: the agent is the RIGHT mention, the modified
+            # protein the LEFT one; the site phrase still follows the agent
+            rel, mod = _PASSIVE_PMOD[inter]
+            site = _PMOD_SITE_RE.match(sentence[right["end"] :])
+            pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
+            agent = make_term(right["db"], right["entry_name"])
+            target = make_term(left["db"], left["entry_name"], pmod=pmod)
+            stmt = f"{agent} {rel} {target}"
         elif inter in _PHRASE_TO_REL:
             rel = _PHRASE_TO_REL[inter]
             obj = make_term(right["db"], right["entry_name"])

@@ -103,3 +103,23 @@ def test_make_term():
         == "p(HGNC:HSF1, pmod(Ph, Thr, 142))"
     )
     assert make_term("CHEBI", "oxygen atom") == 'a(CHEBI:"oxygen atom")'
+
+
+def test_passive_pmod_extraction_reverses_roles():
+    from llm_text_to_knowledge_graph_spark.operators.statements import (
+        extract_from_sentence,
+    )
+
+    def ment(s, name):
+        i = s.index(name)
+        return {"begin": i, "end": i + len(name), "db": "HGNC", "entry_name": name}
+
+    s = "HSF1 is phosphorylated by AKT1 at Ser 326."
+    got = extract_from_sentence(s, [ment(s, "HSF1"), ment(s, "AKT1")])
+    assert got == [
+        ("p(HGNC:AKT1) directlyIncreases p(HGNC:HSF1, pmod(Ph, Ser, 326))", s)
+    ]
+    # without a site phrase the pmod keeps type only
+    s2 = "HSF1 is dephosphorylated by AKT1."
+    got2 = extract_from_sentence(s2, [ment(s2, "HSF1"), ment(s2, "AKT1")])
+    assert got2 == [("p(HGNC:AKT1) directlyDecreases p(HGNC:HSF1, pmod(Ph))", s2)]
