@@ -119,9 +119,9 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
         [
             "relation", "pmod", "single", "distractor", "noninteraction",
             "negation", "near_miss", "act_relation", "complex_relation",
-            "phospho_subj", "passive_pmod",
+            "phospho_subj", "passive_pmod", "nominal_relation",
         ],
-        p=[0.29, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05, 0.04, 0.04, 0.04, 0.04],
+        p=[0.25, 0.15, 0.1, 0.05, 0.1, 0.1, 0.05, 0.04, 0.04, 0.04, 0.04, 0.04],
     )
     filler = _FILLERS[int(rng.randint(0, len(_FILLERS)))]
 
@@ -223,6 +223,21 @@ def _gen_sentence(rng: np.random.RandomState, entities: list[dict]) -> dict:
             "text": text,
             "gold": (subj, rel, obj, f"{subj} {rel} {obj}"),
         }
+
+    if kind == "nominal_relation":
+        # "The activation of B by A was evident." -> A increases B
+        nominal, rel = [
+            ("activation of ", "increases"),
+            ("inhibition of ", "decreases"),
+            ("suppression of ", "decreases"),
+            ("induction of ", "increases"),
+        ][int(rng.randint(0, 4))]
+        text = (
+            f"{filler}The {nominal}{alias_of(b)} by {alias_of(a)} was evident."
+        )
+        subj = make_term(a["ns"], a["entry_name"])
+        obj = make_term(b["ns"], b["entry_name"])
+        return {"text": text, "gold": (subj, rel, obj, f"{subj} {rel} {obj}")}
 
     if kind == "passive_pmod":
         # "B is phosphorylated by A at Ser 123." -> A rel p(B, pmod(...))

@@ -46,6 +46,15 @@ _PMOD_SITE_RE = re.compile(
 )
 # "...The catalytic activity of <SUBJ> ..." -> act(subj)
 _ACTIVITY_PREFIX_RE = re.compile(r"\b[a-z]+ activity of $")
+# nominalization: "<nominal> of <TARGET> by <AGENT>" — the prefix before the
+# FIRST mention names the action, the inter text is just "by", and the roles
+# reverse (agent = second mention)
+_NOMINAL_PREFIX = {
+    "activation of ": "increases",
+    "inhibition of ": "decreases",
+    "suppression of ": "decreases",
+    "induction of ": "increases",
+}
 
 
 def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]]:
@@ -114,6 +123,13 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
             rel = _PHRASE_TO_REL[inter]
             obj = make_term(right["db"], right["entry_name"])
             stmt = f"{subj} {rel} {obj}"
+        elif inter == "by":
+            for nominal, rel in _NOMINAL_PREFIX.items():
+                if prefix.endswith(nominal):
+                    agent = make_term(right["db"], right["entry_name"])
+                    target = make_term(left["db"], left["entry_name"])
+                    stmt = f"{agent} {rel} {target}"
+                    break
         if stmt is not None and stmt not in seen:
             seen.add(stmt)
             out.append((stmt, sentence))

@@ -123,3 +123,20 @@ def test_passive_pmod_extraction_reverses_roles():
     s2 = "HSF1 is dephosphorylated by AKT1."
     got2 = extract_from_sentence(s2, [ment(s2, "HSF1"), ment(s2, "AKT1")])
     assert got2 == [("p(HGNC:AKT1) directlyDecreases p(HGNC:HSF1, pmod(Ph))", s2)]
+
+
+def test_nominalization_extraction_reverses_roles():
+    from llm_text_to_knowledge_graph_spark.operators.statements import (
+        extract_from_sentence,
+    )
+
+    def ment(s, name):
+        i = s.index(name)
+        return {"begin": i, "end": i + len(name), "db": "HGNC", "entry_name": name}
+
+    s = "The inhibition of MTOR by AKT1 was evident."
+    got = extract_from_sentence(s, [ment(s, "MTOR"), ment(s, "AKT1")])
+    assert got == [("p(HGNC:AKT1) decreases p(HGNC:MTOR)", s)]
+    # bare "by" without a known nominal prefix extracts nothing
+    s2 = "The observation of MTOR by AKT1 was evident."
+    assert extract_from_sentence(s2, [ment(s2, "MTOR"), ment(s2, "AKT1")]) == []
