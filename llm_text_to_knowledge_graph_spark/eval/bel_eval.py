@@ -61,6 +61,20 @@ _MOD_NORMALIZE = [
     (re.compile(r"methylation", re.I), "Me"),
     (re.compile(r"ubiquit(?:in|yl)ation", re.I), "Ub"),
     (re.compile(r"sumoylation", re.I), "Sumo"),
+    # BEL 1.0 legacy single-letter modification codes, as used by the
+    # reference's hand-curated gold (papers/pmid*.bel: pmod(P,Y,694)) —
+    # same normalization family as the GO-id mapping above (the reference's
+    # bel_parser.py mod_type mappings, :125-151).
+    (re.compile(r"pmod\(\s*P\s*([,)])"), r"pmod(Ph\1"),
+    (re.compile(r"pmod\(\s*A\s*([,)])"), r"pmod(Ac\1"),
+    (re.compile(r"pmod\(\s*M\s*([,)])"), r"pmod(Me\1"),
+    (re.compile(r"pmod\(\s*U\s*([,)])"), r"pmod(Ub\1"),
+    # one-letter amino-acid residue codes inside pmod(...) -> three-letter
+    (re.compile(r"(pmod\([A-Za-z]+,\s*)S(\s*[,)])"), r"\1Ser\2"),
+    (re.compile(r"(pmod\([A-Za-z]+,\s*)T(\s*[,)])"), r"\1Thr\2"),
+    (re.compile(r"(pmod\([A-Za-z]+,\s*)Y(\s*[,)])"), r"\1Tyr\2"),
+    (re.compile(r"(pmod\([A-Za-z]+,\s*)K(\s*[,)])"), r"\1Lys\2"),
+    (re.compile(r"(pmod\([A-Za-z]+,\s*)R(\s*[,)])"), r"\1Arg\2"),
 ]
 _INDRA_RE = re.compile(r"\b([A-Z][A-Z0-9]*):[\w\d]+ ! ([\w\d]+)")
 _ENTITY_RE = re.compile(r'\b([A-Z][A-Z0-9]+):([A-Za-z0-9_\-]+|"[^"]+")')

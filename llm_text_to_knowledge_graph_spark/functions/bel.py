@@ -106,21 +106,40 @@ NS_FUNC = {
     "DOID": "path",
     "EFO": "a",
     "HP": "path",
+    # namespaces used by the reference's hand-curated gold corpora
+    # (papers/pmid*.bel, results/pmid9813040/sentences_with_extractions.json)
+    "CHEBIID": "a",   # numeric ChEBI ids, e.g. a(CHEBIID:59826)
+    "SFAM": "p",      # Selventa protein families, e.g. p(SFAM:"STAT5 Family")
+    "MESHPP": "bp",   # MeSH biological processes
+    "MESHCS": "a",    # MeSH cellular structures (tloc endpoints)
+    "MESHD": "path",  # MeSH diseases
 }
 
 
 _BARE_NAME_RE = re.compile(r"[\w\-]+")
 
 
-def make_term(db: str, entry_name: str, pmod: tuple[str, str | None, int | None] | None = None) -> str:
+def make_term(
+    db: str,
+    entry_name: str,
+    pmod: tuple[str, str | None, int | None] | None = None,
+    func: str | None = None,
+) -> str:
     """Render a BEL term, e.g. ``p(HGNC:AKT1)``, ``p(HGNC:X, pmod(Ph))``,
-    or ``p(HGNC:HSF1, pmod(Ph, Thr, 142))``."""
-    func = NS_FUNC.get(db, "a")
+    or ``p(HGNC:HSF1, pmod(Ph, Thr, 142))``.
+
+    ``func`` overrides the namespace-derived BEL function — e.g. ``r`` for
+    RNA when the mention is a promoter/message/transcript context.
+    """
+    if func is None:
+        func = NS_FUNC.get(db, "a")
     name = entry_name if _BARE_NAME_RE.fullmatch(entry_name) else f'"{entry_name}"'
     if pmod is not None:
         mod_type, residue, position = pmod
         if residue is None:
             return f"{func}({db}:{name}, pmod({mod_type}))"
+        if position is None:
+            return f"{func}({db}:{name}, pmod({mod_type}, {residue}))"
         return f"{func}({db}:{name}, pmod({mod_type}, {residue}, {position}))"
     return f"{func}({db}:{name})"
 

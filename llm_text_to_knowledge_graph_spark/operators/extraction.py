@@ -1,0 +1,987 @@
+"""Extended deterministic open-IE pattern engine (block/paragraph level).
+
+This is the round-2 widening of C2 (SURVEY.md §2.3): the round-1 extractor
+(`statements.extract_from_sentence`) matches exact inter-mention phrases —
+enough for the closed-world synthetic corpus, but real biomedical prose uses
+coordination, passives with displaced agents, nominalizations, composite
+(synergy) constructions, and anaphoric continuations. The behavior spec for
+these patterns is the reference's REAL per-sentence gold
+(/root/reference/results/pmid9813040/sentences_with_extractions.json and
+papers/pmid*.bel): every pattern family below is an honest general English
+construction observed there, not a memorized sentence.
+
+Pattern families
+----------------
+  coordination        "A, B and C are required for D"      -> one stmt per member
+  active + filler     "X treatment induces translocation of Y into the nucleus"
+  passive + agent     "Y isoform is up-regulated 4.5-fold by X"   (roles reversed)
+  agentless passive   "..., Y is slightly down-regulated"  (agent carried over)
+  nominal prefix      "induction of Y message ... following X treatment"
+  nominal postfix     "Y phosphorylation by X"             (+ pmod)
+  requires-composite  "Y phosphorylation by X requires Z"  -> composite(X, Z)
+  synergize           "A and B synergize to control transcription from C and D"
+  ability-composite   "X enhances the ability of Y to stimulate ... Z"
+  fold-continuation   "induced 4.5-fold by A, 2.4-fold by B"
+  both-hormones       "... and 13-fold by both hormones together" -> composite
+  cnc                 "Y alone has minimal to no significant effect on Z"
+  cnc+pretreatment    cnc(Y, Z) then "after X pretreatment, induction of Z"
+                      -> composite(Y, X) increases Z (synergy reading)
+  phospho-IP          "T is immunoprecipitated with the anti-phosphotyrosine
+                      antibody ... following X" -> X increases p(T, pmod(Ph, Tyr))
+  mediated-through    "effects of X mediated through Y"
+  known-to-be-regulated  "genes known to be X regulated, A or B"
+  group association   "A and B are associated"
+
+All functions are pure (no Spark imports in the hot path) so the engine runs
+inside Arrow-batched pandas UDFs on any partitioning. Statements are deduped
+per block by semantic signature (subject entity, relation, object entity,
+object-localization wrapper, pmods) so surface-variant patterns that express
+the same fact emit once.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+import pandas as pd
+
+from ..functions.bel import NS_FUNC, make_term
+from .statements import extract_from_sentence
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_PAREN_RE = re.compile(r"\([^)]*\)")
+_TOKEN_SPLIT_RE = re.compile(r"[\s,;:]+")
+# negation cues anywhere in the inter-mention text kill the pair —
+# "not only" is additive, not negative (prompt rule 4 generalized)
+_NEG_RE = re.compile(
+    r"\b(?:not(?!\s+only)|no|neither|nor|without|absence|unable|fail(?:s|ed)?|"
+    r"cannot|lack(?:s|ed|ing)?)\b",
+    re.I,
+)
+_NUM_RE = re.compile(r"^[\d.,–—-]+(?:-?fold)?$")
+
+# ---------------------------------------------------------------------------
+# vocabulary
+# ---------------------------------------------------------------------------
+
+_ACT_UP = {
+    "induces", "induced", "induce", "enhances", "enhanced", "enhance",
+    "promotes", "promoted", "promote", "stimulates", "stimulated", "stimulate",
+    "increases", "increased", "increase", "elevates", "elevated", "elevate",
+    "activates", "activated", "activate", "upregulates", "upregulated",
+    "up-regulates", "up-regulated", "produces", "produced", "triggers",
+    "triggered", "potentiates", "potentiated", "augments", "augmented",
+}
+_ACT_DOWN = {
+    "inhibits", "inhibited", "inhibit", "suppresses", "suppressed", "suppress",
+    "decreases", "decreased", "reduces", "reduced", "reduce", "downregulates",
+    "downregulated", "down-regulates", "down-regulated", "represses",
+    "repressed", "impairs", "impaired", "blocks", "blocked", "abolishes",
+    "abolished", "attenuates", "attenuated",
+}
+_ACT_REG = {"regulates", "modulates", "controls"}
+
+_PASSIVE_UP = {
+    "up-regulated", "upregulated", "induced", "elevated", "increased",
+    "enhanced", "stimulated", "activated", "promoted", "potentiated",
+}
+_PASSIVE_DOWN = {
+    "down-regulated", "downregulated", "suppressed", "inhibited", "reduced",
+    "decreased", "repressed", "impaired", "attenuated",
+}
+_PASSIVE_REG = {"regulated", "modulated", "controlled"}
+
+_NOMINAL_UP = {"induction", "activation", "up-regulation", "upregulation",
+               "stimulation", "increase", "elevation", "enhancement"}
+_NOMINAL_DOWN = {"inhibition", "suppression", "down-regulation",
+                 "downregulation", "decrease", "reduction", "repression"}
+# nominals that imply a modification on the target
+_NOMINAL_PMOD = {
+    "phosphorylation": ("directlyIncreases", "Ph"),
+    "dephosphorylation": ("directlyDecreases", "Ph"),
+    "acetylation": ("directlyIncreases", "Ac"),
+    "methylation": ("directlyIncreases", "Me"),
+    "ubiquitination": ("directlyIncreases", "Ub"),
+    "sumoylation": ("directlyIncreases", "Sumo"),
+}
+
+# leading filler before an active verb in the inter text
+_ACT_LEAD = {
+    "treatment", "pretreatment", "not", "only", "also", "but", "further",
+    "then", "thus", "to", "alone", "together", "which", "that", "levels",
+    "level", "subsequently", "similarly",
+}
+# filler between an active verb and the object mention
+_ACT_TRAIL = {
+    "the", "a", "an", "total", "extensive", "its", "their", "nuclear",
+    "translocation", "of", "portion", "levels", "level", "expression",
+    "transcription", "transcriptional", "activity", "from", "promoter",
+    "promoters", "amount", "amounts", "endogenous", "corresponding",
+    "significant", "message", "mrna", "phosphorylation", "accumulation",
+}
+# noun-head filler between the target mention and the passive copula
+_PASSIVE_LEAD = {
+    "isoform", "isoforms", "protein", "proteins", "levels", "level",
+    "promoter", "promoters", "message", "expression", "gene", "genes",
+    "mrna", "activity", "also", "abundance", "when", "if", "transcript",
+    "transcripts",
+}
+# filler allowed between the passive verb and the final agent marker
+_PASSIVE_MID = {
+    "by", "of", "h", "min", "and", "remained", "elevated", "until", "to",
+    "the", "as", "efficiently", "with", "treatment", "pretreatment", "lane",
+    "lanes", "fig", "figs", "only", "antibody", "antibodies",
+    "anti-phosphotyrosine", "immunoprecipitates", "at",
+}
+_NOMINAL_MID = {
+    "message", "mrna", "at", "and", "h", "min", "levels", "level",
+    "expression", "protein", "transcript",
+}
+_AGENT_MARKERS = {"by", "after", "following", "upon"}
+
+_SITE_RE = re.compile(
+    r"^[\s]*(?:on|at)\s+"
+    r"(serine|threonine|tyrosine|lysine|arginine|Ser|Thr|Tyr|Lys|Arg)\s*(\d+)",
+    re.I,
+)
+_RESIDUE_3 = {
+    "serine": "Ser", "threonine": "Thr", "tyrosine": "Tyr",
+    "lysine": "Lys", "arginine": "Arg",
+    "ser": "Ser", "thr": "Thr", "tyr": "Tyr", "lys": "Lys", "arg": "Arg",
+}
+
+_RNA_AFTER_RE = re.compile(
+    r"^[\s\-]*(?:luciferase\s+)?(?:promoter|message|mrna|transcript)", re.I
+)
+_RNA_BEFORE_RE = re.compile(r"transcription\s+from\s+(?:the\s+)?$", re.I)
+_TLOC_AFTER_RE = re.compile(r"^\s+into\s+the\s+nucleus", re.I)
+_BOTH_TOGETHER_RE = re.compile(
+    r"\b(?:by\s+)?both\s+(?:hormones|agents|treatments|factors)\b"
+    r"|\btogether[\s,]+the\s+two\b|\bthe\s+two\s+hormones\b",
+    re.I,
+)
+_CNC_RE = re.compile(
+    r"^(?:alone\s+)?ha[sd]\s+(?:minimal(?:\s+to\s+no)?|no|little)\s+"
+    r"(?:significant\s+)?effect\s+on(?:\s+(?:the|a|an))?$"
+)
+# anaphoric plural subject: "These two proteins are up-regulated during X"
+# -> X positiveCorrelation <each of the last N protein mentions>
+_ANAPHOR_DURING_RE = re.compile(
+    r"(?:these|those|both)\s+(two|three|four)?\s*"
+    r"(?:proteins|genes|factors|kinases)\s+(?:are|were)\s+(?:also\s+)?"
+    r"(up-?regulated|induced|elevated|increased|down-?regulated|suppressed|"
+    r"reduced)\s+during\s+(?:the\s+)?$",
+    re.I,
+)
+_N_WORD = {"two": 2, "three": 3, "four": 4}
+_PROTEIN_NS = {"HGNC", "SFAM", "UNIPROT", "FPLX"}
+_PRETREAT_PREFIX_RE = re.compile(r"(?:after|following|upon)\s+$", re.I)
+_NOMINAL_PREFIX_RE = re.compile(
+    r"([a-z\-]+)\s+of\s+(?:the\s+)?$"
+)
+_KNOWN_TO_BE_RE = re.compile(r"known\s+to\s+be\s+$", re.I)
+_MEDIATED_RE = re.compile(
+    r"^(?:\w+\s+){0,4}?[‐-]?\s*mediated\s+(?:through|by|via)$"
+)
+_FOLD_CONT_RE = re.compile(
+    r"^(?:and\s+)?[\d.,–—-]+\s*-?fold\s+by$"
+)
+
+
+def _tokens(s: str) -> list[str]:
+    """Lowercased tokens with parenthesized asides removed."""
+    s = _PAREN_RE.sub(" ", s)
+    return [t for t in _TOKEN_SPLIT_RE.split(s.strip()) if t]
+
+
+def _is_num(tok: str) -> bool:
+    return bool(_NUM_RE.match(tok)) or tok in {"fold", "nm", "h", "min"}
+
+
+# ---------------------------------------------------------------------------
+# mention pre-processing
+# ---------------------------------------------------------------------------
+
+
+def _merge_abbrev(ms: list[dict], text: str) -> list[dict]:
+    """Merge "Long Name (ABBR)" pairs that ground to the same entity into a
+    single logical mention spanning both (Gilda-style span coalescing)."""
+    out: list[dict] = []
+    i = 0
+    while i < len(ms):
+        m = dict(ms[i])
+        if (
+            i + 1 < len(ms)
+            and ms[i + 1]["db"] == m["db"]
+            and ms[i + 1]["id"] == m["id"]
+            and re.fullmatch(r"\s*\(\s*", text[m["end"]: ms[i + 1]["begin"]])
+        ):
+            end = ms[i + 1]["end"]
+            if end < len(text) and text[end] == ")":
+                end += 1
+            m["end"] = end
+            i += 2
+        else:
+            i += 1
+        out.append(m)
+    return out
+
+
+def _is_coord_sep(sep: str) -> bool:
+    """True when the text between two mentions reads as list coordination:
+    pure punctuation, or an and/or with at most 3 non-verbish filler tokens
+    (parenthesized asides like "(92 kDa)" or "(30,38)" are ignored)."""
+    stripped = _PAREN_RE.sub(" ", sep)
+    letters = re.sub(r"[^A-Za-z\- ]+", " ", stripped).strip().lower()
+    if not letters:
+        return True  # appositive / list comma
+    toks = letters.split()
+    if toks[0] in ("and", "or"):
+        toks = toks[1:]
+    elif "and" not in toks and "or" not in toks:
+        return False
+    else:
+        # and/or present but not leading: "x and y" fillers both sides
+        toks = [t for t in toks if t not in ("and", "or")]
+    if len(toks) > 3:
+        return False
+    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
+    return all(t not in verbish for t in toks)
+
+
+def _coord_group(ms: list[dict], idx: int, text: str, direction: int) -> list[int]:
+    """Indices of the coordination run containing ``ms[idx]``, walking
+    ``direction`` = -1 (collect members left of idx) or +1 (right)."""
+    group = [idx]
+    j = idx
+    while 0 <= j + direction < len(ms):
+        a, b = (j + direction, j) if direction < 0 else (j, j + direction)
+        sep = text[ms[a]["end"]: ms[b]["begin"]]
+        if not _is_coord_sep(sep):
+            break
+        j += direction
+        group.append(j)
+    group.sort()
+    return group
+
+
+# ---------------------------------------------------------------------------
+# term rendering
+# ---------------------------------------------------------------------------
+
+
+def _term_func(m: dict, text: str) -> str | None:
+    """``r`` when the mention is a promoter/message/transcript context."""
+    after = text[m["end"]:]
+    before = text[: m["begin"]]
+    if NS_FUNC.get(m["db"], "a") == "p" and (
+        _RNA_AFTER_RE.match(after) or _RNA_BEFORE_RE.search(before)
+    ):
+        return "r"
+    return None
+
+
+def _render(m: dict, text: str, pmod=None, wrap: str | None = None) -> str:
+    t = make_term(m["db"], m["entry_name"], pmod=pmod, func=_term_func(m, text))
+    if wrap == "tloc":
+        return f'tloc({t},MESHCS:Cytoplasm,MESHCS:"Cell Nucleus")'
+    if wrap in ("act", "tscript"):
+        return f"{wrap}({t})"
+    return t
+
+
+def _sig(subj_m, rel, obj_m, wrap, subj_pmod, obj_pmod, tag: str = ""):
+    """Semantic signature for per-block dedup. The tloc wrapper is part of
+    the signature (localization is a distinct fact); act/tscript/plain are
+    surface variants of the same fact and collapse together. ``tag`` marks
+    composite-subject statements as distinct from their plain-subject
+    counterparts (a synergy fact is not the single-agent fact)."""
+    return (
+        f"{subj_m['db']}:{subj_m['id']}",
+        rel,
+        f"{obj_m['db']}:{obj_m['id']}",
+        "tloc" if wrap == "tloc" else "",
+        subj_pmod,
+        obj_pmod,
+        tag,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern matchers over the inter-mention text
+# ---------------------------------------------------------------------------
+
+
+def _match_active(inter: str):
+    """-> (rel, trailing_tokens) or None. Forward direction (left = agent).
+    A "directly" adverb immediately before the verb upgrades the relation
+    (prompt relation table: directlyIncreases/directlyDecreases)."""
+    toks = _tokens(inter.lower())
+    if not toks:
+        return None
+    i = 0
+    directly = False
+    while i < len(toks) and (toks[i] in _ACT_LEAD or toks[i].endswith("ly")):
+        directly = toks[i] == "directly"
+        i += 1
+    if i >= len(toks):
+        return None
+    v = toks[i]
+    if v in _ACT_UP:
+        rel = "directlyIncreases" if directly else "increases"
+    elif v in _ACT_DOWN:
+        rel = "directlyDecreases" if directly else "decreases"
+    elif v in _ACT_REG:
+        rel = "regulates"
+    else:
+        return None
+    trail = toks[i + 1:]
+    for t in trail:
+        if t not in _ACT_TRAIL and not _is_num(t):
+            return None
+    return rel, trail
+
+
+def _match_passive(inter: str):
+    """-> (rel, marker, pmod) or None. Reversed (right = agent, left = target).
+    pmod is set for the phospho-IP idiom."""
+    toks = _tokens(inter.lower())
+    if not toks or toks[0] in {"on", "at", "in"}:  # site context guard
+        return None
+    i = 0
+    while i < len(toks) and toks[i] in _PASSIVE_LEAD:
+        i += 1
+    if toks[i: i + 3] == ["known", "to", "be"]:
+        i += 3
+    elif i < len(toks) and toks[i] in {
+        "is", "are", "was", "were", "remains", "remained", "becomes", "became",
+    }:
+        i += 1
+    else:
+        return None
+    while i < len(toks) and (toks[i].endswith("ly") or toks[i] == "also"):
+        i += 1
+    if i >= len(toks):
+        return None
+    v = toks[i]
+    pmod = None
+    if v in _PASSIVE_UP:
+        rel = "increases"
+    elif v in _PASSIVE_DOWN:
+        rel = "decreases"
+    elif v in _PASSIVE_REG:
+        rel = "regulates"
+    elif v == "phosphorylated":
+        rel, pmod = "directlyIncreases", ("Ph", None, None)
+    elif v == "immunoprecipitated":
+        # "T is immunoprecipitated with the anti-phosphotyrosine antibody
+        # ... following X" == X increases p(T, pmod(Ph, Tyr))
+        if "anti-phosphotyrosine" not in toks[i:]:
+            return None
+        rel, pmod = "increases", ("Ph", "Tyr", None)
+    else:
+        return None
+    rest = toks[i + 1:]
+    # strip trailing "<n> h of"-style qualifiers after the marker
+    while rest and (rest[-1] in {"of", "h", "min", "treatment", "pretreatment"}
+                    or _is_num(rest[-1])):
+        rest.pop()
+    if not rest or rest[-1] not in _AGENT_MARKERS:
+        return None
+    for t in rest[:-1]:
+        if t not in _PASSIVE_MID and not _is_num(t):
+            return None
+    return rel, rest[-1], pmod
+
+
+def _match_agentless_passive(tail: str):
+    """Trailing text after a mention with no following agent: ", Y is
+    slightly down-regulated." -> rel, for carryover-agent attachment."""
+    m = re.match(
+        r"^\s*(?:is|are|was|were)\s+(?:\w+ly\s+)?([a-z\-]+)[\s.,;]*$",
+        tail.strip() if len(tail) < 80 else tail[:80],
+    )
+    if not m:
+        return None
+    v = m.group(1)
+    if v in _PASSIVE_UP:
+        return "increases"
+    if v in _PASSIVE_DOWN:
+        return "decreases"
+    return None
+
+
+def _match_required_for(inter: str):
+    """"A is/are required for ... D" -> A increases D."""
+    toks = _tokens(inter.lower())
+    if len(toks) < 3 or toks[0] not in {"is", "are", "was", "were"}:
+        return None
+    if toks[1] != "required" or toks[2] != "for":
+        return None
+    trail = toks[3:]
+    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG
+    if len(trail) > 6 or any(t in verbish for t in trail):
+        return None
+    return "increases"
+
+
+def _match_synergize(inter: str):
+    toks = _tokens(inter.lower())
+    if not toks or toks[0] not in {"synergize", "synergizes", "synergized"}:
+        return None
+    trail = toks[1:]
+    allowed = {"to", "control", "drive", "induce", "activate", "enhance",
+               "transcription", "expression", "from", "the", "of"}
+    if len(trail) > 5 or any(t not in allowed for t in trail):
+        return None
+    return "increases"
+
+
+def _match_pretreat_nominal(inter: str):
+    """"... after X pretreatment, a 6-fold induction of (the) Z" with the
+    agent BEFORE the nominal -> X rel Z."""
+    toks = _tokens(inter.lower())
+    if not toks or toks[0] not in {"treatment", "pretreatment"}:
+        return None
+    i = 1
+    while i < len(toks) and (toks[i] in {"a", "an", "the"} or _is_num(toks[i])):
+        i += 1
+    if i >= len(toks):
+        return None
+    v = toks[i]
+    if v in _NOMINAL_UP:
+        rel = "increases"
+    elif v in _NOMINAL_DOWN:
+        rel = "decreases"
+    else:
+        return None
+    trail = toks[i + 1:]
+    if not trail or trail[0] != "of":
+        return None
+    if any(t not in {"of", "the", "a", "an"} for t in trail):
+        return None
+    return rel
+
+
+# ---------------------------------------------------------------------------
+# block state for cross-clause carryover
+# ---------------------------------------------------------------------------
+
+
+class _BlockState:
+    __slots__ = ("target", "target_sig", "rel", "agents", "agent_sigs",
+                 "last_subject", "last_subject_m", "cnc", "protein_history",
+                 "last_idx", "last_object_m", "last_rel")
+
+    def __init__(self):
+        self.target = None          # rendered target term of the last passive
+        self.target_sig = None      # its mention dict
+        self.rel = None
+        self.agents = []            # rendered agent terms, in occurrence order
+        self.agent_sigs = []        # their mention dicts
+        self.last_subject = None    # rendered subject of the last statement
+        self.last_subject_m = None
+        self.cnc = {}               # obj "db:id" -> (subj term, subj mention, stmt idx)
+        self.protein_history = []   # protein-ns mentions of PRIOR sentences
+        self.last_idx = None        # index in `out` of the last statement
+        self.last_object_m = None   # its object mention
+        self.last_rel = None
+
+
+# ---------------------------------------------------------------------------
+# the block engine
+# ---------------------------------------------------------------------------
+
+
+def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
+    """Extract BEL statements from a multi-sentence text block.
+
+    ``mentions``: dict-like rows with begin/end/db/id/entry_name over the
+    FULL block text. Returns [(bel_statement, evidence=block)] deduped by
+    semantic signature. Superset of ``extract_from_sentence`` (which is run
+    per contained sentence first).
+    """
+    if mentions is None or len(mentions) == 0:
+        return []
+    ms_all = sorted(
+        (dict(m) for m in mentions),
+        key=lambda m: (m["begin"], -(m["end"] - m["begin"])),
+    )
+    ms_all = _merge_abbrev(ms_all, text)
+
+    # sentence spans
+    spans: list[tuple[int, int]] = []
+    start = 0
+    for m in _SENT_SPLIT_RE.finditer(text):
+        spans.append((start, m.start()))
+        start = m.end()
+    spans.append((start, len(text)))
+
+    state = _BlockState()
+    out: list[tuple[str, str] | None] = []
+    seen_sigs: set = set()
+    seen_stmts: set = set()
+
+    def emit(stmt: str, sig=None) -> int | None:
+        if stmt in seen_stmts or (sig is not None and sig in seen_sigs):
+            return None
+        seen_stmts.add(stmt)
+        if sig is not None:
+            seen_sigs.add(sig)
+        out.append((stmt, text))
+        return len(out) - 1
+
+    def emit_pair(subj_m, rel, obj_m, wrap=None, subj_pmod=None, obj_pmod=None,
+                  subj_override: str | None = None):
+        if subj_override is None and subj_pmod is None:
+            # subject-context cues before the subject mention (same cues as
+            # the base engine: "Phosphorylated X ...", "the ... activity of X")
+            prefix = text[: subj_m["begin"]]
+            if prefix.endswith("Phosphorylated "):
+                subj_pmod = ("Ph", None, None)
+            elif re.search(r"\b[a-z]+ activity of $", prefix):
+                subj_override = f"act({_render(subj_m, text)})"
+        if subj_pmod is not None and subj_override is None:
+            subj_override = make_term(
+                subj_m["db"], subj_m["entry_name"], pmod=subj_pmod,
+                func=_term_func(subj_m, text),
+            )
+        subj = subj_override or _render(subj_m, text)
+        obj = _render(obj_m, text, pmod=obj_pmod, wrap=wrap)
+        sig = _sig(subj_m, rel, obj_m, wrap,
+                   subj_pmod and subj_pmod[0], obj_pmod and obj_pmod[0],
+                   tag="composite" if subj.startswith("composite(") else "")
+        idx = emit(f"{subj} {rel} {obj}", sig)
+        if idx is not None:
+            state.last_subject = subj
+            state.last_subject_m = subj_m
+            state.last_idx = idx
+            state.last_object_m = obj_m
+            state.last_rel = rel
+        return idx
+
+    for s_begin, s_end in spans:
+        sent = text[s_begin:s_end]
+        ms = [m for m in ms_all if m["begin"] >= s_begin and m["end"] <= s_end]
+
+        # ---- base (round-1) exact-phrase engine on the sentence slice ----
+        local = [
+            {**m, "begin": m["begin"] - s_begin, "end": m["end"] - s_begin}
+            for m in ms
+        ]
+        for stmt, _ev in extract_from_sentence(sent, local):
+            emit(stmt)
+
+        # pre-scan: "X enhances the ability of Y to ..." composite subjects
+        ability_subject: dict[int, tuple[dict, str]] = {}
+        for k in range(len(ms) - 1):
+            inter_k = text[ms[k]["end"]: ms[k + 1]["begin"]].strip().lower()
+            if re.fullmatch(
+                r"(?:pre)?treatment\s+(?:of\s+(?:\w+\s+){0,3})?"
+                r"enhance[sd]?\s+the\s+ability\s+of", inter_k,
+            ) or re.fullmatch(r"enhance[sd]?\s+the\s+ability\s+of", inter_k):
+                comp = (
+                    f"composite({_render(ms[k], text)},"
+                    f"{_render(ms[k + 1], text)})"
+                )
+                ability_subject[k + 1] = (ms[k], comp)
+
+        pending_requires: tuple[int, int] | None = None  # (stmt idx, agent ms-idx)
+
+        for i in range(len(ms) - 1):
+            left, right = ms[i], ms[i + 1]
+            inter = text[left["end"]: right["begin"]].strip()
+            after_right = text[right["end"]: s_end]
+            same_entity = (left["db"], left["id"]) == (right["db"], right["id"])
+
+            # coordination context
+            lgroup = _coord_group(ms, i, text, -1)
+            rgroup = _coord_group(ms, i + 1, text, +1)
+            l_members = [ms[j] for j in lgroup]
+            r_members = [ms[j] for j in rgroup]
+
+            low_inter = inter.lower()
+
+            # ---- promoter object-redirect: "<stmt obj M> on a Z promoter" -
+            # the real target of the statement is the promoter's gene (as
+            # RNA), not the transcription factor M
+            if (
+                state.last_idx is not None
+                and out[state.last_idx] is not None
+                and state.last_object_m is left
+                and re.fullmatch(r"on\s+(?:a|an|the)?", low_inter)
+                and _RNA_AFTER_RE.match(after_right)
+            ):
+                stmt, ev = out[state.last_idx]
+                new_obj = _render(right, text)
+                head = f"{state.last_subject} {state.last_rel} "
+                if stmt.startswith(head):
+                    out[state.last_idx] = (head + new_obj, ev)
+                    state.last_object_m = right
+                continue
+
+            # ---- cnc (checked before the negation guard: "no effect on") --
+            if _CNC_RE.fullmatch(" ".join(_tokens(low_inter))):
+                idx = emit_pair(left, "causesNoChange", right)
+                if idx is not None:
+                    state.cnc[f"{right['db']}:{right['id']}"] = (
+                        _render(left, text), left, idx,
+                    )
+                continue
+
+            # ---- requires-composite: rewrite the last statement's subject --
+            if low_inter == "requires" or re.fullmatch(
+                r"requires\s+(?:the\s+presence\s+of)?", low_inter
+            ):
+                if (
+                    out
+                    and state.last_subject_m is left
+                    and out[-1] is not None
+                ):
+                    stmt, ev = out[-1]
+                    old_subj = state.last_subject
+                    comp = f"composite({old_subj},{_render(right, text)})"
+                    if stmt.startswith(old_subj + " "):
+                        out[-1] = (comp + stmt[len(old_subj):], ev)
+                continue
+
+            if _NEG_RE.search(inter):
+                continue
+
+            # ---- fold-continuation: ", 2.4-fold by B" --------------------
+            if _FOLD_CONT_RE.fullmatch(" ".join(_tokens(low_inter))):
+                if state.target is not None:
+                    subj = _render(right, text)
+                    emit(f"{subj} {state.rel} {state.target}",
+                         _sig(right, state.rel, state.target_sig, None,
+                              None, None))
+                    if right not in state.agent_sigs:
+                        state.agents.append(subj)
+                        state.agent_sigs.append(right)
+                continue
+
+            # ---- synergize composite -------------------------------------
+            syn = _match_synergize(low_inter)
+            if syn is not None and len(l_members) >= 2:
+                comp = "composite(" + ",".join(
+                    _render(m, text) for m in l_members
+                ) + ")"
+                for obj_m in r_members:
+                    emit(f"{comp} {syn} {_render(obj_m, text)}",
+                         _sig(l_members[0], syn, obj_m, None, None, None,
+                              tag="composite"))
+                continue
+
+            # ---- mediated-through ----------------------------------------
+            if _MEDIATED_RE.fullmatch(low_inter):
+                wrap = (
+                    "tscript"
+                    if re.search(r"transcription(?:al)?\s+effects\s+of\s+\S*\s*$",
+                                 text[: left["begin"]].lower())
+                    else "act"
+                )
+                emit_pair(left, "increases", right, wrap=wrap)
+                continue
+
+            # ---- required-for --------------------------------------------
+            req = _match_required_for(low_inter)
+            if req is not None:
+                for subj_m in l_members:
+                    for obj_m in r_members:
+                        emit_pair(subj_m, req, obj_m)
+                continue
+
+            # ---- known-to-be-<A>-regulated appositive --------------------
+            if (
+                " ".join(_tokens(low_inter)) in {"regulated", "regulated,"}
+                and _KNOWN_TO_BE_RE.search(text[: left["begin"]])
+            ):
+                for obj_m in r_members:
+                    emit_pair(left, "regulates", obj_m)
+                continue
+
+            # ---- pretreatment nominal (agent before nominal) -------------
+            pn = _match_pretreat_nominal(low_inter)
+            if pn is not None and _PRETREAT_PREFIX_RE.search(
+                text[: left["begin"]]
+            ):
+                cnc_hit = state.cnc.get(f"{right['db']}:{right['id']}")
+                if cnc_hit is not None:
+                    # synergy reading: "Y alone has no effect; after X
+                    # pretreatment Z is induced" -> composite(Y, X) rel Z
+                    y_term, y_m, cnc_idx = cnc_hit
+                    comp = f"composite({y_term},{_render(left, text)})"
+                    emit(f"{comp} {pn} {_render(right, text)}",
+                         _sig(y_m, pn, right, None, None, None,
+                              tag="composite"))
+                    out[cnc_idx] = None  # the synergy statement subsumes cnc
+                else:
+                    emit_pair(left, pn, right)
+                continue
+
+            # ---- nominal prefix: "induction of X ... following Y" --------
+            prefix = text[: left["begin"]].lower()
+            npm = _NOMINAL_PREFIX_RE.search(prefix)
+            if npm is not None:
+                nom = npm.group(1)
+                rel = obj_pmod = None
+                if nom in _NOMINAL_UP:
+                    rel = "increases"
+                elif nom in _NOMINAL_DOWN:
+                    rel = "decreases"
+                elif nom in _NOMINAL_PMOD:
+                    rel, mod = _NOMINAL_PMOD[nom]
+                    obj_pmod = (mod, None, None)
+                if rel is not None:
+                    toks = _tokens(low_inter)
+                    if (
+                        toks
+                        and toks[-1] in _AGENT_MARKERS
+                        and all(t in _NOMINAL_MID or _is_num(t)
+                                for t in toks[:-1])
+                    ):
+                        emit_pair(right, rel, left, obj_pmod=obj_pmod,
+                                  subj_override=ability_subject.get(
+                                      i + 1, (None, None))[1])
+                        continue
+
+            # ---- nominal postfix: "X phosphorylation by Y" ---------------
+            mpost = re.fullmatch(r"([a-z\-]+)\s+by", low_inter)
+            if mpost is not None and mpost.group(1) in _NOMINAL_PMOD:
+                rel, mod = _NOMINAL_PMOD[mpost.group(1)]
+                site = _SITE_RE.match(after_right)
+                pmod = (
+                    (mod, _RESIDUE_3[site.group(1).lower()], int(site.group(2)))
+                    if site else (mod, None, None)
+                )
+                idx = emit_pair(right, rel, left, obj_pmod=pmod)
+                if idx is not None:
+                    pending_requires = (idx, i + 1)
+                continue
+
+            # ---- group association ---------------------------------------
+            if same_entity:
+                # continuation: "R5020 increased X ..., but also promoted
+                # nuclear translocation of X" — reuse the last subject
+                act = _match_active(low_inter)
+                if act is not None and state.last_subject is not None \
+                        and state.last_subject_m is not None \
+                        and (state.last_subject_m["db"],
+                             state.last_subject_m["id"]) != (right["db"],
+                                                             right["id"]):
+                    rel, trail = act
+                    wrap, obj_pmod = _active_flags(trail, after_right)
+                    subj_m = state.last_subject_m
+                    obj = _render(right, text, pmod=obj_pmod, wrap=wrap)
+                    emit(f"{state.last_subject} {rel} {obj}",
+                         _sig(subj_m, rel, right, wrap, None,
+                              obj_pmod and obj_pmod[0]))
+                continue
+
+            # ---- active verb + filler ------------------------------------
+            act = _match_active(low_inter)
+            if act is not None:
+                rel, trail = act
+                wrap, obj_pmod = _active_flags(trail, after_right)
+                site = _SITE_RE.match(after_right) if obj_pmod else None
+                if site and obj_pmod:
+                    obj_pmod = (obj_pmod[0],
+                                _RESIDUE_3[site.group(1).lower()],
+                                int(site.group(2)))
+                subj_override = ability_subject.get(i, (None, None))[1]
+                for subj_m in (l_members if subj_override is None else [left]):
+                    for obj_m in r_members:
+                        emit_pair(subj_m, rel, obj_m, wrap=wrap,
+                                  obj_pmod=obj_pmod,
+                                  subj_override=subj_override)
+                continue
+
+            # ---- passive + agent (reversed) ------------------------------
+            pas = _match_passive(low_inter)
+            if pas is not None:
+                rel, _marker, pmod = pas
+                if pmod is not None and pmod[1] is None:
+                    site = _SITE_RE.match(after_right)
+                    if site:
+                        pmod = (pmod[0],
+                                _RESIDUE_3[site.group(1).lower()],
+                                int(site.group(2)))
+                for target_m in l_members:
+                    emit_pair(right, rel, target_m, obj_pmod=pmod)
+                state.target = _render(left, text, pmod=pmod)
+                state.target_sig = left
+                state.rel = rel
+                state.agents = [_render(right, text)]
+                state.agent_sigs = [right]
+                continue
+
+            # ---- group association: "A and B are associated" -------------
+            if len(lgroup) >= 2 and i == lgroup[-1] - 0:
+                pass  # handled below on trailing text
+
+        # ---- anaphoric plural subject: "These two proteins are
+        # up-regulated during X" — resolve to the last N protein mentions
+        for m in ms:
+            am = _ANAPHOR_DURING_RE.search(text[s_begin: m["begin"]])
+            if am is None:
+                continue
+            n = _N_WORD.get((am.group(1) or "two").lower(), 2)
+            verb = am.group(2).lower()
+            rel = (
+                "positiveCorrelation"
+                if verb in _PASSIVE_UP or verb.startswith("up")
+                else "negativeCorrelation"
+            )
+            seen_ent = set()
+            ante = []
+            for pm in reversed(state.protein_history):
+                k = (pm["db"], pm["id"])
+                if k in seen_ent:
+                    continue
+                seen_ent.add(k)
+                ante.append(pm)
+                if len(ante) == n:
+                    break
+            for pm in reversed(ante):
+                emit(f"{_render(m, text)} {rel} {_render(pm, text)}",
+                     _sig(m, rel, pm, None, None, None))
+
+        # ---- trailing-text rules per mention -----------------------------
+        for i, m in enumerate(ms):
+            nxt_begin = ms[i + 1]["begin"] if i + 1 < len(ms) else s_end
+            tail = text[m["end"]: nxt_begin]
+            # group association on the final member of a coordination
+            grp = _coord_group(ms, i, text, -1)
+            if len(grp) >= 2 and grp[-1] == i and re.match(
+                r"^\s*(?:are|were)\s+(?:\w+ly\s+)?associated\b", tail
+            ):
+                members = [ms[j] for j in grp]
+                for a_m, b_m in zip(members, members[1:]):
+                    if (a_m["db"], a_m["id"]) == (b_m["db"], b_m["id"]):
+                        continue
+                    emit_pair(a_m, "association", b_m)
+                continue
+            # "the <X> dependence of this effect" — the anaphoric effect is
+            # the last passive's target: X increases target
+            if (
+                state.target is not None
+                and re.match(r"^[\s\-]*dependence\s+of\s+this\s+effect", tail)
+                and (m["db"], m["id"]) != (state.target_sig["db"],
+                                           state.target_sig["id"])
+            ):
+                emit(f"{_render(m, text)} increases {state.target}",
+                     _sig(m, "increases", state.target_sig, None, None, None))
+                continue
+            # agentless passive with carried-over agent
+            if _NEG_RE.search(tail[:60]):
+                continue
+            rel = _match_agentless_passive(tail)
+            if rel is not None and state.agents:
+                agent = state.agents[-1]
+                agent_m = state.agent_sigs[-1]
+                if (agent_m["db"], agent_m["id"]) != (m["db"], m["id"]):
+                    emit(f"{agent} {rel} {_render(m, text)}",
+                         _sig(agent_m, rel, m, None, None, None))
+
+        # mentions of this sentence become antecedent candidates for the next
+        state.protein_history.extend(
+            m for m in ms if m["db"] in _PROTEIN_NS
+        )
+
+        # ---- both-hormones composite trigger -----------------------------
+        if (
+            _BOTH_TOGETHER_RE.search(sent)
+            and state.target is not None
+            and len(state.agents) >= 2
+        ):
+            comp = "composite(" + ",".join(reversed(state.agents[-2:])) + ")"
+            emit(f"{comp} {state.rel} {state.target}",
+                 _sig(state.agent_sigs[-1], state.rel, state.target_sig,
+                      None, None, None, tag="composite"))
+
+    return [o for o in out if o is not None]
+
+
+def _active_flags(trail: list[str], after_right: str):
+    """(wrap, obj_pmod) flags derived from an active pattern's trailing
+    filler tokens and the text after the object mention."""
+    wrap = None
+    obj_pmod = None
+    if "translocation" in trail and (
+        "nuclear" in trail or _TLOC_AFTER_RE.match(after_right)
+    ):
+        wrap = "tloc"
+    elif "transcription" in trail or "transcriptional" in trail:
+        wrap = "tscript"
+    elif "activity" in trail:
+        wrap = "act"
+    if "phosphorylation" in trail:
+        obj_pmod = ("Ph", None, None)
+    return wrap, obj_pmod
+
+
+# ---------------------------------------------------------------------------
+# Spark operator: fused mention-detection + block extraction (one Arrow
+# crossing per partition, zero shuffle — same plan shape as operators/fused.py)
+# ---------------------------------------------------------------------------
+
+
+def extract_statements_extended(
+    paragraphs, alias_rows: list, text_col: str = "text"
+):
+    """PARAGRAPHS(url, warc_ts, para_idx, text) -> STATEMENTS with the
+    extended block-level pattern engine.
+
+    The alias dictionary is broadcast; the matcher builds once per Python
+    worker (same executor-local cache as detect_mentions). Mention scan and
+    pattern extraction run fused in a single pandas UDF, so the stage is a
+    map-only scan — no shuffle, broadcast-sized driver footprint.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    from ..schemas import STATEMENT
+    from .mentions import _get_matcher
+
+    spark = paragraphs.sparkSession
+    bc = spark.sparkContext.broadcast(list(alias_rows))
+    token = uuid.uuid4().hex
+
+    @F.pandas_udf(ArrayType(STATEMENT))
+    def _extract(txt: pd.Series) -> pd.Series:
+        matcher = _get_matcher(bc, token)
+        out = []
+        for t in txt:
+            ms = [
+                {"begin": s, "end": e, "alias": a, "db": db, "id": i,
+                 "entry_name": n, "score": p}
+                for (s, e, a, db, i, n, p) in matcher.find(t)
+            ]
+            out.append(
+                [
+                    {"bel_statement": stmt, "evidence": ev}
+                    for stmt, ev in extract_from_block(t, ms)
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        paragraphs.withColumn("results", _extract(F.col(text_col)))
+        .filter(F.size("results") > 0)
+        .select(
+            "url",
+            "warc_ts",
+            "para_idx",
+            F.lit(0).alias("sent_idx"),
+            F.explode("results").alias("r"),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "para_idx",
+            "sent_idx",
+            F.col("r.bel_statement").alias("bel_statement"),
+            F.col("r.evidence").alias("evidence"),
+        )
+    )
