@@ -116,6 +116,56 @@ def main() -> int:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # --- ANN in its amortized regime: index built once (kmeans), then a
+    # 32-query batch over the cached index vs brute force over the same
+    # batch. One-shot IVF (ivf_ann_topk above) pays K cosines per corpus
+    # vector at index-build time and only wins when |queries| > K; the
+    # prebuilt index is the 100TB shape (corpus written partitioned by
+    # cell, probed many times).
+    from llm_text_to_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    # K=8, nprobe=4: the sf embeddings table is ISOTROPIC (same-label mean
+    # cosine 0.03), so IVF recall there is scan-fraction-bound for any
+    # quantizer — 4/8 cells ~ 0.75 recall at half the scan. On genuinely
+    # clustered data the same index reaches >=0.9 recall at a 25% scan
+    # (pinned in tests/test_ivf.py).
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(32))
+    t0 = time.monotonic()
+    corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
+    corpus = corpus.persist()
+    corpus.count()
+    timings["ivf_index_build"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    exact = brute_force_topk(emb, qids, k=10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    timings["ann_brute_32q"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    approx = ivf_topk_indexed(corpus, cents, qids, k=10, nprobe=4)
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    timings["ann_ivf_32q"] = round(time.monotonic() - t0, 3)
+    extras["ivf_recall_32q"] = round(len(ex & ap) / max(len(ex), 1), 4)
+    corpus.unpersist()
+
+    # --- eval harness at bench scale: grouped bipartite matching (E4) over
+    # the synthetic pipeline's predictions vs planted gold. Shuffle key is
+    # (url, evidence): group sizes are bounded by statements-per-sentence
+    # (small, near-uniform), so no skew handling is needed here — see
+    # PLANS.md §eval for the 10^9-statement shuffle note.
+    from llm_text_to_knowledge_graph_spark.corpus import gold_df
+    from llm_text_to_knowledge_graph_spark.eval.spark_eval import match_statements
+
+    t0 = time.monotonic()
+    pred = res["triples"].select("url", "evidence", "bel_statement")
+    gold = gold_df(spark, N_DOCS, seed=42).select("url", "evidence", "bel_statement")
+    n_match = match_statements(pred, gold).count()
+    timings["eval_match_statements"] = round(time.monotonic() - t0, 3)
+    extras["eval_match_rows"] = n_match
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_sec",

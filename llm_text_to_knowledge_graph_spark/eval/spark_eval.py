@@ -37,7 +37,18 @@ def match_statements(
     pred: DataFrame, gold: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
     """pred/gold: DataFrames with (url, evidence, bel_statement).
-    Returns one row per matched pair / unmatched statement."""
+    Returns one row per matched pair / unmatched statement.
+
+    Plan shape: groups keyed by (url, evidence) are tiny (statements
+    sharing one evidence sentence), so a grouped-map UDF pays one Python
+    call + one pandas frame PER GROUP — measured 27s for 33k groups at
+    sf0.1. Instead: ONE shuffle (repartition by key) + sortWithinPartitions
+    + a single mapInPandas pass that walks the key-contiguous partition,
+    buffering only a possibly chunk-split trailing group. One Python
+    crossing per partition; per-group work is a plain dict append. At 10^9
+    statements the shuffle key distribution is near-uniform (group size is
+    bounded by statements-per-sentence), so no skew handling is needed.
+    """
     p = pred.select(
         "url", "evidence", F.col("bel_statement").alias("stmt"), F.lit("pred").alias("side")
     )
@@ -46,23 +57,46 @@ def match_statements(
     )
     both = p.unionByName(g)
 
-    def _match(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        url, evidence = key
-        preds = pdf.loc[pdf["side"] == "pred", "stmt"].tolist()
-        golds = pdf.loc[pdf["side"] == "gold", "stmt"].tolist()
-        rows = match_group(preds, golds, threshold=threshold)
-        return pd.DataFrame(
-            {
-                "url": url,
-                "evidence": evidence,
-                "pred_statement": [r["pred_statement"] for r in rows],
-                "gold_statement": [r["gold_statement"] for r in rows],
-                "match_type": [r["match_type"] for r in rows],
-                "score": [r["score"] for r in rows],
-            }
-        )
+    cols = ["url", "evidence", "pred_statement", "gold_statement", "match_type", "score"]
 
-    return both.groupBy("url", "evidence").applyInPandas(_match, schema=MATCH_SCHEMA)
+    def _match_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {c: [] for c in cols}
+        for (url, evidence), grp in pdf.groupby(["url", "evidence"], sort=False):
+            side = grp["side"].to_numpy()
+            stmt = grp["stmt"].to_numpy()
+            preds = [s for s, sd in zip(stmt, side) if sd == "pred"]
+            golds = [s for s, sd in zip(stmt, side) if sd == "gold"]
+            for r in match_group(preds, golds, threshold=threshold):
+                out["url"].append(url)
+                out["evidence"].append(evidence)
+                out["pred_statement"].append(r["pred_statement"])
+                out["gold_statement"].append(r["gold_statement"])
+                out["match_type"].append(r["match_type"])
+                out["score"].append(r["score"])
+        return pd.DataFrame(out, columns=cols)
+
+    def _match_partition(batches):
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing key may continue in the next Arrow chunk
+            last_url = pdf["url"].iat[-1]
+            last_ev = pdf["evidence"].iat[-1]
+            tail = (pdf["url"] == last_url) & (pdf["evidence"] == last_ev)
+            buf = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _match_frame(head)
+        if buf is not None and len(buf):
+            yield _match_frame(buf)
+
+    parted = both.repartition("url", "evidence").sortWithinPartitions(
+        "url", "evidence"
+    )
+    return parted.mapInPandas(_match_partition, schema=MATCH_SCHEMA)
 
 
 def precision_recall(matches: DataFrame) -> dict:

@@ -176,7 +176,11 @@ def _token_hash64(token: str) -> int:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (signed int64 for Spark)."""
+    """64-bit SimHash over whitespace tokens (signed int64 for Spark).
+
+    Scalar reference definition — the hot path is the numpy-vectorized
+    ``_simhash64_np`` below, pinned bit-for-bit against this by
+    tests/test_training_data_ops.py (VERDICT round-1 item #5)."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
         h = _token_hash64(tok)
@@ -189,10 +193,51 @@ def simhash64(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _fnv1a_batch(tokens: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit over a batch of tokens, vectorized across tokens:
+    byte-position loop (bounded by the longest token) instead of a Python
+    loop per token per byte. Identical values to ``_token_hash64``."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(bs), maxlen), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(len(bs), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
+    return h
+
+
+def _simhash64_np(text: str) -> int:
+    """Vectorized SimHash: hash all tokens in one batch, unpack the 64-bit
+    matrix, column-sum. Integer sums are order-independent, so this is
+    bit-exact with ``simhash64`` (parity-tested)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    h = _fnv1a_batch(toks)
+    bits = ((h[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    mask = acc > 0
+    if mask.any():
+        out = (np.uint64(1) << _BIT_SHIFTS[mask]).sum(dtype=np.uint64)
+    v = int(out)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t or ""))
+        return texts.map(lambda t: _simhash64_np(t or ""))
 
     return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 

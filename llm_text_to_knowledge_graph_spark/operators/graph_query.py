@@ -43,6 +43,7 @@ def k_hop_neighborhood(
         [(int(i), 0) for i in seed_node_ids], "node_id long, hop int"
     )
     frontier = visited.select("node_id")
+    prev_persisted = None
     for hop in range(1, k + 1):
         nxt = (
             und.join(frontier.withColumnRenamed("node_id", "s"), "s")
@@ -52,9 +53,17 @@ def k_hop_neighborhood(
             .withColumn("hop", F.lit(hop))
         )
         nxt = nxt.persist()
-        if nxt.isEmpty():
+        empty = nxt.isEmpty()
+        # the previous frontier fed this round's join and is now superseded
+        # — unpersist it so a long session doesn't leak one cached frontier
+        # per hop (its rows live on inside `visited`'s lineage via the
+        # already-materialized persist, so correctness is unaffected)
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        if empty:
             nxt.unpersist()
             break
+        prev_persisted = nxt
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node_id")
     return visited

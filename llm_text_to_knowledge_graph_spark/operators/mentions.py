@@ -270,37 +270,70 @@ def explode_mentions(mentions_df: DataFrame) -> DataFrame:
     )
 
 
-def count_mentions_native(sentences: DataFrame, alias_rows: list) -> DataFrame:
-    """Pure-counting fast path: per-entity mention counts with NO Python
-    crossing (PLANS.md round-1 follow-up).
+_SINGLE_TOKEN_RE = re.compile(r"[\w-]+")
 
-    Builds the same leftmost-longest alternation pattern as ``AliasMatcher``
-    (length-desc ordered alternates, word-boundary lookarounds) and runs it
-    through the JVM's ``regexp_extract_all`` inside WholeStageCodegen; the
-    alias -> entry_name grounding is a broadcast join against the top-1
-    dictionary. Match parity with the Python matcher: both engines use
-    ordered-alternation leftmost semantics, and ``(?U)`` forces Java's \\w
-    to the Unicode class Python uses. For counting workloads (entity
-    frequency tables, vocab pruning) this is the plan to use — the full
-    ``detect_mentions`` is only needed when downstream wants spans/scores.
+
+def count_mentions_native(
+    sentences: DataFrame, alias_rows: list, engine: str = "auto"
+) -> DataFrame:
+    """Pure-counting path: per-entity mention counts with NO Python
+    crossing. Two JVM plans, selected by dictionary shape:
+
+      * ``tokenize`` — when every alias is a single ``[\\w-]+`` token, the
+        leftmost-longest boundary scan reduces to token equality: split on
+        the boundary class, filter tokens against the dictionary inside the
+        array, explode only the hits, broadcast-hash-join to entry names.
+        All inside WholeStageCodegen; measured ~1.6x faster than the
+        Arrow-batched Python matcher at sf0.1 (0.85s vs 1.40s warm) and
+        ~5x faster than the alternation regex — THIS is the counting fast
+        path, and its cost no longer grows with dictionary size.
+      * ``regex`` — general fallback for multi-token aliases: the same
+        length-desc ordered alternation as ``AliasMatcher`` via
+        ``regexp_extract_all`` with ``(?U)`` word-boundary lookarounds.
+        Correct for any alias shape, but the JVM regex engine scans the
+        alternation per character — at round-1 dictionary sizes it measured
+        SLOWER than the Arrow-batched Python matcher (4.56s vs 1.40s at
+        sf0.1), so it is the zero-Python-runtime option, not the fast one.
+
+    ``auto`` picks ``tokenize`` whenever the dictionary allows it.
     """
     spark = sentences.sparkSession
     matcher = AliasMatcher(alias_rows)
     if not matcher.lookup:
         return spark.createDataFrame([], "entry_name string, n_mentions long")
-    ordered = sorted(matcher.lookup, key=len, reverse=True)
-    pattern = (
-        r"(?U)(?<![\w-])(" + "|".join(re.escape(a) for a in ordered) + r")(?![\w-])"
-    )
     amap = spark.createDataFrame(
         [(a, v[2]) for a, v in matcher.lookup.items()],
         "alias string, entry_name string",
     )
-    hits = sentences.select(
-        F.explode(
-            F.regexp_extract_all(F.col("sentence"), F.lit(pattern), F.lit(1))
-        ).alias("alias")
-    )
+    if engine == "auto":
+        engine = (
+            "tokenize"
+            if all(_SINGLE_TOKEN_RE.fullmatch(a) for a in matcher.lookup)
+            else "regex"
+        )
+    if engine == "tokenize":
+        # (?U): Java \w must match the Unicode class the Python matcher
+        # uses. Tokens are filtered against the dictionary INSIDE the array
+        # (literal isin for small dicts) before the explode, so only actual
+        # hits are exploded — the explode-everything variant measured slower
+        # than the Python matcher because it shuffled every token.
+        toks = F.split(F.col("sentence"), r"(?U)[^\w\-]+")
+        aliases = list(matcher.lookup)
+        if len(aliases) <= 1024:
+            toks = F.filter(toks, lambda t: t.isin(aliases))
+        hits = sentences.select(F.explode(toks).alias("alias"))
+    else:
+        ordered = sorted(matcher.lookup, key=len, reverse=True)
+        pattern = (
+            r"(?U)(?<![\w-])("
+            + "|".join(re.escape(a) for a in ordered)
+            + r")(?![\w-])"
+        )
+        hits = sentences.select(
+            F.explode(
+                F.regexp_extract_all(F.col("sentence"), F.lit(pattern), F.lit(1))
+            ).alias("alias")
+        )
     return (
         hits.join(F.broadcast(amap), "alias")
         .groupBy("entry_name")

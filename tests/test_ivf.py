@@ -26,11 +26,47 @@ def _emb_df(spark, n=300, dim=16, seed=3):
 
 
 def test_ivf_centroids_deterministic(spark):
+    # lowest_id: fully deterministic independent of partitioning (the
+    # SQL-oracle mode)
     emb = _emb_df(spark)
-    a = ivf_centroids(emb, 8)
-    b = ivf_centroids(emb.repartition(13), 8)
+    a = ivf_centroids(emb, 8, method="lowest_id")
+    b = ivf_centroids(emb.repartition(13), 8, method="lowest_id")
     assert a == b
     assert [c[0] for c in a] == list(range(8))
+
+
+def test_ivf_kmeans_centroids_beat_lowest_id_on_clustered_data(spark):
+    """KMeans centroids spread across the real clusters; lowest-id picks
+    arbitrary vectors (here: 4 of one cluster's neighborhood per round-robin
+    construction). Pin that the kmeans quantizer's cells are balanced."""
+    from llm_text_to_knowledge_graph_spark.operators.similarity import ivf_index
+
+    emb = _emb_df(spark, n=400)
+    corpus_km, cents_km = ivf_index(emb, n_centroids=4, method="kmeans")
+    sizes = [
+        r["n"]
+        for r in corpus_km.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    # 4 clusters, 4 centroids: every cell gets roughly a quarter
+    assert len(sizes) == 4
+    assert max(sizes) <= 2 * min(sizes), sizes
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    from llm_text_to_knowledge_graph_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _emb_df(spark)
+    k = 10
+    exact = brute_force_topk(emb, [0, 1, 2], k=k)
+    corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
+    approx = ivf_topk_indexed(corpus, cents, [0, 1, 2], k=k, nprobe=2)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
 
 
 def test_ivf_finds_planted_near_dups_and_overlaps_exact(spark):

@@ -66,6 +66,35 @@ def test_simhash_pairs(docs):
     assert h01 == 0
 
 
+def test_simhash_vectorized_parity():
+    """The numpy-vectorized sketch must be bit-exact with the scalar
+    reference definition (order-independent integer sums)."""
+    import random
+    import string
+
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        _simhash64_np,
+        simhash64,
+    )
+
+    rng = random.Random(7)
+    samples = [
+        "", "a", "hello world hello", "ünïcode tøkens æøå",
+        " ".join(
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 14)))
+            for _ in range(rng.randint(0, 120))
+        ),
+    ] + [
+        " ".join(
+            "".join(rng.choices(string.printable.strip(), k=rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 40))
+        )
+        for _ in range(25)
+    ]
+    for t in samples:
+        assert simhash64(t) == _simhash64_np(t), t[:60]
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     rng = np.random.RandomState(0)
