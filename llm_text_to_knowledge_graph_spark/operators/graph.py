@@ -52,8 +52,10 @@ def label_col(bel) -> F.Column:
     bel = F.col(bel) if isinstance(bel, str) else bel
     ns = F.transform(
         F.regexp_extract_all(bel, F.lit(_NS_VALUE_PAT), F.lit(1)),
-        # Python str.strip() parity: trim ALL whitespace, not just spaces
-        lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        # Python str.strip() parity: (?U) makes Java's \s the Unicode
+        # whitespace class Python uses (else e.g. a non-breaking space in a
+        # quoted BEL name trims differently between the two node builds)
+        lambda x: F.regexp_replace(x, r"(?U)(^\s+|\s+$)", ""),
     )
     pm = F.regexp_extract_all(bel, F.lit(_PMOD_PAT), F.lit(1))
     lc = F.transform(
@@ -118,6 +120,35 @@ def audit_id_collisions(nodes: DataFrame) -> int:
     return (
         nodes.groupBy("node_id")
         .agg(F.countDistinct("name").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def edge_id_col(hash_seed: int = 0) -> F.Column:
+    """Content-addressed edge id: seed-fixed xxhash64 of the edge identity
+    key (url, para_idx, sent_idx, bel_expression). Same seed-bump collision
+    protocol as ``node_id_col``: at the 10^12-edge target the 64-bit
+    birthday bound makes collisions EXPECTED, so any dedup-by-edge_id read
+    must first pass ``audit_edge_id_collisions`` (or treat edge_id as
+    non-unique and dedup on the identity key itself)."""
+    cols = [F.col("url"), F.col("para_idx"), F.col("sent_idx"), F.col("bel_expression")]
+    if hash_seed == 0:
+        return F.xxhash64(*cols)
+    return F.xxhash64(F.lit(hash_seed), *cols)
+
+
+def audit_edge_id_collisions(edges: DataFrame) -> int:
+    """Number of edge_id collisions: distinct identity keys sharing an
+    edge_id. Requires the identity columns alongside edge_id (i.e. run on
+    the pre-projection edge build, or a reader that kept url/para_idx/
+    sent_idx). Mirrors ``audit_id_collisions``."""
+    key = F.concat_ws(
+        "", "url", "para_idx", "sent_idx", "bel_expression"
+    )
+    return (
+        edges.groupBy("edge_id")
+        .agg(F.countDistinct(key).alias("n"))
         .filter(F.col("n") > 1)
         .count()
     )
@@ -201,10 +232,7 @@ def build_edges(
             edges.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
             .withColumn("s", node_id_col("subj", hash_seed))
             .withColumn("t", node_id_col("obj", hash_seed))
-            .withColumn(
-                "edge_id",
-                F.xxhash64("url", "para_idx", "sent_idx", "bel_expression"),
-            )
+            .withColumn("edge_id", edge_id_col(hash_seed))
         )
         cols = [
             "edge_id", "s", "t",
@@ -317,10 +345,12 @@ __all__ = [
     "build_nodes",
     "build_edges",
     "node_id_col",
+    "edge_id_col",
     "nodes_from_edges",
     "label_col",
     "type_col",
     "audit_id_collisions",
+    "audit_edge_id_collisions",
     "renumber_for_export",
     "identifiers_url_col",
     "identifiers_url",

@@ -31,6 +31,24 @@ def stream_pages(spark: SparkSession, pages_dir: str, max_files: int = 64) -> Da
     )
 
 
+def _write_batch_idempotent(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent foreachBatch sink: the batch writes ONLY its own
+    ``batch_id=<id>`` partition with dynamic partition overwrite.
+
+    foreachBatch is at-least-once — a failure mid-write replays the batch
+    on restart. A blind append would duplicate the replayed rows; the
+    partition overwrite makes the retry rewrite the same partition instead,
+    so the table converges to exactly-once contents (ADVICE round 1).
+    Readers drop the ``batch_id`` column (see read_incremental_*)."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def incremental_triples(
     spark: SparkSession,
     pages_dir: str,
@@ -40,11 +58,12 @@ def incremental_triples(
     available_now: bool = True,
 ):
     """Run extraction incrementally: each micro-batch of new pages ->
-    fused extraction -> append to the triples table. Returns the query."""
+    fused extraction -> idempotent per-batch partition write to the triples
+    table. Returns the query."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = extract_triples_fused(batch_df, alias_rows)
-        triples.write.mode("append").parquet(out_dir)
+        _write_batch_idempotent(triples, out_dir, batch_id)
 
     writer = (
         stream_pages(spark, pages_dir)
@@ -95,16 +114,18 @@ def incremental_graph(
     id-lookup join. Dense 0..n-1 ids fundamentally cannot do this.
     Cross-batch duplicate node rows are benign (identical bytes); read the
     node table through ``read_incremental_nodes`` (Iceberg MERGE INTO is the
-    at-scale equivalent of that dedup)."""
+    at-scale equivalent of that dedup). Batch writes are idempotent
+    (per-batch partition overwrite — see ``_write_batch_idempotent``), so a
+    replayed batch cannot inflate the edge table."""
     from ..operators.graph import build_edges, build_nodes
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = extract_triples_fused(batch_df, alias_rows)
-        build_edges(t, id_strategy="hash").write.mode("append").parquet(
-            f"{out_root}/edges"
+        _write_batch_idempotent(
+            build_edges(t, id_strategy="hash"), f"{out_root}/edges", batch_id
         )
-        build_nodes(t, id_strategy="hash").write.mode("append").parquet(
-            f"{out_root}/nodes"
+        _write_batch_idempotent(
+            build_nodes(t, id_strategy="hash"), f"{out_root}/nodes", batch_id
         )
 
     writer = (
@@ -118,6 +139,20 @@ def incremental_graph(
 
 
 def read_incremental_nodes(spark: SparkSession, out_root: str) -> DataFrame:
-    """Deduplicated view of the incrementally-appended node table. Rows for
-    one name are byte-identical across batches, so any-row-per-id wins."""
-    return spark.read.parquet(f"{out_root}/nodes").dropDuplicates(["node_id"])
+    """Deduplicated view of the incrementally-written node table. Rows for
+    one NAME are byte-identical across batches, so dedup is on
+    ``(node_id, name)`` — NOT node_id alone, which would silently collapse
+    a hash-id collision between two distinct names and hide it from
+    ``audit_id_collisions`` run on this view (ADVICE round 1)."""
+    return (
+        spark.read.parquet(f"{out_root}/nodes")
+        .drop("batch_id")
+        .dropDuplicates(["node_id", "name"])
+    )
+
+
+def read_incremental_edges(spark: SparkSession, out_root: str) -> DataFrame:
+    """View of the incrementally-written edge table (batch partition column
+    dropped). No row dedup: batch writes are idempotent, and edge_id is not
+    assumed unique at extreme scale (see graph.edge_id_col)."""
+    return spark.read.parquet(f"{out_root}/edges").drop("batch_id")

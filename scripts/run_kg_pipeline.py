@@ -28,8 +28,9 @@ def main() -> int:
         "--id-strategy",
         choices=["dense", "hash"],
         default="dense",
-        help="graph id scheme: dense 0..n-1 (CX2 parity) or content-addressed "
-        "xxhash64 (join-free edge build — the at-scale default)",
+        help="graph id scheme: dense 0..n-1 (CX2 export parity; the default) "
+        "or content-addressed xxhash64 (join-free edge build — pass this "
+        "explicitly for at-scale runs)",
     )
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args()
