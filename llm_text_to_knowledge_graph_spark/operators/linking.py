@@ -90,10 +90,18 @@ def link_fuzzy(
     alias_df: DataFrame,
     max_jaccard_distance: float = 0.5,
     min_score: float = 0.3,
-    num_hash_tables: int = 6,
+    num_hash_tables: int = 16,
 ) -> DataFrame:
     """spans (from candidate_spans) x alias_df (ALIAS_DICT schema) ->
-    top-1 fuzzy grounding per span."""
+    top-1 fuzzy grounding per span.
+
+    ``num_hash_tables`` is the OR-amplification depth: a true pair at
+    jaccard j survives blocking with P = 1-(1-j)^t, so t=16 keeps blocking
+    recall >=0.98 down to j=0.25 (measured >=0.9 end-to-end on single-edit
+    typos vs the blocking-free exact-Jaccard oracle —
+    tests/test_linking.py). Each table costs one minhash per row; at scale
+    prefer raising this over widening max_jaccard_distance, which grows
+    candidate volume instead."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sp = spans.withColumn("shingles", _shingles(F.col("token"))).filter(

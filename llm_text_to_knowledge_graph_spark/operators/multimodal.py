@@ -2,15 +2,21 @@
 
 Media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over mapInPandas. The actual codec step is STUBBED (no image/audio libs in
-this container): ``decode_media`` raises NotImplementedError unless a
-deterministic fake decoder is requested — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested either way.
+over mapInPandas.
+
+Codec status (round 2): PNG (8-bit gray/RGB/RGBA, all five scanline
+filters) and PCM WAV decode for REAL, dependency-free (zlib + struct +
+numpy — golden-file tested). Other containers (JPEG/MP3/MP4) still raise
+NotImplementedError: their codecs genuinely need external libraries this
+container lacks; the deterministic ``fake=True`` digest stub remains for
+schema/batch-shape tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -60,12 +66,172 @@ def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     return vec / norm
 
 
+# ---------------------------------------------------------------------------
+# real decoders (dependency-free)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Minimal real PNG decoder: 8-bit depth, color types gray/RGB/
+    gray+alpha/RGBA, non-interlaced; all five scanline filters (None, Sub,
+    Up, Average, Paeth) undone with numpy. Returns (H, W, C) uint8."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos: pos + 4])
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    scan = arr[:, 1:].astype(np.int32)
+    out = np.zeros_like(scan)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = filters[y]
+        row = scan[y].copy()
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub
+            cur = row
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal real WAV decoder: RIFF/WAVE container, PCM 16-bit. Returns
+    (samples int16 [n, channels], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4: pos + 8])
+        body = payload[pos + 8: pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV variant not supported (format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * n_channels)) * 2 * n_channels], dtype="<i2"
+    ).reshape(-1, n_channels)
+    return samples, sample_rate
+
+
+def _feature_from_pixels(arr: np.ndarray) -> np.ndarray:
+    """Real image feature: 4x4 grid of grayscale block means, unit-norm —
+    FEATURE_DIM values, deterministic, partition-independent."""
+    gray = arr[..., :3].mean(axis=2) if arr.shape[2] >= 3 else arr[..., 0].astype(np.float64)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    cells = [
+        gray[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+        for i in range(4)
+        for j in range(4)
+    ]
+    vec = np.asarray(cells, dtype=np.float32)
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return vec / norm
+
+
+def _feature_from_audio(samples: np.ndarray) -> np.ndarray:
+    """Real audio feature: mean |amplitude| over FEATURE_DIM equal time
+    segments (mono-mixed), unit-norm."""
+    mono = np.abs(samples.astype(np.float64)).mean(axis=1)
+    bounds = np.linspace(0, len(mono), FEATURE_DIM + 1, dtype=int)
+    vec = np.asarray(
+        [
+            mono[bounds[i]: max(bounds[i + 1], bounds[i] + 1)].mean()
+            if len(mono)
+            else 0.0
+            for i in range(FEATURE_DIM)
+        ],
+        dtype=np.float32,
+    )
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return vec / norm
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
+    """payload -> FEATURE_DIM unit-norm feature vector.
+
+    Real paths (sniffed by magic bytes): PNG -> grid-of-block-means
+    feature; PCM WAV -> segment-energy feature. Other formats raise
+    NotImplementedError (JPEG/MP3/MP4 codecs need external libraries this
+    container lacks). ``fake=True`` keeps the digest stub for plumbing
+    tests."""
     if fake:
         return _fake_decode(payload, media_type)
+    p = payload or b""
+    if p.startswith(_PNG_MAGIC):
+        return _feature_from_pixels(decode_png(p))
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        samples, _rate = decode_wav(p)
+        return _feature_from_audio(samples)
     raise NotImplementedError(
-        "real media decoding requires image/audio libraries not present in "
-        "this container; pass fake=True for the deterministic stub"
+        "real decoding implemented for PNG and PCM WAV only; other codecs "
+        "require libraries not present in this container "
+        "(pass fake=True for the deterministic stub)"
     )
 
 
