@@ -628,6 +628,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["real_gold_pr"] = real_gold_pr
 
+    # Second real corpus: the hand-curated full paper papers/pmid16962653.bel
+    # (knockout/ablation reasoning, kin()/complex() subjects — an honest
+    # lower bound; pinned P=9/9=1.0, R=9/28=0.321 in tests/test_real_gold.py)
+    def real_gold_bel_pr(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+            run_bel_paper_eval,
+        )
+
+        r = run_bel_paper_eval()
+        return spark.createDataFrame(
+            [
+                (
+                    r["matched"],
+                    r["pred_total"],
+                    r["gold_total"],
+                    round(r["precision"], 4),
+                    round(r["recall"], 4),
+                )
+            ],
+            "matched long, pred_total long, gold_total long, "
+            "precision double, recall double",
+        )
+
+    q["real_gold_bel_pr"] = real_gold_bel_pr
+
     # C1 (vocab matcher) + C2-cooccurrence + P6/P7 graph build, resolved
     # back to entity names so the single-token VOCAB makes the whole chain
     # DuckDB-checkable (round-2: was rows-only).

@@ -113,6 +113,9 @@ NS_FUNC = {
     "MESHPP": "bp",   # MeSH biological processes
     "MESHCS": "a",    # MeSH cellular structures (tloc endpoints)
     "MESHD": "path",  # MeSH diseases
+    "MGI": "p",       # mouse gene symbols (papers/pmid16962653.bel)
+    "GOBP": "bp",     # GO biological process (legacy gold namespace tag)
+    "SCOMP": "complex",  # Selventa named complexes
 }
 
 

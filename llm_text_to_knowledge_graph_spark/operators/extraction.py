@@ -132,8 +132,49 @@ _PASSIVE_MID = {
     "by", "of", "h", "min", "and", "remained", "elevated", "until", "to",
     "the", "as", "efficiently", "with", "treatment", "pretreatment", "lane",
     "lanes", "fig", "figs", "only", "antibody", "antibodies",
-    "anti-phosphotyrosine", "immunoprecipitates", "at",
+    "anti-phosphotyrosine", "immunoprecipitates", "at", "in", "cells",
+    "wild-type",
 }
+# appositive filler allowed AFTER the agent marker, before the agent mention
+# ("induced by different growth factors such as <A>, <B> and <C>")
+_PASSIVE_APPOS = {
+    "different", "growth", "factors", "factor", "hormones", "hormone",
+    "stimuli", "agents", "such", "as", "the", "a", "an", "type", "types",
+    "of", "various", "several",
+}
+# "<verb>ed in the absence of <Y>" — agent marker with a direction FLIP
+# (the clause describes what happens WITHOUT the agent)
+_ABSENCE_TAIL = ("in", "the", "absence", "of")
+# prefix cue that flips an active verb's direction: "ablation of <X>
+# abolished <Y>" means X POSITIVELY regulates Y
+_ABLATION_PREFIX_RE = re.compile(
+    r"(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of\s+$", re.I
+)
+_SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
+_FLIP = {"increases": "decreases", "decreases": "increases",
+         "directlyIncreases": "directlyDecreases",
+         "directlyDecreases": "directlyIncreases"}
+# site lists like "Ser939 and Thr1462", "Thr37/46", "Thr24/Thr32"
+_SITE_LIST_ITEM_RE = re.compile(r"(Ser|Thr|Tyr|Lys|Arg)?\s*(\d+)", re.I)
+_TARGET_SITE_TAIL_RE = re.compile(
+    r"^\s+target\s+sites?\s+((?:(?:Ser|Thr|Tyr|Lys|Arg)?\d+(?:\s*(?:and|,|/)\s*)?)+)"
+)
+_PHOSPHO_OF_RE = re.compile(r"(?:^|[^a-z])phosphorylation\s+of\b")
+
+
+def _parse_site_list(span: str) -> list[tuple[str, int]]:
+    """"Ser939 and Thr1462" / "Thr37/46" -> [(Ser,939),(Thr,1462)] with
+    residue carry-forward for bare numbers."""
+    out = []
+    last_res = None
+    for m in _SITE_LIST_ITEM_RE.finditer(span):
+        res = m.group(1)
+        if res:
+            last_res = res.capitalize()
+        if last_res is None:
+            continue
+        out.append((last_res, int(m.group(2))))
+    return out
 _NOMINAL_MID = {
     "message", "mrna", "at", "and", "h", "min", "levels", "level",
     "expression", "protein", "transcript",
@@ -237,13 +278,12 @@ def _is_coord_sep(sep: str) -> bool:
     if not letters:
         return True  # appositive / list comma
     toks = letters.split()
-    if toks[0] in ("and", "or"):
-        toks = toks[1:]
-    elif "and" not in toks and "or" not in toks:
+    # the conjunction must LEAD the letter content ("and the shorter") —
+    # a trailing/mid conjunction ("cells upon serum and") is clause text,
+    # not list coordination
+    if toks[0] not in ("and", "or"):
         return False
-    else:
-        # and/or present but not leading: "x and y" fillers both sides
-        toks = [t for t in toks if t not in ("and", "or")]
+    toks = toks[1:]
     if len(toks) > 3:
         return False
     verbish = _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
@@ -344,13 +384,32 @@ def _match_active(inter: str):
 
 
 def _match_passive(inter: str):
-    """-> (rel, marker, pmod) or None. Reversed (right = agent, left = target).
-    pmod is set for the phospho-IP idiom."""
+    """-> (rel, marker, pmod) or None. Reversed (right = agent, left =
+    target). pmod is set for the phospho-IP idiom, a compact leading site
+    token ("Ser473 was induced by X"), or a leading "phosphorylation".
+
+    The ``absence_of`` marker ("was decreased in the absence of X") FLIPS
+    the relation: the clause describes what happens without the agent."""
     toks = _tokens(inter.lower())
-    if not toks or toks[0] in {"on", "at", "in"}:  # site context guard
+    if not toks:
         return None
+    absence = len(toks) >= 4 and tuple(toks[-4:]) == _ABSENCE_TAIL
+    if toks[0] in {"on", "in"} or (toks[0] == "at" and not absence):
+        return None  # site/location context guard
     i = 0
-    while i < len(toks) and toks[i] in _PASSIVE_LEAD:
+    pmod = None
+    while i < len(toks):
+        t = toks[i]
+        site = _SITE_TOKEN_RE.match(t)
+        if site:
+            pmod = ("Ph", site.group(1).capitalize(), int(site.group(2)))
+        elif t == "phosphorylation":
+            if pmod is None:
+                pmod = ("Ph", None, None)
+        elif t in _PASSIVE_LEAD or (t == "at" and absence):
+            pass
+        else:
+            break
         i += 1
     if toks[i: i + 3] == ["known", "to", "be"]:
         i += 3
@@ -365,7 +424,6 @@ def _match_passive(inter: str):
     if i >= len(toks):
         return None
     v = toks[i]
-    pmod = None
     if v in _PASSIVE_UP:
         rel = "increases"
     elif v in _PASSIVE_DOWN:
@@ -373,7 +431,7 @@ def _match_passive(inter: str):
     elif v in _PASSIVE_REG:
         rel = "regulates"
     elif v == "phosphorylated":
-        rel, pmod = "directlyIncreases", ("Ph", None, None)
+        rel, pmod = "directlyIncreases", pmod or ("Ph", None, None)
     elif v == "immunoprecipitated":
         # "T is immunoprecipitated with the anti-phosphotyrosine antibody
         # ... following X" == X increases p(T, pmod(Ph, Tyr))
@@ -383,16 +441,28 @@ def _match_passive(inter: str):
     else:
         return None
     rest = toks[i + 1:]
+    if absence:
+        return _FLIP.get(rel, rel), "absence_of", pmod
     # strip trailing "<n> h of"-style qualifiers after the marker
     while rest and (rest[-1] in {"of", "h", "min", "treatment", "pretreatment"}
                     or _is_num(rest[-1])):
         rest.pop()
-    if not rest or rest[-1] not in _AGENT_MARKERS:
+    # the marker may be followed by an appositive noun phrase introducing
+    # the agent list ("induced by different growth factors such as A and B")
+    marker_idx = None
+    for j in range(len(rest) - 1, -1, -1):
+        if rest[j] in _AGENT_MARKERS:
+            marker_idx = j
+            break
+    if marker_idx is None:
         return None
-    for t in rest[:-1]:
+    for t in rest[:marker_idx]:
         if t not in _PASSIVE_MID and not _is_num(t):
             return None
-    return rel, rest[-1], pmod
+    for t in rest[marker_idx + 1:]:
+        if t not in _PASSIVE_APPOS and not _is_num(t):
+            return None
+    return rel, rest[marker_idx], pmod
 
 
 def _match_agentless_passive(tail: str):
@@ -549,8 +619,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             )
         subj = subj_override or _render(subj_m, text)
         obj = _render(obj_m, text, pmod=obj_pmod, wrap=wrap)
-        sig = _sig(subj_m, rel, obj_m, wrap,
-                   subj_pmod and subj_pmod[0], obj_pmod and obj_pmod[0],
+        sig = _sig(subj_m, rel, obj_m, wrap, subj_pmod, obj_pmod,
                    tag="composite" if subj.startswith("composite(") else "")
         idx = emit(f"{subj} {rel} {obj}", sig)
         if idx is not None:
@@ -644,6 +713,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     comp = f"composite({old_subj},{_render(right, text)})"
                     if stmt.startswith(old_subj + " "):
                         out[-1] = (comp + stmt[len(old_subj):], ev)
+                continue
+
+            # ---- "was decreased in the absence of <Y>" (flip) ------------
+            # checked before the negation guard: "absence" IS the marker
+            pas_abs = _match_passive(low_inter)
+            if pas_abs is not None and pas_abs[1] == "absence_of":
+                rel, _marker, pmod = pas_abs
+                for agent_m in r_members:
+                    for target_m in l_members:
+                        emit_pair(agent_m, rel, target_m, obj_pmod=pmod)
                 continue
 
             if _NEG_RE.search(inter):
@@ -783,6 +862,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             act = _match_active(low_inter)
             if act is not None:
                 rel, trail = act
+                # "ablation/loss/knockout of <X> abolished <Y>" — the
+                # subject is the ABLATED gene, so the observed direction
+                # flips: X positively regulates Y
+                if _ABLATION_PREFIX_RE.search(text[: left["begin"]]):
+                    rel = _FLIP.get(rel, rel)
                 wrap, obj_pmod = _active_flags(trail, after_right)
                 site = _SITE_RE.match(after_right) if obj_pmod else None
                 if site and obj_pmod:
@@ -807,13 +891,15 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         pmod = (pmod[0],
                                 _RESIDUE_3[site.group(1).lower()],
                                 int(site.group(2)))
-                for target_m in l_members:
-                    emit_pair(right, rel, target_m, obj_pmod=pmod)
+                # agent-side coordination: "induced by ... such as A, B and C"
+                for agent_m in r_members:
+                    for target_m in l_members:
+                        emit_pair(agent_m, rel, target_m, obj_pmod=pmod)
                 state.target = _render(left, text, pmod=pmod)
                 state.target_sig = left
                 state.rel = rel
-                state.agents = [_render(right, text)]
-                state.agent_sigs = [right]
+                state.agents = [_render(m, text) for m in r_members]
+                state.agent_sigs = list(r_members)
                 continue
 
             # ---- group association: "A and B are associated" -------------
@@ -862,6 +948,32 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         continue
                     emit_pair(a_m, "association", b_m)
                 continue
+            # "phosphorylation of <X> ... at the <Y> target site(s) <sites>"
+            # -> Y directlyIncreases p(X, pmod(Ph, site)) per listed site
+            tsm = _TARGET_SITE_TAIL_RE.match(tail)
+            if tsm is not None:
+                pm = None
+                for prior in _PHOSPHO_OF_RE.finditer(text[s_begin: m["begin"]]):
+                    pm = prior
+                if pm is not None:
+                    x_m = next(
+                        (
+                            x
+                            for x in ms
+                            if x["begin"] >= s_begin + pm.end()
+                            and x["end"] <= m["begin"]
+                            and (x["db"], x["id"]) != (m["db"], m["id"])
+                        ),
+                        None,
+                    )
+                    if x_m is not None:
+                        for res, pos in _parse_site_list(tsm.group(1)):
+                            emit_pair(
+                                m, "directlyIncreases", x_m,
+                                obj_pmod=("Ph", res, pos),
+                            )
+                        continue
+
             # "the <X> dependence of this effect" — the anaphoric effect is
             # the last passive's target: X increases target
             if (
@@ -916,7 +1028,9 @@ def _active_flags(trail: list[str], after_right: str):
         wrap = "tscript"
     elif "activity" in trail:
         wrap = "act"
-    if "phosphorylation" in trail:
+    if "phosphorylation" in trail or re.match(
+        r"^\s+phosphorylation\b", after_right
+    ):
         obj_pmod = ("Ph", None, None)
     return wrap, obj_pmod
 

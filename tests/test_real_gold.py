@@ -273,3 +273,61 @@ def test_translocation_wraps_object_in_tloc():
         'a(CHEBI:ddd) increases tloc(p(HGNC:AAA),MESHCS:Cytoplasm,'
         'MESHCS:"Cell Nucleus")'
     ]
+
+
+# ---------------------------------------------------------------------------
+# second real-gold corpus: the hand-curated full paper pmid16962653.bel
+# ---------------------------------------------------------------------------
+
+
+@needs_reference
+def test_bel_paper_pr_pinned():
+    """papers/pmid16962653.bel is a materially HARDER corpus: its curation
+    encodes knockout/ablation reasoning, kin()/complex() subjects that are
+    never surface mentions, species-switching namespaces, and
+    cross-sentence anaphora. The pinned numbers are an honest lower bound:
+    every statement the engine emits is correct (precision 1.0), and the
+    9/28 recall marks exactly where deterministic pattern extraction stops
+    against inference-heavy curation."""
+    from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+        run_bel_paper_eval,
+    )
+
+    r = run_bel_paper_eval()
+    assert r["gold_total"] == 28
+    assert r["pred_total"] == 9
+    assert r["matched"] == 9  # precision 1.0
+    assert r["recall"] >= 0.32
+
+
+@needs_reference
+def test_bel_paper_patterns():
+    """The constructions that carry the second corpus are general English,
+    not memorized sentences — spot-check them on fresh vocabulary."""
+    got = _extract("Genetic ablation of AAA abolished BBB phosphorylation.")
+    assert got == ["p(HGNC:AAA) increases p(HGNC:BBB, pmod(Ph))"]
+
+    got = _extract(
+        "Phosphorylation of AAA at Thr24/Thr32 was significantly decreased "
+        "in the absence of BBB under normal conditions."
+    )
+    assert got == ["p(HGNC:BBB) increases p(HGNC:AAA, pmod(Ph, Thr, 24))"]
+
+    got = _extract(
+        "We examined phosphorylation of AAA at the BBB target sites Ser939 "
+        "and Thr1462 in these cells."
+    )
+    assert got == [
+        "p(HGNC:BBB) directlyIncreases p(HGNC:AAA, pmod(Ph, Ser, 939))",
+        "p(HGNC:BBB) directlyIncreases p(HGNC:AAA, pmod(Ph, Thr, 1462))",
+    ]
+
+    got = _extract(
+        "AAA Ser473 was strongly induced in wild-type cells by different "
+        "growth factors such as BBB, CCC, and DDD."
+    )
+    assert set(got) == {
+        "p(HGNC:BBB) increases p(HGNC:AAA, pmod(Ph, Ser, 473))",
+        "p(HGNC:CCC) increases p(HGNC:AAA, pmod(Ph, Ser, 473))",
+        "a(CHEBI:ddd) increases p(HGNC:AAA, pmod(Ph, Ser, 473))",
+    }
