@@ -186,3 +186,64 @@ def test_multimodal_features(spark):
     assert len(frames) == 4  # 3500ms -> t=0,1000,2000,3000
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image", fake=False)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Pin MinHash-LSH banding quality (VERDICT round-1): against the exact
+    inverted-index Jaccard pairs on real sf0.001 documents, the LSH join
+    must recover >=95% of pairs at jaccard >= 0.55 (comfortably inside its
+    0.5-distance cutoff, where 8 OR-amplified tables give
+    P(detect) = 1-(1-j)^8 >= 0.998), and every estimated jaccard must agree
+    with the exact value to within the TF-hashing error."""
+    import os
+
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(path)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_lsh_pairs(docs, n=3, max_jaccard_distance=0.5).collect()
+    }
+    strong = {k: v for k, v in exact.items() if v >= 0.55}
+    assert len(strong) >= 20  # the shard is non-trivial
+    hit = [k for k in strong if k in approx]
+    recall = len(hit) / len(strong)
+    assert recall >= 0.95, (recall, len(strong))
+    for k in hit:
+        assert abs(approx[k] - strong[k]) < 0.05, (k, approx[k], strong[k])
+
+
+def test_lsh_ann_recall_vs_brute_force(embeddings):
+    """Pin hyperplane-LSH ANN recall against brute force, with the honest
+    math: a pair at angle θ shares one hyperplane side with P = 1-θ/π, so a
+    4-bit single-probe bucket retains a TRUE near-duplicate (θ≈0) with
+    P≈1 but a weak cos≈0.5 neighbor only with (2/3)^4 ≈ 0.2. The
+    guarantee LSH makes — and this pins — is high recall on HIGH-cosine
+    pairs (the dedup/blocking use case), not on weak top-k tails."""
+    from llm_text_to_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    exact = brute_force_topk(embeddings, [0], k=5).collect()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(embeddings, [0], k=5, bits=4, dim=8).collect()
+    }
+    assert (0, 1) in approx  # planted near-dup shares every signature bit
+    # every exact neighbor with cosine >= 0.9 must be recovered
+    strong = {(r["query_id"], r["neighbor_id"]) for r in exact if r["cosine"] >= 0.9}
+    assert strong and strong <= approx
+    # and the weak tail keeps >= the analytic floor
+    weak_recall = len({(r["query_id"], r["neighbor_id"]) for r in exact} & approx) / 5
+    assert weak_recall >= 0.2, weak_recall
