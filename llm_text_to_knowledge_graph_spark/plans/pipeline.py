@@ -51,9 +51,20 @@ def run_pipeline(
     persist: bool = False,
     id_strategy: str = "dense",
     fuse: bool = True,
+    extractor: str = "sentence",
 ) -> dict:
     """Run the full pipeline; returns dict of stage-name -> DataFrame plus
     ``metrics`` (list of dicts) when checkpointing.
+
+    ``extractor`` selects the C2 engine for the statements/triples stages:
+    ``"sentence"`` (default) is the round-1 exact-phrase engine over
+    sentence-sliced mentions; ``"block"`` runs the extended paragraph-level
+    pattern engine (``operators.extraction``) — coordination, displaced-agent
+    passives, nominalizations, fold-continuations, cnc+pretreatment synergy —
+    as ONE fused C1+C2 Python crossing over whole paragraphs
+    (``extract_statements_extended``). Block statements carry ``sent_idx = 0``
+    (evidence is the whole paragraph). The sentences/mentions stages are
+    unchanged either way.
 
     ``persist=True`` caches the multiply-referenced stages MEMORY_AND_DISK
     in lazy mode — without it the graph build re-executes the extraction
@@ -153,9 +164,23 @@ def run_pipeline(
             lambda: split_into_sentences(paragraphs).repartition(par, "url"),
         )
         mentions = stage("mentions", lambda: detect_mentions(sentences, alias_rows))
-        statements = stage("statements", lambda: extract_statements(mentions))
-        triples = stage("triples", lambda: parse_triples(statements))
+        if extractor == "sentence":
+            statements = stage("statements", lambda: extract_statements(mentions))
+            triples = stage("triples", lambda: parse_triples(statements))
         flat_mentions = stage("flat_mentions", lambda: explode_mentions(mentions))
+    if extractor == "block":
+        from ..operators.extraction import extract_statements_extended
+
+        statements = stage(
+            "statements_block",
+            lambda: extract_statements_extended(paragraphs, alias_rows),
+            token_extra=":block",
+        )
+        triples = stage(
+            "triples", lambda: parse_triples(statements), token_extra=":block"
+        )
+    elif extractor != "sentence":
+        raise ValueError(f"unknown extractor {extractor!r}")
     ann_map = annotation_map(flat_mentions)
     # id_strategy participates in the snapshot fingerprint: resuming a dense
     # run under --id-strategy hash (or vice versa) must recompute, not serve

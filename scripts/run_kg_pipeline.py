@@ -32,6 +32,14 @@ def main() -> int:
         "or content-addressed xxhash64 (join-free edge build — pass this "
         "explicitly for at-scale runs)",
     )
+    ap.add_argument(
+        "--extractor",
+        choices=["sentence", "block"],
+        default="sentence",
+        help="C2 engine: per-sentence exact-phrase (default) or the extended "
+        "paragraph-level pattern engine (coordination/passives/"
+        "nominalizations/synergy; fused C1+C2 crossing)",
+    )
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args()
 
@@ -46,6 +54,7 @@ def main() -> int:
         input_token=f"synthetic-{args.seed}-{args.n_docs}",
         run_id=f"run-{int(t0)}",
         id_strategy=args.id_strategy,
+        extractor=args.extractor,
     )
 
     counts = {}

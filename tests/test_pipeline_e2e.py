@@ -66,3 +66,30 @@ def test_evidence_carried(result):
     rows = result["triples"].select("bel_statement", "evidence").limit(20).collect()
     for r in rows:
         assert r["evidence"].strip()
+
+
+def test_block_extractor_pipeline_matches_sentence_path(spark, result):
+    """extractor="block" swaps in the extended paragraph-level engine; on
+    the closed-world synthetic corpus it must produce the SAME statement
+    multiset per (url, para_idx) as the sentence engine (the pure-Python
+    equality is pinned in test_real_gold; this pins the Spark wiring —
+    stage substitution, sent_idx=0 marker, graph build downstream)."""
+    pages = pages_df(spark, N_DOCS, seed=42)
+    out = run_pipeline(
+        spark, pages, build_alias_rows(), workdir=None, extractor="block"
+    )
+    block = {
+        (r["url"], r["para_idx"], r["bel_statement"])
+        for r in out["statements"].collect()
+    }
+    sent = {
+        (r["url"], r["para_idx"], r["bel_statement"])
+        for r in result["statements"].collect()
+    }
+    assert block == sent
+    assert (out["statements"].select("sent_idx").distinct().collect()
+            == [(0,)] or block == set())
+    # downstream graph build still holds: every edge endpoint resolves
+    nodes = {n["node_id"] for n in out["nodes"].collect()}
+    for e in out["edges"].limit(200).collect():
+        assert e["s"] in nodes and e["t"] in nodes
