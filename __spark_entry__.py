@@ -31,6 +31,14 @@ VOCAB = [
 VOCAB_ALIAS_ROWS = [
     (w, "VOCAB", str(1000 + i), w.upper(), 1.0) for i, w in enumerate(VOCAB)
 ]
+# custom relation lexicon for relation_extract_docs: webtext words that
+# occur between VOCAB tokens in the documents corpus
+DOC_RELATIONS = [
+    ("value", "increases"),
+    ("key", "decreases"),
+    ("fast", "association"),
+    ("slow", "association"),
+]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -688,6 +696,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cooccurrence_graph"] = cooccurrence_graph
+
+    # C2 phrase engine itself — adjacency + exact-inter-text lookup +
+    # negation gate + per-sentence dedup — run over the real documents table
+    # with a CUSTOM webtext relation lexicon (round-2 feature: the relation
+    # table is data, not code). Fully SQL-checkable: VOCAB mentions are
+    # single tokens and the corpus is single-space-separated, so the
+    # inter-mention text is exactly the token run between vocab occurrences.
+    def relation_extract_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.mentions import (
+            detect_mentions,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.statements import (
+            extract_statements,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.triples import parse_triples
+
+        sentences = _docs_as_sentences(spark, sf)
+        mentions = detect_mentions(sentences, VOCAB_ALIAS_ROWS)
+        statements = extract_statements(mentions, relation_phrases=DOC_RELATIONS)
+        return parse_triples(statements).select(
+            "url", "subj", "pred", "obj", "bel_statement"
+        )
+
+    q["relation_extract_docs"] = relation_extract_docs
 
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
@@ -1398,6 +1430,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
         """,
         "pagerank_graph": pagerank_sql,
+        "relation_extract_docs": f"""
+            WITH l AS (
+              SELECT doc_id,
+                     string_split_regex(text, '[^A-Za-z0-9_-]+') AS toks
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS ord
+              FROM l
+            ),
+            m AS (SELECT doc_id, tok, ord FROM t WHERE tok IN ({vocab_in})),
+            p AS (
+              SELECT doc_id, tok AS a, ord AS oa,
+                     LEAD(tok) OVER w AS b, LEAD(ord) OVER w AS ob
+              FROM m
+              WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            cand AS (
+              SELECT p.doc_id, p.a, p.b,
+                     CASE mid.tok WHEN 'value' THEN 'increases'
+                                  WHEN 'key' THEN 'decreases'
+                                  ELSE 'association' END AS rel
+              FROM p
+              JOIN t mid ON mid.doc_id = p.doc_id AND mid.ord = p.oa + 1
+              WHERE p.ob = p.oa + 2
+                AND mid.tok IN ('value', 'key', 'fast', 'slow')
+            )
+            SELECT DISTINCT
+                   'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   'a(VOCAB:' || UPPER(a) || ')' AS subj,
+                   rel AS pred,
+                   'a(VOCAB:' || UPPER(b) || ')' AS obj,
+                   'a(VOCAB:' || UPPER(a) || ') ' || rel ||
+                       ' a(VOCAB:' || UPPER(b) || ')' AS bel_statement
+            FROM cand
+        """,
         "cooccurrence_graph": f"""
             {cooc_pairs_cte}
             SELECT 'a(VOCAB:' || UPPER(a) || ')' AS subj_name,

@@ -57,13 +57,32 @@ _NOMINAL_PREFIX = {
 }
 
 
-def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]]:
+def extract_from_sentence(
+    sentence: str,
+    mentions: list,
+    relation_phrases: list[tuple[str, str]] | None = None,
+) -> list[tuple[str, str]]:
     """Pure per-sentence extraction -> [(bel_statement, evidence)].
 
     ``mentions``: sequence of dict-like rows with begin/end/db/entry_name.
+
+    ``relation_phrases``: optional custom (phrase, relation) lexicon. When
+    given, the engine runs in pure phrase-lexicon mode — the adjacency +
+    exact-inter-text semantics are identical, but the biomedical extras
+    (pmod verbs, passive pmod, nominalizations, act()/Phosphorylated subject
+    wrappers) are disabled so the behavior is fully determined by the custom
+    lexicon. This makes C2 domain-configurable (the reference hard-codes its
+    relation table in prompt_file_v7.txt; here it is data).
     """
     if mentions is None or len(mentions) < 2:
         return []
+    if relation_phrases is None:
+        phrase_map = _PHRASE_TO_REL
+        pmod_map, passive_map = _PMOD_BY_VERB, _PASSIVE_PMOD
+        nominal_map, wrappers = _NOMINAL_PREFIX, True
+    else:
+        phrase_map = dict(relation_phrases)
+        pmod_map, passive_map, nominal_map, wrappers = {}, {}, {}, False
     ms = sorted(mentions, key=lambda m: (m["begin"], -(m["end"] - m["begin"])))
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
@@ -77,13 +96,13 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
         if not inter2.startswith("complex "):
             continue
         phrase = inter2[len("complex ") :]
-        if phrase not in _PHRASE_TO_REL:
+        if phrase not in phrase_map:
             continue
         subj = (
             f"complex({make_term(a['db'], a['entry_name'])}, "
             f"{make_term(b['db'], b['entry_name'])})"
         )
-        stmt = f"{subj} {_PHRASE_TO_REL[phrase]} {make_term(c['db'], c['entry_name'])}"
+        stmt = f"{subj} {phrase_map[phrase]} {make_term(c['db'], c['entry_name'])}"
         if stmt not in seen:
             seen.add(stmt)
             out.append((stmt, sentence))
@@ -100,31 +119,31 @@ def extract_from_sentence(sentence: str, mentions: list) -> list[tuple[str, str]
         # subject wrappers cued by the text immediately before the subject
         # (prompt BEL-function list: act(), pmod() as term arguments)
         prefix = sentence[: left["begin"]]
-        if _ACTIVITY_PREFIX_RE.search(prefix):
+        if wrappers and _ACTIVITY_PREFIX_RE.search(prefix):
             subj = f"act({subj})"
-        elif prefix.endswith("Phosphorylated "):
+        elif wrappers and prefix.endswith("Phosphorylated "):
             subj = make_term(left["db"], left["entry_name"], pmod=("Ph", None, None))
-        if inter in _PMOD_BY_VERB:
-            rel, mod = _PMOD_BY_VERB[inter]
+        if inter in pmod_map:
+            rel, mod = pmod_map[inter]
             site = _PMOD_SITE_RE.match(sentence[right["end"] :])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             obj = make_term(right["db"], right["entry_name"], pmod=pmod)
             stmt = f"{subj} {rel} {obj}"
-        elif inter in _PASSIVE_PMOD:
+        elif inter in passive_map:
             # roles reversed: the agent is the RIGHT mention, the modified
             # protein the LEFT one; the site phrase still follows the agent
-            rel, mod = _PASSIVE_PMOD[inter]
+            rel, mod = passive_map[inter]
             site = _PMOD_SITE_RE.match(sentence[right["end"] :])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             agent = make_term(right["db"], right["entry_name"])
             target = make_term(left["db"], left["entry_name"], pmod=pmod)
             stmt = f"{agent} {rel} {target}"
-        elif inter in _PHRASE_TO_REL:
-            rel = _PHRASE_TO_REL[inter]
+        elif inter in phrase_map:
+            rel = phrase_map[inter]
             obj = make_term(right["db"], right["entry_name"])
             stmt = f"{subj} {rel} {obj}"
         elif inter == "by":
-            for nominal, rel in _NOMINAL_PREFIX.items():
+            for nominal, rel in nominal_map.items():
                 if prefix.endswith(nominal):
                     agent = make_term(right["db"], right["entry_name"])
                     target = make_term(left["db"], left["entry_name"])
@@ -181,9 +200,17 @@ def extract_cooccurrence(mentions_df: DataFrame) -> DataFrame:
     )
 
 
-def extract_statements(mentions_df: DataFrame) -> DataFrame:
+def extract_statements(
+    mentions_df: DataFrame,
+    relation_phrases: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """MENTIONS -> STATEMENTS (url, warc_ts, para_idx, sent_idx,
-    bel_statement, evidence)."""
+    bel_statement, evidence).
+
+    ``relation_phrases``: optional custom (phrase, relation) lexicon — see
+    ``extract_from_sentence``. The lexicon rides the serialized UDF closure
+    (relation tables are O(100) entries; broadcast would buy nothing)."""
+    lex = list(relation_phrases) if relation_phrases is not None else None
 
     @F.pandas_udf(ArrayType(STATEMENT))
     def _extract(sent: pd.Series, ments: pd.Series) -> pd.Series:
@@ -191,7 +218,7 @@ def extract_statements(mentions_df: DataFrame) -> DataFrame:
             [
                 [
                     {"bel_statement": s, "evidence": e}
-                    for s, e in extract_from_sentence(txt, mlist)
+                    for s, e in extract_from_sentence(txt, mlist, lex)
                 ]
                 for txt, mlist in zip(sent, ments)
             ]

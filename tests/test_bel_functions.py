@@ -140,3 +140,39 @@ def test_nominalization_extraction_reverses_roles():
     # bare "by" without a known nominal prefix extracts nothing
     s2 = "The observation of MTOR by AKT1 was evident."
     assert extract_from_sentence(s2, [ment(s2, "MTOR"), ment(s2, "AKT1")]) == []
+
+
+def test_custom_relation_lexicon_mode():
+    """extract_from_sentence with a custom (phrase, relation) lexicon: the
+    adjacency + exact-inter-text semantics are unchanged, but the biomedical
+    extras (pmod verbs, subject wrappers, nominalizations) are disabled so
+    behavior is fully determined by the supplied lexicon."""
+    from llm_text_to_knowledge_graph_spark.operators.statements import (
+        extract_from_sentence,
+    )
+
+    def ments(text, words):
+        out = []
+        for w in words:
+            i = text.index(w)
+            out.append({"begin": i, "end": i + len(w), "db": "VOCAB",
+                        "id": w, "entry_name": w.upper(), "score": 1.0})
+        return out
+
+    lex = [("value", "increases"), ("key", "decreases")]
+    text = "hash value table"
+    got = extract_from_sentence(text, ments(text, ["hash", "table"]), lex)
+    assert got == [("a(VOCAB:HASH) increases a(VOCAB:TABLE)", text)]
+
+    # a phrase outside the custom lexicon emits nothing — even one the
+    # default biomedical lexicon knows
+    text2 = "hash phosphorylates table"
+    assert extract_from_sentence(text2, ments(text2, ["hash", "table"]), lex) == []
+    # ... while the default lexicon still handles it (pmod branch intact)
+    got2 = extract_from_sentence(text2, ments(text2, ["hash", "table"]))
+    assert got2 and "pmod(Ph)" in got2[0][0]
+
+    # negation gate still applies in custom mode (inter text must not start
+    # with a cue; here it simply fails the exact-match lookup too)
+    text3 = "hash not value table"
+    assert extract_from_sentence(text3, ments(text3, ["hash", "table"]), lex) == []
