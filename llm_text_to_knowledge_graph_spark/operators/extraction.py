@@ -151,6 +151,43 @@ _ABLATION_PREFIX_RE = re.compile(
     r"(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of\s+$", re.I
 )
 _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
+# --- genetic-perturbation (knockout) inference vocabulary ------------------
+# context: "<G>−/− cells", "<G> knockouts", "<G> null", "<G>-deficient" —
+# gene G is genetically removed in the described cells, so an event LOST in
+# them is positively regulated by G and an event that RISES is negatively
+# regulated (the same curator reasoning as papers/pmid16962653.bel)
+_KO_SUFFIX_RE = re.compile(
+    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|[-−]deficient\b)"
+)
+# species-specific gene namespaces: a knockout statement whose subject and
+# object ground to two DIFFERENT ones is a species mixup of the flat
+# single-namespace lexicon — skip rather than guess
+_GENE_NS = {"HGNC", "MGI", "RGD", "EGID", "UNIPROT"}
+# a phospho event, optionally site-prefixed: "Ser473 phosphorylation",
+# "Thr308 phosphorylation of Akt", "phosphorylation of FoxO1 at Thr24"
+_KO_PHOS_RE = re.compile(
+    r"(?:\b(Ser|Thr|Tyr|Lys|Arg)(\d+)\S*\s+)?\bphosphorylation\b"
+)
+_KO_AT_SITE_RE = re.compile(r"^\s+at\s+(Ser|Thr|Tyr|Lys|Arg)(\d+)", re.I)
+# the event is LOST in the knockout -> G positively regulates it
+_KO_LOST_RE = re.compile(
+    r"^\s*(?:\([^)]*\)\s*)?,?\s*(?:was|were|is|are)\s+"
+    r"(?:\w+ly\s+|also\s+|still\s+)*"
+    r"(?:abolished|blocked|lost|eliminated|absent|impaired|prevented|"
+    r"decreased|reduced|diminished|undetectable|"
+    r"not\s+induced|not\s+detected|not\s+observed)\b"
+)
+# contrastive "...was not blocked": a causesNoChange, but only informative
+# when a LOST event was stated alongside it ("although X was abolished, Y
+# was not blocked"); a standalone negative control is curator noise
+_KO_UNCHANGED_RE = re.compile(
+    r"^\s*(?:\([^)]*\)\s*)?,?\s*(?:was|were|is|are)\s+(?:also\s+|still\s+)*"
+    r"not\s+(?:blocked|inhibited|impaired|affected|altered|changed)\b"
+)
+# a nominal rise/fall of an event in the knockout cells
+_KO_RISE_RE = re.compile(
+    r"\b(increase|elevation|decrease|reduction)\s+in\b", re.I
+)
 _FLIP = {"increases": "decreases", "decreases": "increases",
          "directlyIncreases": "directlyDecreases",
          "directlyDecreases": "directlyIncreases"}
@@ -641,6 +678,95 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         ]
         for stmt, _ev in extract_from_sentence(sent, local):
             emit(stmt)
+
+        # ---- genetic-perturbation (knockout) inference -------------------
+        ko_genes = [g for g in ms if _KO_SUFFIX_RE.match(text[g["end"]: s_end])]
+        if ko_genes:
+            ko_lost_seen = False
+            for ev in _KO_PHOS_RE.finditer(text, s_begin, s_end):
+                site = (
+                    (_RESIDUE_3[ev.group(1).lower()], int(ev.group(2)))
+                    if ev.group(1) else None
+                )
+                tail_pos = ev.end()
+                target = None
+                mof = re.match(r"\s*of\s+", text[ev.end(): s_end])
+                if mof:
+                    pos = ev.end() + mof.end()
+                    target = next((m for m in ms if m["begin"] == pos), None)
+                    if target is not None:
+                        tail_pos = target["end"]
+                        if site is None:
+                            at = _KO_AT_SITE_RE.match(text[tail_pos: s_end])
+                            if at:
+                                site = (_RESIDUE_3[at.group(1).lower()],
+                                        int(at.group(2)))
+                                tail_pos += at.end()
+                if target is None:
+                    # mention directly before "phosphorylation"
+                    target = next(
+                        (m for m in ms
+                         if m["end"] <= ev.start()
+                         and not text[m["end"]: ev.start()].strip()),
+                        None,
+                    )
+                if target is None and site is not None:
+                    # bare-site event ("Ser473 phosphorylation was
+                    # abolished"): the protein is anaphoric — nearest
+                    # non-perturbed mention in the sentence, else the
+                    # protein history of prior sentences
+                    cands = [m for m in ms if m not in ko_genes]
+                    if cands:
+                        target = min(
+                            cands, key=lambda m: abs(m["begin"] - ev.start())
+                        )
+                    elif state.protein_history:
+                        target = state.protein_history[-1]
+                if target is None or any(
+                    (target["db"], target["id"]) == (g["db"], g["id"])
+                    for g in ko_genes
+                ):
+                    continue
+                eff = text[tail_pos: s_end]
+                rel = None
+                if _KO_LOST_RE.match(eff):
+                    rel, ko_lost_seen = "increases", True
+                elif ko_lost_seen and _KO_UNCHANGED_RE.match(eff):
+                    rel = "causesNoChange"
+                if rel is None:
+                    continue
+                pmod = ("Ph", site[0], site[1]) if site else ("Ph", None, None)
+                for g in ko_genes:
+                    if (g["db"] != target["db"] and g["db"] in _GENE_NS
+                            and target["db"] in _GENE_NS):
+                        continue
+                    emit(
+                        f"{_render(g, text)} {rel} "
+                        f"{_render(target, text, pmod=pmod)}",
+                        _sig(g, rel, target, None, None, pmod, tag="ko"),
+                    )
+            mup = _KO_RISE_RE.search(text, s_begin, s_end)
+            if mup is not None:
+                direction = (
+                    "decreases" if mup.group(1).lower() in _NOMINAL_UP
+                    else "increases"
+                )
+                target = next(
+                    (m for m in ms
+                     if m["begin"] >= mup.end() and m not in ko_genes),
+                    None,
+                )
+                if target is not None:
+                    for g in ko_genes:
+                        if (g["db"] != target["db"] and g["db"] in _GENE_NS
+                                and target["db"] in _GENE_NS):
+                            continue
+                        emit(
+                            f"{_render(g, text)} {direction} "
+                            f"{_render(target, text)}",
+                            _sig(g, direction, target, None, None, None,
+                                 tag="ko"),
+                        )
 
         # pre-scan: "X enhances the ability of Y to ..." composite subjects
         ability_subject: dict[int, tuple[dict, str]] = {}

@@ -287,7 +287,9 @@ def test_bel_paper_pr_pinned():
     never surface mentions, species-switching namespaces, and
     cross-sentence anaphora. The pinned numbers are an honest lower bound:
     every statement the engine emits is correct (precision 1.0), and the
-    9/28 recall marks exactly where deterministic pattern extraction stops
+    12/28 recall marks exactly where deterministic pattern extraction —
+    including the knockout-inference pass, which recovers the
+    "G−/− cells lost event E ⇒ G increases E" curator reasoning — stops
     against inference-heavy curation."""
     from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
         run_bel_paper_eval,
@@ -295,9 +297,9 @@ def test_bel_paper_pr_pinned():
 
     r = run_bel_paper_eval()
     assert r["gold_total"] == 28
-    assert r["pred_total"] == 9
-    assert r["matched"] == 9  # precision 1.0
-    assert r["recall"] >= 0.32
+    assert r["pred_total"] == 12
+    assert r["matched"] == 12  # precision 1.0
+    assert r["recall"] >= 0.42
 
 
 @needs_reference
@@ -331,3 +333,36 @@ def test_bel_paper_patterns():
         "p(HGNC:CCC) increases p(HGNC:AAA, pmod(Ph, Ser, 473))",
         "a(CHEBI:ddd) increases p(HGNC:AAA, pmod(Ph, Ser, 473))",
     }
+
+
+@needs_reference
+def test_knockout_inference_patterns():
+    """Knockout inference on fresh vocabulary: an event LOST in G−/−
+    cells is increased by G; an event that RISES is decreased by G; a
+    contrastive 'was not blocked' alongside a lost event is
+    causesNoChange. Cues are suffix-bound to the mention (−/−,
+    knockout(s), null, −deficient) so ordinary sentences never fire."""
+    got = _extract("In AAA−/− cells, Ser473 phosphorylation of BBB was "
+                   "abolished.")
+    assert got == ["p(HGNC:AAA) increases p(HGNC:BBB, pmod(Ph, Ser, 473))"]
+
+    got = _extract("AAA knockout cells showed a marked increase in BBB.")
+    assert got == ["p(HGNC:AAA) decreases p(HGNC:BBB)"]
+
+    got = _extract("AAA null cells displayed a reduction in BBB.")
+    assert got == ["p(HGNC:AAA) increases p(HGNC:BBB)"]
+
+    got = _extract(
+        "In AAA−deficient fibroblasts, phosphorylation of BBB at Thr308 "
+        "was lost, whereas phosphorylation of CCC was not affected."
+    )
+    assert got == [
+        "p(HGNC:AAA) increases p(HGNC:BBB, pmod(Ph, Thr, 308))",
+        "p(HGNC:AAA) causesNoChange p(HGNC:CCC, pmod(Ph))",
+    ]
+
+    # the contrast gate: a standalone "was not blocked" with no lost
+    # event in the same sentence is a negative control -> no statement
+    got = _extract("In AAA−/− cells, phosphorylation of BBB was not "
+                   "blocked.")
+    assert got == []
