@@ -729,6 +729,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_pairs"] = minhash_pairs
 
+    # Deterministic MinHash (md5-min signatures, no model object) — unlike
+    # the pyspark.ml variant above, the signatures are a pure function of
+    # the text, so the DuckDB oracle recomputes the identical sketch and
+    # this one is fully hash-checked.
+    def minhash_pairs_det(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_det_pairs
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return minhash_det_pairs(
+            docs, n=1, num_hashes=16, bands=4, min_est=0.5
+        ).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "jaccard_est",
+        )
+
+    q["minhash_pairs_det"] = minhash_pairs_det
+
+    # JVM-native md5 SimHash — zero Python crossings, and (unlike the
+    # FNV/pandas sketch) bit-for-bit recomputable by the DuckDB oracle.
+    def simhash_pairs_native(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.dedup import (
+            simhash_native_pairs,
+        )
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return simhash_native_pairs(docs, bands=4, max_hamming=8).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+
+    q["simhash_pairs_native"] = simhash_pairs_native
+
     def simhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import (
             simhash_candidate_pairs,
@@ -844,18 +878,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fuzzy_linking_synthetic"] = fuzzy_linking_synthetic
 
+    # Hyperplane-LSH ANN. The planes are seeded numpy (RandomState(42)), so
+    # the oracle regenerates the IDENTICAL plane matrix as SQL literals and
+    # DuckDB rebuilds the same buckets — fully SQL-checkable like IVF.
     def lsh_ann_topk(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.similarity import lsh_topk
 
-        emb = _read(spark, sf, "embeddings")
-        return lsh_topk(emb, query_ids=[0, 1, 2], k=5, bits=6)
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return lsh_topk(
+            emb, query_ids=[0, 1, 2], k=5, bits=6, dim=64, round_digits=3
+        )
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
     # ---- IVF ANN: deterministic coarse quantizer -> probe-limited search.
     # Centroids are the 16 lowest-id vectors, so DuckDB can rebuild the
-    # identical index and the result is fully SQL-checkable (unlike LSH,
-    # whose hyperplanes live in numpy).
+    # identical index and the result is fully SQL-checkable.
     def ivf_ann_topk(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.similarity import ivf_topk
 
@@ -1072,6 +1113,146 @@ def oracle_sql() -> dict[str, str]:
         r0 AS (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
         {pr_iters}
         SELECT node_id, ROUND(rank, 6) AS rank FROM it5
+    """
+
+    # Hyperplane-LSH oracle: regenerate the seeded plane matrix (identical
+    # to similarity._hyperplanes(64, 6) — numpy RandomState(42)) and inline
+    # it as DOUBLE[] literals. repr() round-trips doubles exactly, so DuckDB
+    # parses the very same plane values the Spark plan folds over.
+    from llm_text_to_knowledge_graph_spark.operators.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 6)
+    plane_rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in row)
+        )
+        for i, row in enumerate(_planes)
+    )
+    lsh_sql = f"""
+        WITH planes(i, p) AS (
+          VALUES {plane_rows}),
+        b AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec,
+                 SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                          THEN (1 << pl.i) ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY 1, 2),
+        q AS (SELECT vec_id AS query_id, vec AS qvec, bucket
+              FROM b WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.vec, q.qvec), 3) AS cosine
+          FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+    # Deterministic-MinHash oracle: same md5-min signature, 16 hashes in
+    # 4 bands of 4, recomputed entirely in SQL over the same unigram set
+    # as the jaccard_pairs oracle.
+    _nh, _nb = 16, 4
+    _r = _nh // _nb
+    sig_aggs = ",\n                 ".join(
+        f"MIN(md5('{j}:' || gram)) AS h{j}" for j in range(_nh)
+    )
+    band_keys = "\n                 ".join(
+        "WHEN {} THEN md5({})".format(
+            b, " || '|' || ".join(f"h{j}" for j in range(b * _r, (b + 1) * _r))
+        )
+        for b in range(_nb)
+    )
+    est_sum = " + ".join(f"CAST(sa.h{j} = sb.h{j} AS INT)" for j in range(_nh))
+    minhash_det_sql = f"""
+        WITH grams AS (
+          SELECT doc_id AS id,
+                 list_distinct(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS g
+          FROM documents WHERE doc_id < 300),
+        inv AS (SELECT id, unnest(g) AS gram FROM grams),
+        sig AS (
+          SELECT id,
+                 {sig_aggs}
+          FROM inv GROUP BY id),
+        banded AS (
+          SELECT id, b.band,
+                 CASE b.band
+                 {band_keys}
+                 END AS key
+          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 ({est_sum}) / {_nh}.0 AS jaccard_est
+          FROM cand c
+          JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b)
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               ROUND(jaccard_est, 6) AS jaccard_est
+        FROM est WHERE jaccard_est >= 0.5
+    """
+
+    # Native-SimHash oracle: rebuild the md5 sketch bit-for-bit in SQL.
+    # Bit k = nibble bit (k % 4) of hex char (16 - k//4) of md5(token);
+    # per-doc vote sums are 64 SUM(CASE) columns; sign assembly weights
+    # bit 63 by -2^63 (two's complement), matching the Spark long.
+    _digit = "strpos('0123456789abcdef', substr(h, {c}, 1)) - 1"
+    bit_sums = ",\n                 ".join(
+        "SUM(CASE WHEN (({d}) >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}".format(
+            d=_digit.format(c=16 - k // 4), s=k % 4, k=k
+        )
+        for k in range(64)
+    )
+    sign_terms = " + ".join(
+        "CASE WHEN b{k} > 0 THEN {w} ELSE 0 END".format(
+            k=k, w=f"(1::BIGINT << {k})" if k < 63 else "(-9223372036854775807 - 1)"
+        )
+        for k in range(64)
+    )
+    band_cols = ",\n                 ".join(
+        " + ".join(
+            f"CASE WHEN b{16 * i + j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END"
+            for j in range(16)
+        )
+        + f" AS key{i}"
+        for i in range(4)
+    )
+    simhash_native_sql = f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents WHERE doc_id < 300),
+        hashed AS (SELECT id, md5(tok) AS h FROM toks),
+        bits AS (
+          SELECT id,
+                 {bit_sums}
+          FROM hashed GROUP BY id),
+        sk AS (
+          SELECT id,
+                 {sign_terms} AS simhash,
+                 {band_cols}
+          FROM bits),
+        banded AS (
+          SELECT id, simhash, b.band,
+                 CASE b.band WHEN 0 THEN key0 WHEN 1 THEN key1
+                             WHEN 2 THEN key2 ELSE key3 END AS key
+          FROM sk CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
     """
 
     mention_union = "\nUNION ALL\n".join(
@@ -1347,6 +1528,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(r) AS BIGINT) AS component
             FROM reach GROUP BY node
         """,
+        "lsh_ann_topk": lsh_sql,
+        "minhash_pairs_det": minhash_det_sql,
+        "simhash_pairs_native": simhash_native_sql,
         "ivf_ann_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

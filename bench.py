@@ -108,7 +108,9 @@ def main() -> int:
         "mention_counts_native",
         "connected_components_graph",
         "minhash_pairs",
+        "minhash_pairs_det",
         "simhash_pairs",
+        "simhash_pairs_native",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

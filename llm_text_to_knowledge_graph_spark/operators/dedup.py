@@ -160,6 +160,118 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic MinHash (engine-portable, no model object)
+# ---------------------------------------------------------------------------
+
+def minhash_det_signatures(
+    docs: DataFrame,
+    n: int = 1,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures with NO fitted model and NO engine-private seeds:
+    component j = MIN over the doc's distinct n-grams of md5(f"{j}:" + gram),
+    compared as hex strings (lexicographic min — ASCII, engine-portable).
+
+    Why this exists alongside ``minhash_lsh_pairs`` (pyspark.ml): at scale a
+    signature store must be STABLE ACROSS RUNS so tonight's crawl shards can
+    be banded against last month's corpus without re-sketching 100 TB.
+    pyspark.ml's hash coefficients live inside a fitted model object; these
+    signatures are a pure function of the text, reproducible by any engine
+    that has md5 (the driver's DuckDB oracle recomputes them exactly).
+
+    Plan shape: explode distinct grams -> ONE groupBy(id) carrying all
+    ``num_hashes`` MIN aggregates (map-side partial agg applies, so the
+    shuffle moves one 16-string row per doc per mapper, not the grams)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(_grams(F.col(text_col), n)).alias("gram")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return grams.groupBy("id").agg(*aggs)
+
+
+def minhash_det_pairs(
+    docs: DataFrame,
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from deterministic MinHash signatures via
+    classic banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, band key = md5 of the concatenated rows;
+    pairs sharing any band key are candidates (sub-quadratic — the join key
+    is the band hash, high-cardinality by construction). The reported
+    ``jaccard_est`` is the fraction of equal signature components (exact
+    k/num_hashes rationals, binary-exact for power-of-two num_hashes).
+
+    Self-join carries the signature array through the band join (≈0.5 KB/row
+    at 16 hashes) rather than re-joining pairs back to the signature table —
+    one shuffle instead of three at 100 TB."""
+    banded = minhash_det_banded(docs, n, num_hashes, bands, id_col, text_col)
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(_sig_est("sig_a", "sig_b", num_hashes), 6).alias("jaccard_est"),
+        )
+        .distinct()
+        .filter(F.col("jaccard_est") >= min_est)
+    )
+
+
+def _sig_est(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard = fraction of equal signature components (exact
+    k/num_hashes rationals — binary-exact for power-of-two num_hashes)."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes))
+    )
+
+
+def minhash_det_banded(
+    docs: DataFrame,
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded banded signature rows ``(id, sig, band, key)`` — the
+    storable form of the deterministic sketch: band ``key`` is md5 of the
+    band's signature components, so a signature TABLE written by one run
+    can be band-joined by any later run (see streaming/dedup.py)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_det_signatures(docs, n, num_hashes, id_col, text_col)
+    sig = sig.withColumn(
+        "sig", F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{j}") for j in range(b * r, (b + 1) * r)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit, vectorized)
 # ---------------------------------------------------------------------------
 
@@ -242,17 +354,11 @@ def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 
 
-def simhash_candidate_pairs(
-    docs: DataFrame,
-    bands: int = 4,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _simhash_band_pairs(
+    sh: DataFrame, bands: int, max_hamming: int
 ) -> DataFrame:
-    """Near-dup candidates: split the 64-bit sketch into ``bands`` 16-bit
-    bands; pairs sharing any band are candidates (pigeonhole: hamming<=3
-    with 4 bands guarantees a shared band); verify with exact popcount."""
-    sh = with_simhash(docs, id_col, text_col)
+    """Banding + exact-popcount verify over a ``(id, simhash)`` frame —
+    shared by the FNV/pandas and md5/native sketch variants."""
     width = 64 // bands
     banded = sh.select(
         "id",
@@ -283,6 +389,75 @@ def simhash_candidate_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates: split the 64-bit sketch into ``bands`` 16-bit
+    bands; pairs sharing any band are candidates (pigeonhole: hamming<=3
+    with 4 bands guarantees a shared band); verify with exact popcount."""
+    return _simhash_band_pairs(
+        with_simhash(docs, id_col, text_col), bands, max_hamming
+    )
+
+
+def with_simhash_native(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash with ZERO Python crossings: token hash = the first 64
+    bits of md5(token) (big-endian), parsed JVM-side via ``conv`` into two
+    32-bit halves; the 64 per-bit vote sums are ordinary partial-aggregating
+    SUM columns, so the only shuffle moves one 64-int row per doc per
+    mapper. Whole pipeline stays inside whole-stage codegen — this is the
+    100 TB sketch path, and because md5 is engine-universal the driver's
+    DuckDB oracle recomputes the sketch bit-for-bit (the FNV/pandas variant
+    above keeps parity with the published scalar reference definition).
+
+    Bit numbering: bit k of the sketch = bit k (LSB=0) of the 64-bit
+    big-endian md5 prefix, i.e. hex char ``16 - k//4``, nibble bit
+    ``k % 4``."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    h = F.md5("tok")
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for k in range(64):
+        src, s = (F.col("lo"), k) if k < 32 else (F.col("hi"), k - 32)
+        bit = F.shiftrightunsigned(src, s).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - F.lit(1)).alias(f"b{k}"))
+    acc = hashed.groupBy("id").agg(*aggs)
+    val = F.lit(0).cast("long")
+    for k in range(64):
+        weight = F.lit(1 << k) if k < 63 else F.lit(-(1 << 63))
+        val = val + F.when(F.col(f"b{k}") > 0, weight).otherwise(F.lit(0))
+    return acc.select("id", val.alias("simhash"))
+
+
+def simhash_native_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``simhash_candidate_pairs`` over the JVM-native md5 sketch — same
+    banding/verify plan, no Python anywhere, fully SQL-oracle-checkable."""
+    return _simhash_band_pairs(
+        with_simhash_native(docs, id_col, text_col), bands, max_hamming
     )
 
 

@@ -95,10 +95,15 @@ def lsh_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by hyperplane signature; each
     query scans only its own bucket. At 100TB the bucketed corpus is
     written once (partitioned by bucket) and probed many times.
+
+    The hyperplanes are seeded (``_hyperplanes``), so the whole index is
+    reproducible outside Spark — the driver's DuckDB oracle regenerates the
+    identical planes as SQL literals and recomputes the buckets.
 
     Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback is a
     driver action (acceptable interactively, a plan break mid-pipeline)."""
@@ -117,11 +122,13 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(cosine_col(F.col("qvec"), F.col(vec_col)), round_digits).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

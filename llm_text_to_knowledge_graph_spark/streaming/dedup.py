@@ -1,0 +1,148 @@
+"""Incremental (streaming) near-duplicate filtering.
+
+Why this works at all: ``minhash_det_signatures`` is a pure function of the
+text (md5-min components, no fitted model, no engine seeds), so a signature
+written by LAST MONTH's run band-joins correctly against TONIGHT's
+micro-batch without re-sketching the historical corpus. pyspark.ml's
+MinHashLSH cannot do this without persisting and re-loading the fitted
+model object everywhere; the deterministic sketch needs only the parquet
+signature table.
+
+Per micro-batch of newly landed docs:
+
+  1. sketch the batch (banded rows ``(id, sig, band, key)``)
+  2. band-join against the ACCUMULATED signature store -> docs that
+     near-duplicate any earlier survivor
+  3. band-join the batch against itself -> within-batch dups (larger id
+     loses, so the outcome is deterministic and order-free)
+  4. append only the SURVIVORS' docs and signatures (idempotent per-batch
+     partition overwrite — replayed batches converge, ADVICE round 1)
+
+Dropping dup rows *and their signatures* keeps the store minimal while
+preserving transitive semantics through the surviving representative: a
+future doc similar to a dropped doc is (with LSH probability) similar to
+the survivor it duplicated.
+
+At 100 TB the signature store is the bottleneck surface, not the corpus:
+it is ~(num_hashes x 32 B + overhead) per surviving doc, written
+partitioned/bucketed by ``key`` (Iceberg bucket transform in production)
+so the per-batch band-join prunes to the batch's own buckets instead of
+scanning the full store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _sig_est, minhash_det_banded
+from .incremental import _write_batch_idempotent, stream_pages
+
+SIG_SCHEMA = "id long, sig array<string>, band int, key string"
+
+
+def _store_path(out_root: str) -> str:
+    return f"{out_root}/signatures"
+
+
+def read_signature_store(spark: SparkSession, out_root: str) -> DataFrame:
+    """Accumulated banded signatures of all surviving docs (empty-safe)."""
+    path = _store_path(out_root)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], SIG_SCHEMA)
+    return spark.read.parquet(path).drop("batch_id")
+
+
+def _dup_ids(
+    new_banded: DataFrame, store_banded: DataFrame, num_hashes: int, min_est: float
+) -> DataFrame:
+    """Ids in ``new_banded`` that near-duplicate the store or an
+    earlier-id row of the same batch. One distinct id column."""
+    n = new_banded.select(
+        F.col("id").alias("new_id"), F.col("sig").alias("new_sig"), "band", "key"
+    )
+    # old_id != new_id: on a foreachBatch REPLAY the store may already hold
+    # this very batch's partially-written signatures — without the guard
+    # every replayed doc would match itself at est=1.0 and the idempotent
+    # overwrite would converge to an EMPTY partition instead of the same one.
+    vs_store = (
+        n.join(
+            store_banded.select(
+                "band", "key",
+                F.col("id").alias("old_id"), F.col("sig").alias("old_sig"),
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("old_id") != F.col("new_id"))
+        .filter(_sig_est("new_sig", "old_sig", num_hashes) >= min_est)
+        .select("new_id")
+    )
+    o = new_banded.select(
+        F.col("id").alias("old_id"), F.col("sig").alias("old_sig"), "band", "key"
+    )
+    vs_batch = (
+        n.join(o, ["band", "key"])
+        .filter(F.col("old_id") < F.col("new_id"))
+        .filter(_sig_est("new_sig", "old_sig", num_hashes) >= min_est)
+        .select(F.col("new_id"))
+    )
+    return vs_store.union(vs_batch).distinct()
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Streaming near-dup filter: new page files -> survivors appended to
+    ``{out_root}/docs``, their banded signatures to
+    ``{out_root}/signatures``. Returns the started query.
+
+    The streaming source carries the corpus PAGES schema (url as the id);
+    a stable long id is derived from xxhash64(url) — content-addressed like
+    the graph ids, so replays and backfills agree on it."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.withColumn("doc_id", F.xxhash64("url"))
+        banded = minhash_det_banded(
+            docs, n=n, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col="text",
+        ).persist()
+        try:
+            store = read_signature_store(spark, out_root)
+            dups = _dup_ids(banded, store, num_hashes, min_est)
+            survivors = docs.join(
+                dups.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+            )
+            _write_batch_idempotent(survivors, f"{out_root}/docs", batch_id)
+            surviving_sigs = banded.join(
+                dups.withColumnRenamed("new_id", "id"), "id", "left_anti"
+            )
+            _write_batch_idempotent(
+                surviving_sigs, _store_path(out_root), batch_id
+            )
+        finally:
+            banded.unpersist()
+
+    writer = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_deduped_docs(spark: SparkSession, out_root: str) -> DataFrame:
+    """Surviving docs across all processed batches."""
+    return spark.read.parquet(f"{out_root}/docs").drop("batch_id")

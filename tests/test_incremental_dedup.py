@@ -1,0 +1,90 @@
+"""Streaming near-dup filter == batch dedup semantics.
+
+The deterministic MinHash sketch (operators/dedup.py) is a pure function of
+the text, so signatures written by earlier micro-batches band-join
+correctly against later ones — the property pyspark.ml's model-bound
+MinHashLSH lacks. These tests drive the stream in two waves and check the
+cross-wave and within-wave drop behavior, plus replay convergence.
+"""
+
+from pyspark.sql import functions as F
+
+from llm_text_to_knowledge_graph_spark.streaming.dedup import (
+    incremental_dedup,
+    read_deduped_docs,
+    read_signature_store,
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows], PAGES_SCHEMA
+    )
+
+
+def test_incremental_dedup_two_waves(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_root = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # 7/9 jaccard
+    other = "one two three four five six seven eight"
+
+    # wave 1: two distinct docs + one exact in-wave dup of the first
+    _pages(
+        spark,
+        [("u://a", base), ("u://b", other), ("u://a2", base)],
+    ).write.mode("append").parquet(pages_dir)
+    incremental_dedup(spark, pages_dir, out_root, ckpt, bands=8).awaitTermination(120)
+
+    docs1 = {r["url"]: r["text"] for r in read_deduped_docs(spark, out_root).collect()}
+    assert set(docs1.values()) == {base, other}  # exact dup dropped
+    assert len(docs1) == 2
+
+    # wave 2: a near-dup of wave-1's survivor + one genuinely new doc
+    _pages(
+        spark,
+        [("u://c", near), ("u://d", "nine ten eleven twelve thirteen fourteen")],
+    ).write.mode("append").parquet(pages_dir)
+    incremental_dedup(spark, pages_dir, out_root, ckpt, bands=8).awaitTermination(120)
+
+    docs2 = read_deduped_docs(spark, out_root)
+    texts = {r["text"] for r in docs2.collect()}
+    assert near not in texts  # cross-wave near-dup dropped via the store
+    assert "nine ten eleven twelve thirteen fourteen" in texts
+    assert docs2.count() == 3
+
+    # the signature store holds exactly the survivors' banded rows
+    store = read_signature_store(spark, out_root)
+    assert store.select("id").distinct().count() == 3
+    assert store.count() == 3 * 8  # bands=8 rows per survivor
+
+    # drained stream re-run appends nothing (streaming checkpoint)
+    incremental_dedup(spark, pages_dir, out_root, ckpt, bands=8).awaitTermination(120)
+    assert read_deduped_docs(spark, out_root).count() == 3
+
+
+def test_replayed_batch_converges(spark, tmp_path):
+    """Replaying a batch whose signatures are ALREADY in the store must not
+    let docs match themselves (the old_id != new_id guard): the partition
+    rewrite converges to the same survivors, not to empty."""
+    from llm_text_to_knowledge_graph_spark.streaming.dedup import (
+        _dup_ids,
+    )
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_det_banded,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    banded = minhash_det_banded(docs)
+    # simulate the replay: the store already holds this batch's signatures
+    dups = _dup_ids(banded, banded, num_hashes=16, min_est=0.5)
+    assert dups.count() == 0

@@ -51,6 +51,28 @@ def test_minhash_lsh_pairs(docs):
     assert (0, 1) in got
 
 
+def test_minhash_det_pairs(docs):
+    """Deterministic MinHash: identical docs share the full signature,
+    near-dups clear the banding; results are invariant to partitioning
+    (signatures are a pure function of the text, no model/seed state)."""
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_det_pairs,
+        minhash_det_signatures,
+    )
+
+    # 8 bands of 2: a ~0.78-jaccard pair misses all bands w.p. ~7e-4,
+    # vs ~0.16 at 4x4 — banding width is the recall knob
+    pairs = minhash_det_pairs(docs, n=2, num_hashes=16, bands=8, min_est=0.5)
+    got = {(p["id_a"], p["id_b"]): p["jaccard_est"] for p in pairs.collect()}
+    assert got[(0, 1)] == 1.0  # exact dup -> all 16 components equal
+    assert (0, 2) in got  # near dup passes a band
+    assert all(3 not in p and 4 not in p and 5 not in p for p in got)
+
+    sig1 = minhash_det_signatures(docs, n=2).orderBy("id").collect()
+    sig2 = minhash_det_signatures(docs.repartition(7), n=2).orderBy("id").collect()
+    assert sig1 == sig2
+
+
 def test_simhash_pairs(docs):
     from llm_text_to_knowledge_graph_spark.operators.dedup import (
         simhash64,
@@ -64,6 +86,35 @@ def test_simhash_pairs(docs):
     assert (0, 1) in got
     h01 = [p["hamming"] for p in pairs if (p["id_a"], p["id_b"]) == (0, 1)][0]
     assert h01 == 0
+
+
+def test_simhash_native(docs):
+    """JVM-native md5 sketch matches a scalar Python reference bit-for-bit,
+    and the banded pair pipeline finds the exact dup at hamming 0."""
+    import hashlib
+    import re
+
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        simhash_native_pairs,
+        with_simhash_native,
+    )
+
+    def ref_sketch(text):
+        acc = [0] * 64
+        for tok in re.sub(r"\s+", " ", text.strip()).split(" "):
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for k in range(64):
+                acc[k] += 1 if (v >> k) & 1 else -1
+        out = sum(1 << k for k in range(64) if acc[k] > 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    got = {r["id"]: r["simhash"] for r in with_simhash_native(docs).collect()}
+    want = {r["doc_id"]: ref_sketch(r["text"]) for r in docs.collect()}
+    assert got == want
+
+    pairs = simhash_native_pairs(docs, max_hamming=8).collect()
+    ham = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert ham[(0, 1)] == 0
 
 
 def test_simhash_vectorized_parity():
