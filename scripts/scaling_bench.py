@@ -78,12 +78,32 @@ def main() -> int:
         for cores, sink in order:
             sink.append(run_level(cores, zip_path))
 
+    return write_report(lo, hi, n_docs, lo_runs, hi_runs)
+
+
+def write_report(lo, hi, n_docs, lo_runs, hi_runs) -> int:
+    import statistics
+
+    def med(runs, key):
+        return statistics.median(r[key] for r in runs)
+
+    # PRIMARY estimator: per-level MEDIAN throughput. Neighbor-sandbox load
+    # is bursty, and pairing the single best trial of each level can pair a
+    # lucky low-level trial with an unlucky high-level one (or vice versa),
+    # making the ratio swing either way; medians of alternating trials are
+    # robust to the bursts. Best-of is reported alongside.
+    def effs(key):
+        m = (med(hi_runs, key) / med(lo_runs, key)) / (hi / lo)
+        b = (best(hi_runs, key)[key] / best(lo_runs, key)[key]) / (hi / lo)
+        return m, b
+
+    eff_fused, eff_fused_b = effs("fused_triples_per_sec")
+    eff_full, eff_full_b = effs("full_triples_per_sec")
+    eff_dense, eff_dense_b = effs("full_dense_triples_per_sec")
     r_lo_f, r_hi_f = best(lo_runs, "fused_triples_per_sec"), best(hi_runs, "fused_triples_per_sec")
-    r_lo_u, r_hi_u = best(lo_runs, "full_triples_per_sec"), best(hi_runs, "full_triples_per_sec")
-    r_lo_d, r_hi_d = best(lo_runs, "full_dense_triples_per_sec"), best(hi_runs, "full_dense_triples_per_sec")
-    eff_fused = (r_hi_f["fused_triples_per_sec"] / r_lo_f["fused_triples_per_sec"]) / (hi / lo)
-    eff_full = (r_hi_u["full_triples_per_sec"] / r_lo_u["full_triples_per_sec"]) / (hi / lo)
-    eff_dense = (r_hi_d["full_dense_triples_per_sec"] / r_lo_d["full_dense_triples_per_sec"]) / (hi / lo)
+    m_lo_f, m_hi_f = med(lo_runs, "fused_triples_per_sec"), med(hi_runs, "fused_triples_per_sec")
+    m_lo_u, m_hi_u = med(lo_runs, "full_triples_per_sec"), med(hi_runs, "full_triples_per_sec")
+    m_lo_d, m_hi_d = med(lo_runs, "full_dense_triples_per_sec"), med(hi_runs, "full_dense_triples_per_sec")
 
     with open("/proc/loadavg") as f:
         load = f.read().split()[0]
@@ -94,15 +114,30 @@ North_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Evidenced in-sandbox (no real cluster) by running the identical
 job at local[{lo}] vs local[{hi}] on the same input (pre-generated synthetic
 corpus, seed 42, {n_docs} pages, identical 1MB input splits at both levels),
-alternating levels across two rounds, each level in its own JVM via
-`spark-submit --py-files`, best trial per level (sheds neighbor-sandbox
-load noise; background loadavg at report time: {load}).
+alternating levels across rounds, each level in its own JVM via
+`spark-submit --py-files`. Efficiency = per-level MEDIAN throughput ratio
+over the core ratio (medians shed bursty neighbor-sandbox load; the
+best-trial pairing is shown for comparison — it can pair a lucky trial of
+one level with an unlucky one of the other, so it swings both ways).
+Background loadavg at report time: {load}.
 
-| job | local[{lo}] (N) | local[{hi}] (4N) | scaling efficiency |
-|---|---|---|---|
-| fused extraction (pages->triples, 1 Arrow crossing) | {r_lo_f['fused_triples_per_sec']} triples/s | {r_hi_f['fused_triples_per_sec']} triples/s | **{eff_fused:.2f}** |
-| FULL JOB, scale path (extraction -> hash-id nodes+edges) | {r_lo_u['full_triples_per_sec']} triples/s | {r_hi_u['full_triples_per_sec']} triples/s | **{eff_full:.2f}** |
-| full job, dense-id CX2-export path | {r_lo_d['full_dense_triples_per_sec']} triples/s | {r_hi_d['full_dense_triples_per_sec']} triples/s | **{eff_dense:.2f}** |
+| job | local[{lo}] (N) median | local[{hi}] (4N) median | efficiency (median) | (best-of) |
+|---|---|---|---|---|
+| fused extraction (pages->triples, 1 Arrow crossing) | {m_lo_f:.1f} triples/s | {m_hi_f:.1f} triples/s | **{eff_fused:.2f}** | {eff_fused_b:.2f} |
+| FULL JOB, scale path (extraction -> hash-id nodes+edges) | {m_lo_u:.1f} triples/s | {m_hi_u:.1f} triples/s | **{eff_full:.2f}** | {eff_full_b:.2f} |
+| full job, dense-id CX2-export path | {m_lo_d:.1f} triples/s | {m_hi_d:.1f} triples/s | **{eff_dense:.2f}** | {eff_dense_b:.2f} |
+
+Method notes:
+- Levels are 2-vs-8 (not 4-vs-16): above ~16 active cores this shared
+  32-core box saturates — measured fused throughput ceilings at ~168k
+  triples/s at local[16] regardless of corpus size (80k and 160k pages),
+  while 4x the 4-core rate would be ~245k — so a 16-core level measures
+  the box's memory-bandwidth/neighbor ceiling, not the job's scalability.
+  2-vs-8 keeps both levels in the linear envelope.
+- The full job (scale path) writes BOTH output tables to parquet inside
+  the timed window (edges from one extraction pass, nodes derived from the
+  written edges via ``nodes_from_edges``) — the production job shape
+  including sink I/O, not a count-only proxy.
 
 The scale path uses content-addressed node/edge ids (xxhash64 of the
 canonical BEL term): edges become a join-free projection fused into the
@@ -121,7 +156,7 @@ Raw runs:
 Reference baseline (BASELINE.md): the reference's throughput ceiling is its
 hard-coded LLM rate limit, 3 req/min -> <=0.05 paragraphs/sec
 (bel_model.py:17-18,44-46). This engine's deterministic extractor runs
-{r_hi_f['fused_triples_per_sec']} triples/sec on {hi} cores — the Arrow-batched
+{r_hi_f['fused_triples_per_sec']} triples/sec on {hi} cores (best trial) — the Arrow-batched
 UDF design removes the network bound entirely; at cluster scale throughput
 is bounded by cores, not API pacing.
 """
