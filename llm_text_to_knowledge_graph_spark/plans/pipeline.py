@@ -24,7 +24,7 @@ from ..operators.mentions import detect_mentions, explode_mentions
 from ..operators.paragraphs import extract_paragraphs, split_into_sentences
 from ..operators.statements import extract_statements
 from ..operators.triples import parse_triples
-from .checkpoint import TableStore
+from .checkpoint import TableStore, make_table_store
 
 STAGES = (
     "paragraphs",
@@ -81,7 +81,8 @@ def run_pipeline(
     from pyspark import StorageLevel
 
     par = parallelism or spark.sparkContext.defaultParallelism * 2
-    store = TableStore(workdir) if workdir else None
+    # real Iceberg when a SparkCatalog is configured, parquet shim here
+    store = make_table_store(spark, workdir) if workdir else None
     metrics: list[dict] = []
     _multi_ref = {"mentions", "triples", "nodes"}
 

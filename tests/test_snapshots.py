@@ -30,3 +30,28 @@ def test_time_travel(spark, tmp_path):
         raise AssertionError("evicted snapshot must not be readable")
     except FileNotFoundError:
         pass
+
+
+def test_make_table_store_picks_shim_without_catalog(spark, tmp_path):
+    """In this jar-less sandbox no Iceberg catalog is configured, so the
+    factory must return the parquet shim; when a SparkCatalog conf appears,
+    detection finds it by name (selection logic only — constructing the
+    real store needs the runtime jar)."""
+    from llm_text_to_knowledge_graph_spark.plans.checkpoint import (
+        TableStore,
+        find_iceberg_catalog,
+        make_table_store,
+    )
+
+    assert find_iceberg_catalog(spark) is None
+    store = make_table_store(spark, str(tmp_path / "ts"))
+    assert isinstance(store, TableStore)
+
+    spark.conf.set(
+        "spark.sql.catalog.demo", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert find_iceberg_catalog(spark) == "demo"
+    finally:
+        spark.conf.unset("spark.sql.catalog.demo")
+    assert find_iceberg_catalog(spark) is None
