@@ -128,3 +128,24 @@ def test_dedup_clusters_transitive_chain(spark):
     got = {r.doc_id: r.cluster for r in dedup_clusters(docs, n=1, threshold=0.4).collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[9] == 9  # singleton keeps its own id
+
+
+def test_det_sketch_plans_are_jvm_only_with_partial_agg(spark):
+    """The deterministic sketches must stay entirely JVM-side (no Python
+    eval nodes anywhere in the plan) and their per-doc aggregations must be
+    partial (map-side combine), so the shuffle carries one signature row
+    per doc per mapper rather than the token/gram stream."""
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_det_signatures,
+        with_simhash_native,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff")], "doc_id long, text string"
+    )
+    for df in (minhash_det_signatures(docs), with_simhash_native(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        # HashAggregate pairs: partial upstream of the exchange, final after
+        assert "partial_min" in plan or "partial_sum" in plan
