@@ -9,6 +9,11 @@ is measured on the corpus the extraction semantics target).
 Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
          "queries": {name: sec, ...}, "sf": X,
          "kg_triples_per_sec": ..., "kg_pages_per_sec": ...}
+
+NOTE on cross-round totals: the query set GROWS each round (round 2 added
+minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
+ann_ivf_32q, eval_match_statements vs round 1), so compare per-query
+timings across rounds, not the total.
 """
 
 from __future__ import annotations

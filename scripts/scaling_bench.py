@@ -35,9 +35,30 @@ def gen_corpus(n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cores: int, zip_path: str) -> dict:
+def _loadavg() -> float:
     with open("/proc/loadavg") as f:
-        load_before = float(f.read().split()[0])
+        return float(f.read().split()[0])
+
+
+def wait_for_quiet(threshold: float, timeout_s: int = 300) -> float:
+    """Block until 1-min loadavg decays below ``threshold`` (or timeout).
+
+    Needed BETWEEN trials, not just at start: our own previous trial
+    contributes to loadavg (a local[8] trial leaves it near 8, decaying
+    with a ~60 s time constant), so sampling immediately would flag every
+    run invalid from self-load. Waiting also gives each trial a comparable
+    quiet baseline — the point of the validity bound."""
+    import time as _time
+
+    waited = 0
+    while _loadavg() > threshold and waited < timeout_s:
+        _time.sleep(15)
+        waited += 15
+    return _loadavg()
+
+
+def run_level(cores: int, zip_path: str) -> dict:
+    load_before = wait_for_quiet(MAX_TRIAL_LOAD)
     out = subprocess.run(
         [
             "spark-submit",
