@@ -83,7 +83,8 @@ def best(results: list[dict], key: str) -> dict:
     return max(results, key=lambda r: r[key])
 
 
-MAX_TRIAL_LOAD = 2.5  # pre-registered validity bound, see write_report
+MAX_TRIAL_LOAD = 2.5  # wait_for_quiet target between trials
+MAX_NEIGHBOR_LOAD = 1.5  # pre-registered validity bound, see write_report
 
 
 def main() -> int:
@@ -159,8 +160,11 @@ over the core ratio (medians shed bursty neighbor-sandbox load; the
 best-trial pairing is shown for comparison — it can pair a lucky trial of
 one level with an unlucky one of the other, so it swings both ways).
 Background loadavg at report time: {load}; each raw run below records the
-loadavg sampled when that trial started (``loadavg_before``) — a valid run
-keeps both levels' trials inside comparable background load.
+loadavg at trial start (``loadavg_before``) AND the peak sampled every 5 s
+DURING the trials (``peak_load`` / ``peak_neighbor_load`` = peak minus the
+level's own cores). A valid run keeps peak_neighbor_load <= 1.5 at every
+trial of both levels — runs violating that are written to
+scaling-last-invalid.md instead of this file.
 
 | job | local[{lo}] (N) median | local[{hi}] (4N) median | efficiency (median) | (best-of) |
 |---|---|---|---|---|
@@ -202,17 +206,20 @@ UDF design removes the network bound entirely; at cluster scale throughput
 is bounded by cores, not API pacing.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # validity is PRE-REGISTERED on background load, not on the outcome:
-    # a run where any trial started under loadavg > MAX_TRIAL_LOAD measured
-    # the neighbors' bursts, so it must not replace valid evidence.
-    loads = [r.get("loadavg_before", 0.0) for r in lo_runs + hi_runs]
-    valid = max(loads, default=0.0) <= MAX_TRIAL_LOAD
+    # validity is PRE-REGISTERED on background load DURING the trials, not
+    # on the outcome: scaling_job samples /proc/loadavg every 5s for the
+    # life of each level and reports peak_neighbor_load = peak - own cores.
+    # Start-time sampling alone proved insufficient — bursts arriving
+    # mid-trial corrupt the level ratio while every trial "starts quiet".
+    loads = [r.get("peak_neighbor_load", 0.0) for r in lo_runs + hi_runs]
+    valid = max(loads, default=0.0) <= MAX_NEIGHBOR_LOAD
     target = "BENCH/BASELINE.md" if valid else "BENCH/scaling-last-invalid.md"
     if not valid:
         md = (
-            f"> INVALID RUN (not evidence): max per-trial loadavg "
-            f"{max(loads):.2f} > {MAX_TRIAL_LOAD} — neighbor-sandbox "
-            "bursts during trials; BASELINE.md left untouched.\n\n" + md
+            f"> INVALID RUN (not evidence): peak during-trial neighbor "
+            f"load {max(loads):.2f} > {MAX_NEIGHBOR_LOAD} — "
+            "neighbor-sandbox bursts during trials; BASELINE.md left "
+            "untouched.\n\n" + md
         )
     with open(os.path.join(REPO, target), "w") as f:
         f.write(md)

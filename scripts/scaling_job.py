@@ -12,7 +12,39 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
+
+
+class LoadSampler:
+    """Samples /proc/loadavg every few seconds for the life of the level.
+
+    The level's OWN contribution to 1-min loadavg is ~``cores`` once warm,
+    so ``max_neighbor_load = max(samples) - cores`` estimates the worst
+    background (neighbor-sandbox) pressure DURING the trials — sampling
+    only at trial start misses bursts that arrive mid-trial, which is
+    exactly what corrupts a level ratio on this shared box."""
+
+    def __init__(self, period_s: float = 5.0):
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(
+            target=self._run, args=(period_s,), daemon=True
+        )
+
+    def _run(self, period_s: float) -> None:
+        while not self._stop.is_set():
+            with open("/proc/loadavg") as f:
+                self.samples.append(float(f.read().split()[0]))
+            self._stop.wait(period_s)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=10)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,6 +83,8 @@ def main() -> int:
     # untimed warmup
     extract_triples_fused(pages.limit(200), alias_rows).count()
 
+    sampler = LoadSampler()
+    sampler.__enter__()
     best_fused, best_full, best_dense, n_triples = 1e18, 1e18, 1e18, 0
     for _ in range(args.trials):
         t0 = time.monotonic()
@@ -84,6 +118,8 @@ def main() -> int:
         triples.unpersist()
         nodes.unpersist()
 
+    sampler.__exit__()
+    peak = max(sampler.samples, default=0.0)
     print(
         json.dumps(
             {
@@ -95,6 +131,9 @@ def main() -> int:
                 "full_triples_per_sec": round(n_triples / best_full, 1),
                 "full_dense_sec": round(best_dense, 3),
                 "full_dense_triples_per_sec": round(n_triples / best_dense, 1),
+                # worst background pressure observed DURING the trials
+                "peak_load": round(peak, 2),
+                "peak_neighbor_load": round(max(0.0, peak - args.cores), 2),
             }
         )
     )

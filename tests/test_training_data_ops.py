@@ -274,6 +274,43 @@ def test_minhash_recall_vs_exact_jaccard(spark):
         assert abs(approx[k] - strong[k]) < 0.05, (k, approx[k], strong[k])
 
 
+def test_minhash_det_recall_vs_exact_jaccard(spark):
+    """Same recall pin for the DETERMINISTIC sketch: with b bands of r rows,
+    P(detect) = 1-(1-j^r)^b; at 8 bands of 2 a j>=0.7 pair is caught w.p.
+    >= 1-(1-0.49)^8 = 0.995, so demanding >=90% of j>=0.7 pairs leaves slack
+    for the finite-sample estimator. The est agreement bound is the
+    binomial sd of a 16-component signature (~0.125), looser than ml's
+    TF-hashed variant."""
+    import os
+
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_det_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(path)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_det_pairs(
+            docs, n=3, num_hashes=16, bands=8, min_est=0.3
+        ).collect()
+    }
+    strong = {k: v for k, v in exact.items() if v >= 0.7}
+    assert len(strong) >= 10
+    hit = [k for k in strong if k in approx]
+    recall = len(hit) / len(strong)
+    assert recall >= 0.9, (recall, len(strong))
+    for k in hit:
+        assert abs(approx[k] - strong[k]) <= 0.30, (k, approx[k], strong[k])
+
+
 def test_lsh_ann_recall_vs_brute_force(embeddings):
     """Pin hyperplane-LSH ANN recall against brute force, with the honest
     math: a pair at angle θ shares one hyperplane side with P = 1-θ/π, so a
