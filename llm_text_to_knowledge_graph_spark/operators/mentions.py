@@ -284,8 +284,9 @@ def count_mentions_native(
         the boundary class, filter tokens against the dictionary inside the
         array, explode only the hits, broadcast-hash-join to entry names.
         All inside WholeStageCodegen; measured ~1.6x faster than the
-        Arrow-batched Python matcher at sf0.1 (0.85s vs 1.40s warm) and
-        ~5x faster than the alternation regex — THIS is the counting fast
+        Arrow-batched Python matcher at sf0.1 on a quiet box (0.85s vs
+        1.40s warm; under heavy neighbor load the two measure at parity)
+        and ~5x faster than the alternation regex — the counting fast
         path, and its cost no longer grows with dictionary size.
       * ``regex`` — general fallback for multi-token aliases: the same
         length-desc ordered alternation as ``AliasMatcher`` via

@@ -124,6 +124,17 @@ def main() -> int:
 def write_report(lo, hi, n_docs, lo_runs, hi_runs) -> int:
     import statistics
 
+    # PER-TRIAL validity (purely load-based, never outcome-based): a trial
+    # whose during-trial peak_neighbor_load exceeded the bound measured the
+    # neighbors, and only that trial is dropped — one burst among six
+    # trials should not discard the five clean measurements. The run as a
+    # whole is valid iff >=2 clean trials remain at BOTH levels.
+    all_lo, all_hi = lo_runs, hi_runs
+    lo_runs = [r for r in lo_runs if r.get("peak_neighbor_load", 0.0) <= MAX_NEIGHBOR_LOAD]
+    hi_runs = [r for r in hi_runs if r.get("peak_neighbor_load", 0.0) <= MAX_NEIGHBOR_LOAD]
+    n_dropped = (len(all_lo) - len(lo_runs)) + (len(all_hi) - len(hi_runs))
+    n_total = len(all_lo) + len(all_hi)
+
     def med(runs, key):
         return statistics.median(r[key] for r in runs)
 
@@ -162,9 +173,11 @@ one level with an unlucky one of the other, so it swings both ways).
 Background loadavg at report time: {load}; each raw run below records the
 loadavg at trial start (``loadavg_before``) AND the peak sampled every 5 s
 DURING the trials (``peak_load`` / ``peak_neighbor_load`` = peak minus the
-level's own cores). A valid run keeps peak_neighbor_load <= 1.5 at every
-trial of both levels — runs violating that are written to
-scaling-last-invalid.md instead of this file.
+level's own cores). Trials with during-trial
+peak_neighbor_load > 1.5 are DROPPED (purely load-based, decided before
+looking at throughput; {n_dropped} of {n_total} trials dropped in this
+run); the statistics below use only clean trials, and the run is valid
+evidence only with >=2 clean trials per level.
 
 | job | local[{lo}] (N) median | local[{hi}] (4N) median | efficiency (median) | (best-of) |
 |---|---|---|---|---|
@@ -194,9 +207,9 @@ subgraphs) keeps the two-phase id-assignment shuffle chain whose per-stage
 sync latency is corpus-size-invariant; its lower measured efficiency is
 that latency floor, not algorithmic serialism — see PLANS.md.
 
-Raw runs:
-- local[{lo}]: {json.dumps(lo_runs)}
-- local[{hi}]: {json.dumps(hi_runs)}
+Raw runs (ALL trials, including any dropped for load):
+- local[{lo}]: {json.dumps(all_lo)}
+- local[{hi}]: {json.dumps(all_hi)}
 
 Reference baseline (BASELINE.md): the reference's throughput ceiling is its
 hard-coded LLM rate limit, 3 req/min -> <=0.05 paragraphs/sec
@@ -211,14 +224,13 @@ is bounded by cores, not API pacing.
     # life of each level and reports peak_neighbor_load = peak - own cores.
     # Start-time sampling alone proved insufficient — bursts arriving
     # mid-trial corrupt the level ratio while every trial "starts quiet".
-    loads = [r.get("peak_neighbor_load", 0.0) for r in lo_runs + hi_runs]
-    valid = max(loads, default=0.0) <= MAX_NEIGHBOR_LOAD
+    valid = len(lo_runs) >= 2 and len(hi_runs) >= 2
     target = "BENCH/BASELINE.md" if valid else "BENCH/scaling-last-invalid.md"
     if not valid:
         md = (
-            f"> INVALID RUN (not evidence): peak during-trial neighbor "
-            f"load {max(loads):.2f} > {MAX_NEIGHBOR_LOAD} — "
-            "neighbor-sandbox bursts during trials; BASELINE.md left "
+            f"> INVALID RUN (not evidence): fewer than 2 clean trials per "
+            f"level after dropping trials with during-trial "
+            f"peak_neighbor_load > {MAX_NEIGHBOR_LOAD}; BASELINE.md left "
             "untouched.\n\n" + md
         )
     with open(os.path.join(REPO, target), "w") as f:
