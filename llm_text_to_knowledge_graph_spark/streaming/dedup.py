@@ -111,16 +111,36 @@ def incremental_dedup(
     a stable long id is derived from xxhash64(url) — content-addressed like
     the graph ids, so replays and backfills agree on it."""
 
+    import pandas as pd
+
+    from ..sources.html_extract import extract_paragraphs_text
+
+    @F.pandas_udf("string")
+    def _page_text(html, text):
+        # html-mode pages carry text=NULL: derive the dedup key with the
+        # SAME byte-identical extractor the KG pipeline consumes, so the
+        # stream dedupes on extracted content, not raw markup (and text-mode
+        # pages pass through unchanged). Without this, only text-mode pages
+        # get signatures and html-mode dups sail through unsketched.
+        return pd.Series(
+            [
+                "\n\n".join(extract_paragraphs_text(h, t))
+                for h, t in zip(html, text)
+            ]
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.withColumn("doc_id", F.xxhash64("url"))
+        docs = batch_df.withColumn("doc_id", F.xxhash64("url")).withColumn(
+            "_sketch_text", _page_text(F.col("html"), F.col("text"))
+        )
         banded = minhash_det_banded(
             docs, n=n, num_hashes=num_hashes, bands=bands,
-            id_col=id_col, text_col="text",
+            id_col=id_col, text_col="_sketch_text",
         ).persist()
         try:
             store = read_signature_store(spark, out_root)
             dups = _dup_ids(banded, store, num_hashes, min_est)
-            survivors = docs.join(
+            survivors = docs.drop("_sketch_text").join(
                 dups.withColumnRenamed("new_id", id_col), id_col, "left_anti"
             )
             _write_batch_idempotent(survivors, f"{out_root}/docs", batch_id)

@@ -34,6 +34,8 @@ def main() -> int:
                     help="extend the synthetic corpus in --pages-dir to this many docs")
     ap.add_argument("--min-est", type=float, default=0.5)
     ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--ngram", type=int, default=3,
+                    help="shingle width; unigrams over-collapse templated text")
     args = ap.parse_args()
 
     from llm_text_to_knowledge_graph_spark import get_spark
@@ -69,7 +71,7 @@ def main() -> int:
 
         incremental_dedup(
             spark, pages_dir, out_root, ckpt,
-            bands=args.bands, min_est=args.min_est,
+            n=args.ngram, bands=args.bands, min_est=args.min_est,
         ).awaitTermination()
         docs = read_deduped_docs(spark, out_root)
         print(f"survivors: {docs.count()} docs; "

@@ -35,16 +35,26 @@ def test_incremental_dedup_two_waves(spark, tmp_path):
     near = "alpha beta gamma delta epsilon zeta eta iota"  # 7/9 jaccard
     other = "one two three four five six seven eight"
 
-    # wave 1: two distinct docs + one exact in-wave dup of the first
-    _pages(
-        spark,
-        [("u://a", base), ("u://b", other), ("u://a2", base)],
+    # wave 1: two distinct docs + one exact in-wave dup of the first +
+    # an HTML-MODE dup (text NULL, html <p> block extracting to the same
+    # text) — the stream must sketch the EXTRACTED text, not skip
+    # null-text pages (the pages corpus is mostly html-mode)
+    html_dup = ("u://a3", None, f"<p>{base}</p>".encode(), None, "en")
+    spark.createDataFrame(
+        [("u://a", None, None, base, "en"),
+         ("u://b", None, None, other, "en"),
+         ("u://a2", None, None, base, "en"),
+         html_dup],
+        PAGES_SCHEMA,
     ).write.mode("append").parquet(pages_dir)
     incremental_dedup(spark, pages_dir, out_root, ckpt, bands=8).awaitTermination(120)
 
     docs1 = {r["url"]: r["text"] for r in read_deduped_docs(spark, out_root).collect()}
-    assert set(docs1.values()) == {base, other}  # exact dup dropped
+    # exactly one of the three base-content copies survives (min doc_id —
+    # here the html-mode row, whose text column is NULL by construction)
     assert len(docs1) == 2
+    assert other in docs1.values()
+    assert set(docs1) == {"u://b", "u://a3"}
 
     # wave 2: a near-dup of wave-1's survivor + one genuinely new doc
     _pages(
