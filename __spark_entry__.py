@@ -638,7 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Second real corpus: the hand-curated full paper papers/pmid16962653.bel
     # (knockout/ablation reasoning, kin()/complex() subjects — an honest
-    # lower bound; pinned P=9/9=1.0, R=9/28=0.321 in tests/test_real_gold.py)
+    # lower bound; pinned in tests/test_real_gold.py, which is the single
+    # source of truth for the exact P/R numbers)
     def real_gold_bel_pr(spark, sf):
         from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
             run_bel_paper_eval,

@@ -7,13 +7,18 @@ driver's documents table has no planted relations, so pipeline throughput
 is measured on the corpus the extraction semantics target).
 
 Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": X,
-         "kg_triples_per_sec": ..., "kg_pages_per_sec": ...}
+         "queries": {name: sec, ...}, "loadavg": {name: [before, after]},
+         "sf": X, "kg_triples_per_sec": ..., "kg_pages_per_sec": ...}
+
+Every timed block records the 1-min /proc/loadavg immediately before and
+after it — this box hosts neighbor sandboxes whose bursty load perturbs
+wall times, and without per-query load the cross-round deltas cannot be
+attributed (round-2 lesson: a -12%% headline swing with no code change).
 
 NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
-ann_ivf_32q, eval_match_statements vs round 1), so compare per-query
-timings across rounds, not the total.
+ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block),
+so compare per-query timings across rounds, not the total.
 """
 
 from __future__ import annotations
@@ -39,14 +44,35 @@ _SF_GUESS = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else
 N_DOCS = max(200, int(30000 * _SF_GUESS))
 
 
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> int:
-    from llm_text_to_knowledge_graph_spark.operators.fused import extract_triples_fused
+    from llm_text_to_knowledge_graph_spark.operators.fused import (
+        extract_triples_fused,
+        extract_triples_fused_block,
+    )
 
     spark = get_spark(
         "kg-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16)
     )
     timings: dict[str, float] = {}
+    loads: dict[str, list] = {}
     extras: dict[str, float] = {}
+
+    def timed(name: str, thunk):
+        la0 = _loadavg()
+        t0 = time.monotonic()
+        out = thunk()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        loads[name] = [la0, _loadavg()]
+        return out, dt
 
     # --- warmup (untimed): spin up Python workers for every UDF eval node ---
     # cold-start of the Arrow worker pool costs tens of seconds on a fresh
@@ -55,32 +81,39 @@ def main() -> int:
     wpages = pages_df(spark, 40, seed=1, partitions=8)
     run_pipeline(spark, wpages, alias_rows, parallelism=8)["edges"].count()
     extract_triples_fused(wpages, alias_rows).count()
+    extract_triples_fused_block(wpages, alias_rows).count()
 
     # --- headline 1a: fused extraction (one Python crossing) ----------------
-    t0 = time.monotonic()
     pages = pages_df(spark, N_DOCS, seed=42, partitions=CPUS * 2)
-    n_triples = extract_triples_fused(pages, alias_rows).count()
-    dt = time.monotonic() - t0
-    timings["kg_extract_fused"] = round(dt, 3)
+    n_triples, dt = timed(
+        "kg_extract_fused", lambda: extract_triples_fused(pages, alias_rows).count()
+    )
     extras["kg_fused_triples_per_sec"] = round(n_triples / dt, 1)
     extras["kg_fused_pages_per_sec"] = round(N_DOCS / dt, 1)
 
-    # --- headline 1b: modular five-stage pipeline ----------------------------
-    t0 = time.monotonic()
-    res = run_pipeline(
-        spark, pages, alias_rows, parallelism=CPUS * 2, persist=True
+    # --- headline 1a': fused EXTENDED block engine (pages -> triples, one
+    # Python crossing over whole paragraphs) — the engine that earns the
+    # real-gold recall; benched against the sentence engine above so the
+    # default choice is evidence-based (VERDICT r2 #2)
+    n_triples_b, dt = timed(
+        "kg_extract_fused_block",
+        lambda: extract_triples_fused_block(pages, alias_rows).count(),
     )
-    n_triples = res["triples"].count()
-    dt = time.monotonic() - t0
-    timings["kg_pipeline"] = round(dt, 3)
+    extras["kg_fused_block_triples_per_sec"] = round(n_triples_b / dt, 1)
+    extras["kg_fused_block_pages_per_sec"] = round(N_DOCS / dt, 1)
+
+    # --- headline 1b: modular five-stage pipeline ----------------------------
+    def _pipeline():
+        res = run_pipeline(spark, pages, alias_rows, parallelism=CPUS * 2, persist=True)
+        return res, res["triples"].count()
+
+    (res, n_triples), dt = timed("kg_pipeline", _pipeline)
     extras["kg_triples_per_sec"] = round(n_triples / dt, 1)
     extras["kg_pages_per_sec"] = round(N_DOCS / dt, 1)
     extras["kg_triples"] = n_triples
 
     # --- headline 2: graph materialization (nodes+edges) --------------------
-    t0 = time.monotonic()
-    n_edges = res["edges"].count()
-    timings["kg_graph_materialize"] = round(time.monotonic() - t0, 3)
+    n_edges, _ = timed("kg_graph_materialize", lambda: res["edges"].count())
     extras["kg_edges"] = n_edges
 
     # --- headline 2b: hash-id (content-addressed) graph build — the 100TB
@@ -90,10 +123,12 @@ def main() -> int:
         build_nodes,
     )
 
-    t0 = time.monotonic()
-    n_edges_h = build_edges(res["triples"], id_strategy="hash").count()
-    build_nodes(res["triples"], id_strategy="hash").count()
-    timings["kg_graph_hash"] = round(time.monotonic() - t0, 3)
+    def _hash_graph():
+        n = build_edges(res["triples"], id_strategy="hash").count()
+        build_nodes(res["triples"], id_strategy="hash").count()
+        return n
+
+    n_edges_h, _ = timed("kg_graph_hash", _hash_graph)
     assert n_edges_h == n_edges
 
     # --- oracle-contract queries over the sf dir -----------------------------
@@ -118,10 +153,8 @@ def main() -> int:
         "simhash_pairs_native",
     ]
     for name in bench_queries:
-        t0 = time.monotonic()
         # count() forces full evaluation without driver-side collect
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
     # --- ANN in its amortized regime: index built once (kmeans), then a
     # 32-query batch over the cached index vs brute force over the same
@@ -142,19 +175,28 @@ def main() -> int:
     # (pinned in tests/test_ivf.py).
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qids = list(range(32))
-    t0 = time.monotonic()
-    corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
-    corpus = corpus.persist()
-    corpus.count()
-    timings["ivf_index_build"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    exact = brute_force_topk(emb, qids, k=10)
-    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    timings["ann_brute_32q"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    approx = ivf_topk_indexed(corpus, cents, qids, k=10, nprobe=4)
-    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    timings["ann_ivf_32q"] = round(time.monotonic() - t0, 3)
+
+    def _build_index():
+        corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
+        corpus = corpus.persist()
+        corpus.count()
+        return corpus, cents
+
+    (corpus, cents), _ = timed("ivf_index_build", _build_index)
+    ex, _ = timed(
+        "ann_brute_32q",
+        lambda: {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, qids, k=10).collect()
+        },
+    )
+    ap, _ = timed(
+        "ann_ivf_32q",
+        lambda: {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk_indexed(corpus, cents, qids, k=10, nprobe=4).collect()
+        },
+    )
     extras["ivf_recall_32q"] = round(len(ex & ap) / max(len(ex), 1), 4)
     corpus.unpersist()
 
@@ -166,11 +208,11 @@ def main() -> int:
     from llm_text_to_knowledge_graph_spark.corpus import gold_df
     from llm_text_to_knowledge_graph_spark.eval.spark_eval import match_statements
 
-    t0 = time.monotonic()
     pred = res["triples"].select("url", "evidence", "bel_statement")
     gold = gold_df(spark, N_DOCS, seed=42).select("url", "evidence", "bel_statement")
-    n_match = match_statements(pred, gold).count()
-    timings["eval_match_statements"] = round(time.monotonic() - t0, 3)
+    n_match, _ = timed(
+        "eval_match_statements", lambda: match_statements(pred, gold).count()
+    )
     extras["eval_match_rows"] = n_match
 
     total = round(sum(timings.values()), 3)
@@ -179,6 +221,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "loadavg": loads,
         "sf": _SF_GUESS,
         **extras,
     }

@@ -23,8 +23,10 @@ from .bel_eval import match_group
 
 MATCH_SCHEMA = StructType(
     [
-        StructField("url", StringType(), False),
-        StructField("evidence", StringType(), False),
+        # nullable: rows with a null url/evidence form their own match
+        # group (groupby(dropna=False)) rather than being silently dropped
+        StructField("url", StringType(), True),
+        StructField("evidence", StringType(), True),
         StructField("pred_statement", StringType(), True),
         StructField("gold_statement", StringType(), True),
         StructField("match_type", StringType(), False),
@@ -61,7 +63,16 @@ def match_statements(
 
     def _match_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         out: dict[str, list] = {c: [] for c in cols}
-        for (url, evidence), grp in pdf.groupby(["url", "evidence"], sort=False):
+        # dropna=False: a null url/evidence is a real (degenerate) group —
+        # the default silently drops those rows from the match table,
+        # shifting P/R for inputs with null evidence
+        for (url, evidence), grp in pdf.groupby(
+            ["url", "evidence"], sort=False, dropna=False
+        ):
+            if pd.isna(url):
+                url = None
+            if pd.isna(evidence):
+                evidence = None
             side = grp["side"].to_numpy()
             stmt = grp["stmt"].to_numpy()
             preds = [s for s, sd in zip(stmt, side) if sd == "pred"]
@@ -82,10 +93,14 @@ def match_statements(
                 pdf = pd.concat([buf, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            # the trailing key may continue in the next Arrow chunk
+            # the trailing key may continue in the next Arrow chunk;
+            # null-safe comparison so a null trailing key still buffers
+            def _eq(s: pd.Series, v) -> pd.Series:
+                return s.isna() if pd.isna(v) else (s == v)
+
             last_url = pdf["url"].iat[-1]
             last_ev = pdf["evidence"].iat[-1]
-            tail = (pdf["url"] == last_url) & (pdf["evidence"] == last_ev)
+            tail = _eq(pdf["url"], last_url) & _eq(pdf["evidence"], last_ev)
             buf = pdf[tail]
             head = pdf[~tail]
             if len(head):

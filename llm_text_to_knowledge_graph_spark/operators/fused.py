@@ -88,6 +88,69 @@ def extract_triples_fused(pages: DataFrame, alias_rows: list) -> DataFrame:
     return pages.filter("lang = 'en'").mapInPandas(run, schema=TRIPLES)
 
 
+def extract_triples_fused_block(pages: DataFrame, alias_rows: list) -> DataFrame:
+    """pages -> TRIPLES via the EXTENDED block engine, one Python crossing.
+
+    Same fusion as ``extract_triples_fused`` but the per-paragraph pattern
+    engine is ``extraction.extract_from_block`` (coordination, displaced-
+    agent passives, nominalizations, fold continuation, knockout inference)
+    — the engine that earns the real-gold recall. Statements carry
+    ``sent_idx = 0`` (evidence spans the paragraph), matching the modular
+    ``extractor="block"`` pipeline path, so outputs are interchangeable."""
+    from .extraction import extract_from_block
+
+    spark = pages.sparkSession
+    bc = spark.sparkContext.broadcast(list(alias_rows))
+    token = uuid.uuid4().hex
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = _MATCHER_CACHE.get(token)
+        if matcher is None:
+            if len(_MATCHER_CACHE) >= 8:
+                _MATCHER_CACHE.clear()
+            matcher = AliasMatcher(bc.value)
+            _MATCHER_CACHE[token] = matcher
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "warc_ts", "para_idx", "sent_idx",
+                "subj", "pred", "obj", "bel_statement", "evidence")}
+            for url, warc_ts, html, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"]
+            ):
+                for para_idx, para in enumerate(extract_paragraphs_text(html, text)):
+                    mentions = [
+                        {"begin": b, "end": e, "alias": a, "db": db,
+                         "id": i, "entry_name": n, "score": p}
+                        for (b, e, a, db, i, n, p) in matcher.find(para)
+                    ]
+                    for stmt, evidence in extract_from_block(para, mentions):
+                        subj, pred, obj = split_statement(stmt)
+                        if not (subj and pred and obj):
+                            continue
+                        out["url"].append(url)
+                        out["warc_ts"].append(warc_ts)
+                        out["para_idx"].append(para_idx)
+                        out["sent_idx"].append(0)
+                        out["subj"].append(subj)
+                        out["pred"].append(pred)
+                        out["obj"].append(obj)
+                        out["bel_statement"].append(stmt)
+                        out["evidence"].append(evidence)
+            pdf_out = pd.DataFrame(out)
+            if pdf_out.empty:
+                pdf_out = pdf_out.astype(
+                    {
+                        "url": "object", "warc_ts": "datetime64[us]",
+                        "para_idx": "int32", "sent_idx": "int32",
+                        "subj": "object", "pred": "object", "obj": "object",
+                        "bel_statement": "object", "evidence": "object",
+                    }
+                )
+            yield pdf_out
+
+    return pages.filter("lang = 'en'").mapInPandas(run, schema=TRIPLES)
+
+
 # sentence-level fused extraction: everything the modular chain computes, in
 # one crossing. results.subj/pred/obj are pre-parsed so the triples stage
 # needs no further UDF.

@@ -219,10 +219,16 @@ def pagerank(
             )
         )
         if not undirected:
-            # redistribute dangling mass uniformly to keep sum(rank) = 1
-            s = new_ranks.agg(F.sum("rank")).first()[0]
-            new_ranks = new_ranks.withColumn(
-                "rank", F.col("rank") + F.lit((1.0 - s) / n)
+            # redistribute dangling mass uniformly to keep sum(rank) = 1 —
+            # as a 1-row DataFrame crossJoined into the update, NOT a
+            # per-iteration driver action: the loop body stays one lazy
+            # plan per iteration, no mid-loop job/serialization point
+            total = new_ranks.agg(F.sum("rank").alias("_total"))
+            new_ranks = new_ranks.crossJoin(F.broadcast(total)).select(
+                "node_id",
+                (F.col("rank") + (F.lit(1.0) - F.col("_total")) / F.lit(float(n))).alias(
+                    "rank"
+                ),
             )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks

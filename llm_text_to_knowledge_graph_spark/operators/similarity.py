@@ -194,15 +194,22 @@ def ivf_centroids(
         )
         return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
     # spherical k-means: normalize first so euclidean centroids align with
-    # the cosine cell assignment used at query time
-    unit = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / _norm(F.col(vec_col).cast("array<double>")),
+    # the cosine cell assignment used at query time. ml.Normalizer is the
+    # O(dim)-per-row plan (a transform-lambda dividing by a norm expression
+    # re-evaluates the norm per ELEMENT — O(dim^2)) and passes all-zero
+    # vectors through unscaled instead of emitting NaN features.
+    raw = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw")
     )
-    feats = embeddings.select(array_to_vector(unit).alias("features"))
+    feats = (
+        Normalizer(inputCol="raw", outputCol="features", p=2.0)
+        .transform(raw)
+        .select("features")
+    )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     return [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

@@ -175,6 +175,12 @@ class TableStore:
             out.append(d)
         return out
 
+    def write_metrics(self, df: DataFrame) -> None:
+        """Append a run's per-stage metrics rows to the store's metrics sink."""
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.root, "metrics_log")
+        )
+
     def _gc(self, name: str, keep: set[str]) -> None:
         tdir = self._tdir(name)
         for entry in os.listdir(tdir):
@@ -243,7 +249,24 @@ class IcebergTableStore:
             "table": name,
             "fingerprint": props.get("kg.fingerprint"),
             "run_id": props.get("kg.run_id"),
+            # contract with the shim: manifests carry a row count
+            # (pipeline.py reads m["rows"] after every stage)
+            "rows": self._current_rows(name),
         }
+
+    def _current_rows(self, name: str) -> int:
+        # Iceberg's snapshot summary carries total-records — a metadata-only
+        # read; fall back to a count() (itself metadata-served by Iceberg).
+        try:
+            r = self.spark.sql(
+                f"SELECT summary['total-records'] AS n FROM {self._t(name)}.snapshots "
+                f"ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            if r and r[0]["n"] is not None:
+                return int(r[0]["n"])
+        except Exception:
+            pass
+        return self.spark.read.table(self._t(name)).count()
 
     def is_current(self, name: str, fingerprint: str) -> bool:
         m = self.manifest(name)
@@ -279,6 +302,13 @@ class IcebergTableStore:
         if self.is_current(name, fingerprint):
             return self.read(spark, name), True
         return self.commit(compute(), name, fingerprint, run_id), False
+
+    def write_metrics(self, df: DataFrame) -> None:
+        t = self._t("metrics_log")
+        if self.spark.catalog.tableExists(t):
+            df.writeTo(t).append()
+        else:
+            df.writeTo(t).using("iceberg").create()
 
 
 def make_table_store(

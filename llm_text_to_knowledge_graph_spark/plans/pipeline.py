@@ -225,7 +225,9 @@ def _write_metrics(spark: SparkSession, store: TableStore, metrics: list[dict]) 
         ],
         schema="run_id string, stage string, rows long, wall_ms long",
     )
-    df.coalesce(1).write.mode("append").parquet(f"{store.root}/metrics_log")
+    # each store knows its own metrics sink (parquet dir for the shim, an
+    # Iceberg metrics_log table for the catalog store)
+    store.write_metrics(df)
 
 
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,6 +135,29 @@ def write_report(lo, hi, n_docs, lo_runs, hi_runs) -> int:
     n_dropped = (len(all_lo) - len(lo_runs)) + (len(all_hi) - len(hi_runs))
     n_total = len(all_lo) + len(all_hi)
 
+    # Validity FIRST (pre-registered, load-based): with <2 clean trials at
+    # either level, medians/best-of are undefined (StatisticsError on an
+    # empty list) — write the invalid-run stub directly instead of crashing
+    # before the report the gate exists to protect.
+    valid = len(lo_runs) >= 2 and len(hi_runs) >= 2
+    if not valid:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        md = (
+            f"> INVALID RUN (not evidence): fewer than 2 clean trials per "
+            f"level after dropping trials with during-trial "
+            f"peak_neighbor_load > {MAX_NEIGHBOR_LOAD} "
+            f"({n_dropped} of {n_total} trials dropped; "
+            f"{len(lo_runs)} clean at local[{lo}], {len(hi_runs)} at "
+            f"local[{hi}]); BASELINE.md left untouched.\n\n"
+            f"Raw runs (ALL trials, including dropped):\n"
+            f"- local[{lo}]: {json.dumps(all_lo)}\n"
+            f"- local[{hi}]: {json.dumps(all_hi)}\n"
+        )
+        with open(os.path.join(REPO, "BENCH/scaling-last-invalid.md"), "w") as f:
+            f.write(md)
+        print(md)
+        return 1
+
     def med(runs, key):
         return statistics.median(r[key] for r in runs)
 
@@ -224,16 +247,7 @@ is bounded by cores, not API pacing.
     # life of each level and reports peak_neighbor_load = peak - own cores.
     # Start-time sampling alone proved insufficient — bursts arriving
     # mid-trial corrupt the level ratio while every trial "starts quiet".
-    valid = len(lo_runs) >= 2 and len(hi_runs) >= 2
-    target = "BENCH/BASELINE.md" if valid else "BENCH/scaling-last-invalid.md"
-    if not valid:
-        md = (
-            f"> INVALID RUN (not evidence): fewer than 2 clean trials per "
-            f"level after dropping trials with during-trial "
-            f"peak_neighbor_load > {MAX_NEIGHBOR_LOAD}; BASELINE.md left "
-            "untouched.\n\n" + md
-        )
-    with open(os.path.join(REPO, target), "w") as f:
+    with open(os.path.join(REPO, "BENCH/BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
     ok = eff_fused >= 0.8 and eff_full >= 0.8

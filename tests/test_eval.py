@@ -117,6 +117,28 @@ def test_pipeline_pr_gate(spark):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_null_evidence_groups_not_dropped(spark):
+    """Rows whose url/evidence is null must form their own match group, not
+    vanish from the match table (pandas groupby default dropna=True would
+    silently shift P/R for inputs with null evidence)."""
+    pred = spark.createDataFrame(
+        [
+            ("u://1", None, "p(HGNC:A) increases p(HGNC:B)"),
+            (None, None, "p(HGNC:C) increases p(HGNC:D)"),
+        ],
+        schema="url string, evidence string, bel_statement string",
+    )
+    gold = spark.createDataFrame(
+        [("u://1", None, "p(HGNC:A) increases p(HGNC:B)")],
+        schema="url string, evidence string, bel_statement string",
+    )
+    pr = precision_recall(match_statements(pred, gold))
+    # the null-evidence pair matches; the all-null pred row shows as pred_only
+    assert pr["pred_total"] == 2
+    assert pr["gold_total"] == 1
+    assert pr["matched"] == 1
+
+
 def test_held_out_perturbations(spark):
     """Honesty check (SURVEY.md §7 hard-point 3): hand-written sentences NOT
     produced by the generator — negation, distractors, cross-pattern — must

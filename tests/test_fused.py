@@ -64,3 +64,42 @@ def test_fused_lazy_single_python_crossing(spark, tmp_path):
     )
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_fused_block_equals_modular_block(spark):
+    """extract_triples_fused_block (one crossing) must be row-identical to
+    run_pipeline(extractor="block") (paragraphs stage + extended engine)."""
+    from llm_text_to_knowledge_graph_spark.operators.fused import (
+        extract_triples_fused_block,
+    )
+
+    pages = pages_df(spark, 40, seed=5)
+    alias_rows = build_alias_rows(5)
+    modular = run_pipeline(spark, pages, alias_rows, extractor="block")["triples"]
+    fused = extract_triples_fused_block(pages, alias_rows)
+    a = sorted(tuple(r) for r in modular.select(TRIPLE_COLS).collect())
+    b = sorted(tuple(r) for r in fused.select(TRIPLE_COLS).collect())
+    assert a == b
+    assert len(a) > 50
+
+
+def test_fused_block_single_python_crossing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from llm_text_to_knowledge_graph_spark.operators.fused import (
+        extract_triples_fused_block,
+    )
+
+    pages_df(spark, 10, seed=9).write.mode("overwrite").parquet(
+        str(tmp_path / "pages_b")
+    )
+    pages = spark.read.parquet(str(tmp_path / "pages_b"))
+    plan = (
+        extract_triples_fused_block(pages, build_alias_rows(5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle before the sink

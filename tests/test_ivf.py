@@ -110,3 +110,30 @@ def test_ivf_assignment_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_cell_assignment_plan_parity_across_k_cutoff(spark):
+    """nearest_cells_col switches plans at _LITERAL_K_MAX=64 (literal
+    codegen vs Arrow/BLAS). IVF results must be invariant to that cutoff:
+    both paths round cosines to 9 digits, then break ties cid-ascending —
+    including exact ties from duplicated centroids."""
+    from llm_text_to_knowledge_graph_spark.operators.similarity import (
+        _nearest_cells,
+        _nearest_cells_pandas,
+    )
+
+    emb = _emb_df(spark, n=120)
+    for k in (63, 65):
+        cents = ivf_centroids(emb, 8, method="lowest_id")
+        # pad the centroid list past/below the cutoff with duplicates of the
+        # first two centroids under new ids — guaranteed exact cosine ties
+        cents = cents + [(100 + i, cents[i % 2][1]) for i in range(k - len(cents))]
+        lit = emb.withColumn(
+            "cells", _nearest_cells(F.col("embedding"), cents, 3)
+        ).select("vec_id", "cells")
+        pdp = emb.withColumn(
+            "cells", _nearest_cells_pandas(F.col("embedding"), cents, 3)
+        ).select("vec_id", "cells")
+        a = {r.vec_id: list(r.cells) for r in lit.collect()}
+        b = {r.vec_id: list(r.cells) for r in pdp.collect()}
+        assert a == b, f"k={k}: plan-dependent assignment"

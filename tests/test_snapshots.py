@@ -32,6 +32,50 @@ def test_time_travel(spark, tmp_path):
         pass
 
 
+def test_iceberg_store_manifest_contract(spark, tmp_path):
+    """Both stores must return the manifest keys run_pipeline consumes
+    ('rows' especially — pipeline.py reads m["rows"] after every stage) and
+    expose write_metrics. Regression test for the contract break where the
+    Iceberg manifest lacked 'rows' and _write_metrics assumed store.root."""
+    from pyspark.sql import Row
+
+    from llm_text_to_knowledge_graph_spark.plans.checkpoint import IcebergTableStore
+
+    class FakeResult:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def collect(self):
+            return self.rows
+
+    class FakeSpark:
+        def sql(self, q):
+            if q.startswith("SHOW TBLPROPERTIES"):
+                return FakeResult(
+                    [
+                        Row(key="kg.fingerprint", value="f1"),
+                        Row(key="kg.run_id", value="r1"),
+                    ]
+                )
+            if ".snapshots" in q:
+                return FakeResult([Row(n="42")])
+            raise AssertionError(f"unexpected sql: {q}")
+
+    ice = IcebergTableStore.__new__(IcebergTableStore)
+    ice.spark = FakeSpark()
+    ice.catalog, ice.ns = "demo", "kg"
+    m = ice.manifest("t")
+    assert m == {"table": "t", "fingerprint": "f1", "run_id": "r1", "rows": 42}
+
+    shim = TableStore(str(tmp_path / "contract"))
+    shim.commit(spark.range(0, 5).withColumnRenamed("id", "v"), "t", "f1", "r1")
+    sm = shim.manifest("t")
+    # every key the pipeline reads from a manifest exists in both stores
+    assert set(m) <= set(sm)
+    assert callable(getattr(ice, "write_metrics"))
+    assert callable(getattr(shim, "write_metrics"))
+
+
 def test_make_table_store_picks_shim_without_catalog(spark, tmp_path):
     """In this jar-less sandbox no Iceberg catalog is configured, so the
     factory must return the parquet shim; when a SparkCatalog conf appears,
