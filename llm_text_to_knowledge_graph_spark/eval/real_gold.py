@@ -78,21 +78,23 @@ def load_gold(path: str = GOLD_JSON) -> list[dict]:
     return out
 
 
-def extract_predictions(blocks: list[dict]) -> list[dict]:
-    """Run C1 (AliasMatcher over REAL_LEXICON) + C2 extended patterns over
-    each block. Pure Python — the same functions the Spark UDFs wrap."""
-    from ..operators.extraction import extract_from_block
+def extract_predictions(blocks: list[dict], lexicon: list | None = None) -> list[dict]:
+    """Run C1 (AliasMatcher over ``lexicon``, default REAL_LEXICON) + C2
+    extended patterns over each block. Pure Python — the same functions the
+    Spark UDFs wrap."""
+    from ..operators.extraction import extract_from_block, normalize_block_text
     from ..operators.mentions import AliasMatcher
 
-    matcher = AliasMatcher(REAL_LEXICON)
+    matcher = AliasMatcher(lexicon if lexicon is not None else REAL_LEXICON)
     out = []
     for b in blocks:
+        text = normalize_block_text(b["text"])
         mentions = [
             {"begin": s, "end": e, "alias": a, "db": db, "id": i,
              "entry_name": n, "score": p}
-            for (s, e, a, db, i, n, p) in matcher.find(b["text"])
+            for (s, e, a, db, i, n, p) in matcher.find(text)
         ]
-        preds = [stmt for stmt, _ev in extract_from_block(b["text"], mentions)]
+        preds = [stmt for stmt, _ev in extract_from_block(text, mentions)]
         out.append({**b, "pred": preds})
     return out
 

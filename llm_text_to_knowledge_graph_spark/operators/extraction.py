@@ -71,20 +71,24 @@ _ACT_UP = {
     "increases", "increased", "increase", "elevates", "elevated", "elevate",
     "activates", "activated", "activate", "upregulates", "upregulated",
     "up-regulates", "up-regulated", "produces", "produced", "triggers",
-    "triggered", "potentiates", "potentiated", "augments", "augmented",
+    "trigger", "triggered", "potentiates", "potentiated", "augments",
+    "augmented", "facilitates", "facilitated", "facilitate",
+    "overexpress", "overexpresses", "overexpressed",
 }
 _ACT_DOWN = {
     "inhibits", "inhibited", "inhibit", "suppresses", "suppressed", "suppress",
     "decreases", "decreased", "reduces", "reduced", "reduce", "downregulates",
     "downregulated", "down-regulates", "down-regulated", "represses",
     "repressed", "impairs", "impaired", "blocks", "blocked", "abolishes",
-    "abolished", "attenuates", "attenuated",
+    "abolished", "attenuates", "attenuated", "prevents", "prevented",
+    "prevent",
 }
 _ACT_REG = {"regulates", "modulates", "controls"}
 
 _PASSIVE_UP = {
     "up-regulated", "upregulated", "induced", "elevated", "increased",
     "enhanced", "stimulated", "activated", "promoted", "potentiated",
+    "triggered",
 }
 _PASSIVE_DOWN = {
     "down-regulated", "downregulated", "suppressed", "inhibited", "reduced",
@@ -106,11 +110,14 @@ _NOMINAL_PMOD = {
     "sumoylation": ("directlyIncreases", "Sumo"),
 }
 
-# leading filler before an active verb in the inter text
+# leading filler before an active verb in the inter text (modal/auxiliary
+# verbs are general English pre-verb material: "can induce", "has induced")
 _ACT_LEAD = {
     "treatment", "pretreatment", "not", "only", "also", "but", "further",
     "then", "thus", "to", "alone", "together", "which", "that", "levels",
     "level", "subsequently", "similarly",
+    "can", "could", "may", "might", "will", "would", "has", "have", "had",
+    "been", "shown", "demonstrated", "reported", "found",
 }
 # filler between an active verb and the object mention
 _ACT_TRAIL = {
@@ -119,7 +126,16 @@ _ACT_TRAIL = {
     "transcription", "transcriptional", "activity", "from", "promoter",
     "promoters", "amount", "amounts", "endogenous", "corresponding",
     "significant", "message", "mrna", "phosphorylation", "accumulation",
+    "generation", "formation", "production", "sensitivity", "susceptibility",
+    "to", "on", "both", "gene", "genes", "encoding", "enzymes", "enzyme",
+    "effects", "effect", "cells", "cell", "cellular", "various", "different",
+    "rise", "endothelial", "vascular", "arterial", "epithelial",
+    "antioxidant", "growth", "factors", "factor", "including",
 }
+# trail tokens that FLIP the verb's direction: "induces a reduction in X"
+# composes induce(+) with reduction(-) -> decreases X; "has beneficial
+# effects on <disease>" reads as decreases
+_TRAIL_FLIP = set(_NOMINAL_DOWN) | {"beneficial", "protective"}
 # noun-head filler between the target mention and the passive copula
 _PASSIVE_LEAD = {
     "isoform", "isoforms", "protein", "proteins", "levels", "level",
@@ -148,7 +164,9 @@ _ABSENCE_TAIL = ("in", "the", "absence", "of")
 # prefix cue that flips an active verb's direction: "ablation of <X>
 # abolished <Y>" means X POSITIVELY regulates Y
 _ABLATION_PREFIX_RE = re.compile(
-    r"(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of\s+$", re.I
+    r"(?:(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of"
+    r"|lacking(?:\s+functional)?)\s+$",
+    re.I,
 )
 _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
 # --- genetic-perturbation (knockout) inference vocabulary ------------------
@@ -157,7 +175,7 @@ _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
 # them is positively regulated by G and an event that RISES is negatively
 # regulated (the same curator reasoning as papers/pmid16962653.bel)
 _KO_SUFFIX_RE = re.compile(
-    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|[-−]deficient\b)"
+    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|\s*[-−]deficient\b)"
 )
 # species-specific gene namespaces: a knockout statement whose subject and
 # object ground to two DIFFERENT ones is a species mixup of the flat
@@ -197,6 +215,22 @@ _TARGET_SITE_TAIL_RE = re.compile(
     r"^\s+target\s+sites?\s+((?:(?:Ser|Thr|Tyr|Lys|Arg)?\d+(?:\s*(?:and|,|/)\s*)?)+)"
 )
 _PHOSPHO_OF_RE = re.compile(r"(?:^|[^a-z])phosphorylation\s+of\b")
+
+
+# ASCII-hyphen compound premodifiers ("7-ketocholesterol-induced apoptosis",
+# "IGF-I-mediated invasion") hide the inner mention from the word-boundary
+# alias matcher: the char after the alias is "-", which is IN the boundary
+# class. Normalizing a space in front of the hyphen exposes the mention and
+# leaves the "-induced" inter text for the compound rule. Callers run this
+# BEFORE matcher.find so mention offsets and pattern text agree.
+_COMPOUND_SPLIT_RE = re.compile(
+    r"(?<=\w)(?=[-−–](?:induced|mediated|triggered|stimulated|activated|"
+    r"suppressed|inhibited|dependent|deficient)\b)"
+)
+
+
+def normalize_block_text(text: str) -> str:
+    return _COMPOUND_SPLIT_RE.sub(" ", text)
 
 
 def _parse_site_list(span: str) -> list[tuple[str, int]]:
@@ -259,6 +293,10 @@ _NOMINAL_PREFIX_RE = re.compile(
     r"([a-z\-]+)\s+of\s+(?:the\s+)?$"
 )
 _KNOWN_TO_BE_RE = re.compile(r"known\s+to\s+be\s+$", re.I)
+_POSS_NOMINAL_RE = re.compile(
+    r"\b(?:its|their)\s+([a-z\-]+)\s+of"
+    r"(?:\s+the\s+activity\s+of)?(?:\s+the)?\s*$"
+)
 _MEDIATED_RE = re.compile(
     r"^(?:\w+\s+){0,4}?[‐-]?\s*mediated\s+(?:through|by|via)$"
 )
@@ -267,9 +305,14 @@ _FOLD_CONT_RE = re.compile(
 )
 
 
+_CITE_RE = re.compile(r"\[[^\]]*\]")
+
+
 def _tokens(s: str) -> list[str]:
-    """Lowercased tokens with parenthesized asides removed."""
+    """Lowercased tokens with parenthesized asides and [citation] brackets
+    removed."""
     s = _PAREN_RE.sub(" ", s)
+    s = _CITE_RE.sub(" ", s)
     return [t for t in _TOKEN_SPLIT_RE.split(s.strip()) if t]
 
 
@@ -393,15 +436,35 @@ def _sig(subj_m, rel, obj_m, wrap, subj_pmod, obj_pmod, tag: str = ""):
 def _match_active(inter: str):
     """-> (rel, trailing_tokens) or None. Forward direction (left = agent).
     A "directly" adverb immediately before the verb upgrades the relation
-    (prompt relation table: directlyIncreases/directlyDecreases)."""
+    (prompt relation table: directlyIncreases/directlyDecreases).
+
+    Two general-English compositions beyond plain verb+fillers:
+      * a leading ``and``/``or`` grants a small budget of arbitrary tokens
+        before the verb — in coordination ("X and pro-inflammatory
+        cytokines also trigger Y") the left conjunct shares the predicate;
+      * a direction-flipping nominal in the trail ("induces a reduction in
+        X", "has beneficial effects on <disease>") composes with the verb.
+    """
     toks = _tokens(inter.lower())
     if not toks:
         return None
+    all_verbs = _ACT_UP | _ACT_DOWN | _ACT_REG
     i = 0
     directly = False
-    while i < len(toks) and (toks[i] in _ACT_LEAD or toks[i].endswith("ly")):
-        directly = toks[i] == "directly"
-        i += 1
+    coord_budget = 0
+    if toks[0] in {"and", "or"}:
+        coord_budget = 3
+        i = 1
+    while i < len(toks):
+        t = toks[i]
+        if t in _ACT_LEAD or t.endswith("ly"):
+            directly = t == "directly"
+            i += 1
+        elif coord_budget > 0 and t not in all_verbs:
+            coord_budget -= 1
+            i += 1
+        else:
+            break
     if i >= len(toks):
         return None
     v = toks[i]
@@ -414,9 +477,26 @@ def _match_active(inter: str):
     else:
         return None
     trail = toks[i + 1:]
+    flip = False
+    nominal_seen = False
     for t in trail:
-        if t not in _ACT_TRAIL and not _is_num(t):
+        if t in _TRAIL_FLIP:
+            flip = True
+            nominal_seen = True
+        elif t in _NOMINAL_UP:
+            nominal_seen = True
+        elif t == "in":
+            # "in" reads as a preposition introducing the object only after
+            # a quantity nominal ("a reduction in X"); bare "increased in X"
+            # is a location/condition context, not a relation
+            if not nominal_seen:
+                return None
+        elif t in _ACT_TRAIL or _is_num(t):
+            pass
+        else:
             return None
+    if flip:
+        rel = _FLIP.get(rel, rel)
     return rel, trail
 
 
@@ -516,6 +596,150 @@ def _match_agentless_passive(tail: str):
         return "increases"
     if v in _PASSIVE_DOWN:
         return "decreases"
+    return None
+
+
+def _retry_seg(fn, inter: str, seg: str | None):
+    """Apply a matcher to the full inter text, then (on a None miss) to the
+    after-last-comma segment."""
+    r = fn(inter)
+    if r is None and seg and seg.strip():
+        r = fn(seg)
+    return r
+
+
+def _match_reduced_passive(inter: str):
+    """Reduced (copula-less) participial passive between the two mentions:
+    "apoptosis triggered by hydrogen peroxide" -> right rel left. General
+    English: a bare past participle + ``by`` postmodifies the left noun."""
+    toks = _tokens(inter.lower())
+    if len(toks) < 2 or toks[-1] != "by":
+        return None
+    body = toks[:-1]
+    v = body[-1]
+    if any(not (t.endswith("ly") or t in {"when", "if", "as"}) for t in body[:-1]):
+        return None
+    if v in _PASSIVE_UP:
+        return "increases"
+    if v in _PASSIVE_DOWN:
+        return "decreases"
+    if v in _PASSIVE_REG:
+        return "regulates"
+    return None
+
+
+# compound premodifier: "<X>-induced <Y>" / "<X>-mediated <Y>" -> X rel Y
+# (forward: the left mention is the agent inside the compound)
+_COMPOUND_REL = {
+    **{v: "increases" for v in _PASSIVE_UP | {"mediated"}},
+    **{v: "decreases" for v in _PASSIVE_DOWN},
+}
+
+
+def _match_compound(inter: str):
+    m = re.fullmatch(r"[-−–‐]\s*([a-z\-]+)", inter.strip().lower())
+    if m is None:
+        return None
+    return _COMPOUND_REL.get(m.group(1))
+
+
+# copula/light-verb predicate over a pro-/anti- adjective object:
+# "X ... exerts pro-apoptotic effects", "X can be anti-angiogenic"
+_ADJ_PRED_FILLER = {
+    "which", "that", "can", "could", "may", "might", "be", "is", "are",
+    "was", "were", "also", "a", "an", "the", "potent", "highly", "clearly",
+    "exert", "exerts", "exerted", "has", "have", "had", "show", "shows",
+    "showed", "display", "displays", "displayed", "factor", "inducer",
+    "agent",
+}
+_ADJ_PRED_HEAD = {
+    "be", "is", "are", "was", "were", "exert", "exerts", "exerted", "has",
+    "have", "had", "show", "shows", "showed", "display", "displays",
+    "displayed",
+}
+
+
+def _match_adj_predicate(inter: str, need_factor: bool = False):
+    """True when the inter text is a copula/light-verb predicate suitable
+    for an adjectival process object. ``need_factor``: the bare-adjective
+    reading ("X is a potent angiogenic factor" -> X increases angiogenesis)
+    additionally requires an agent noun (factor/inducer/agent) — a bare
+    copula ("the cell is apoptotic") describes a state, not an influence."""
+    toks = _tokens(inter.lower())
+    ok = bool(toks) and all(t in _ADJ_PRED_FILLER for t in toks) and any(
+        t in _ADJ_PRED_HEAD for t in toks
+    )
+    if ok and need_factor:
+        ok = any(t in {"factor", "inducer", "agent"} for t in toks)
+    return ok
+
+
+_SUCH_AS_NOMINAL_RE = re.compile(
+    r"^such\s+as\s+(?:the\s+)?([a-z\-]+)\s+of$"
+)
+
+
+def _match_such_as_nominal(inter: str):
+    """Appositive exemplification: "<X> ..., such as the activation of <Y>"
+    — Y's activation is an instance of what X engages -> X rel Y by the
+    nominal's direction."""
+    m = _SUCH_AS_NOMINAL_RE.fullmatch(" ".join(_tokens(inter.lower())))
+    if m is None:
+        return None
+    nom = m.group(1)
+    if nom in _NOMINAL_UP:
+        return "increases"
+    if nom in _NOMINAL_DOWN:
+        return "decreases"
+    return None
+
+
+# "X targets Y for (ubiquitin-mediated) degradation/proteolysis" — the
+# level reading: X decreases Y. The verb alone is directionless; the
+# for-degradation tail after the object supplies the direction.
+_TARGET_VERBS = {"targets", "target", "targeted", "marks", "mark", "marked"}
+_FOR_DEG_RE = re.compile(
+    r"^\s+for\s+(?:\S+\s+){0,3}?(?:degradation|proteolysis|destruction)\b"
+)
+
+
+def _match_target_for_deg(inter: str, after_right: str):
+    if not _FOR_DEG_RE.match(after_right):
+        return None
+    toks = _tokens(inter.lower())
+    if not toks:
+        return None
+    i = 0
+    while i < len(toks) and (toks[i] in _ACT_LEAD or toks[i].endswith("ly")):
+        i += 1
+    if i >= len(toks) or toks[i] not in _TARGET_VERBS:
+        return None
+    for t in toks[i + 1:]:
+        if t not in _ACT_TRAIL and not _is_num(t) and not t.endswith(
+            ("subunit", "subunits", "isoform", "isoforms")
+        ):
+            return None
+    return "decreases"
+
+
+_PREDICTOR_FILLER = {"one", "of", "the", "a", "an", "major", "strong",
+                     "important", "independent", "best", "known"}
+
+
+def _match_predictor(inter: str):
+    """"X, one of the major predictors for Y" -> X positiveCorrelation Y.
+    ("risk factor for" reads the same way.)"""
+    toks = _tokens(inter.lower())
+    if len(toks) < 2 or toks[-1] not in {"for", "of"}:
+        return None
+    if toks[-2] in {"predictor", "predictors"}:
+        body = toks[:-2]
+    elif len(toks) >= 3 and toks[-3:-1] == ["risk", "factor"]:
+        body = toks[:-3]
+    else:
+        return None
+    if all(t in _PREDICTOR_FILLER for t in body):
+        return "positiveCorrelation"
     return None
 
 
@@ -783,12 +1007,22 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 ability_subject[k + 1] = (ms[k], comp)
 
         pending_requires: tuple[int, int] | None = None  # (stmt idx, agent ms-idx)
+        # when a pair fired as an appositive modifier ("Aging, a major
+        # predictor for <Y>, increases ..."), the NEXT pair's verb belongs
+        # to the pre-appositive subject, not the appositive member
+        appos_subject: dict[int, dict] = {}
 
         for i in range(len(ms) - 1):
             left, right = ms[i], ms[i + 1]
             inter = text[left["end"]: right["begin"]].strip()
             after_right = text[right["end"]: s_end]
             same_entity = (left["db"], left["id"]) == (right["db"], right["id"])
+            # reduced-relative / participial clauses set off by commas
+            # modify the subject; the matrix predicate follows the FINAL
+            # comma ("X, which ..., increases Y") — a second chance for the
+            # verb matchers when the full inter text fails. The negation
+            # guard below still scans the whole inter text.
+            inter_seg = inter.rsplit(",", 1)[1] if "," in inter else None
 
             # coordination context
             lgroup = _coord_group(ms, i, text, -1)
@@ -951,7 +1185,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                                       i + 1, (None, None))[1])
                         continue
 
-            # ---- nominal postfix: "X phosphorylation by Y" ---------------
+            # ---- nominal postfix: "X phosphorylation by Y",
+            # "X inhibition by Y" -> Y rel X (reversed) ---------------------
             mpost = re.fullmatch(r"([a-z\-]+)\s+by", low_inter)
             if mpost is not None and mpost.group(1) in _NOMINAL_PMOD:
                 rel, mod = _NOMINAL_PMOD[mpost.group(1)]
@@ -964,12 +1199,31 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 if idx is not None:
                     pending_requires = (idx, i + 1)
                 continue
+            if mpost is not None and (
+                mpost.group(1) in _NOMINAL_UP or mpost.group(1) in _NOMINAL_DOWN
+            ):
+                rel = ("increases" if mpost.group(1) in _NOMINAL_UP
+                       else "decreases")
+                emit_pair(right, rel, left)
+                continue
+
+            # ---- possessive nominal: "X ... through its suppression of
+            # (the activity of) Y" — "its" binds to the nearest preceding
+            # mention, the sentence subject -----------------------------------
+            poss = _POSS_NOMINAL_RE.search(low_inter)
+            if poss is not None and not same_entity:
+                nom = poss.group(1)
+                prel = ("increases" if nom in _NOMINAL_UP
+                        else "decreases" if nom in _NOMINAL_DOWN else None)
+                if prel is not None:
+                    emit_pair(left, prel, right)
+                    continue
 
             # ---- group association ---------------------------------------
             if same_entity:
                 # continuation: "R5020 increased X ..., but also promoted
                 # nuclear translocation of X" — reuse the last subject
-                act = _match_active(low_inter)
+                act = _retry_seg(_match_active, low_inter, inter_seg)
                 if act is not None and state.last_subject is not None \
                         and state.last_subject_m is not None \
                         and (state.last_subject_m["db"],
@@ -984,8 +1238,70 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                               obj_pmod and obj_pmod[0]))
                 continue
 
+            # ---- compound premodifier: "<X>-induced <Y>" ------------------
+            comp_rel = _match_compound(inter)
+            if comp_rel is not None and not same_entity:
+                emit_pair(left, comp_rel, right)
+                continue
+
+            # ---- pro-/anti- adjectival object: "X exerts pro-<P> effects",
+            # "X can be anti-<P>"; bare process adjective + agent noun:
+            # "X is a potent angiogenic factor" --------------------------------
+            r_alias = (right.get("alias") or "").lower()
+            is_prefixed = r_alias.startswith(("pro-", "anti-"))
+            is_bare_process_adj = (
+                not is_prefixed
+                and r_alias.endswith(("ic", "genic"))
+                and NS_FUNC.get(right["db"]) in {"bp", "path"}
+            )
+            if (is_prefixed or is_bare_process_adj) and not same_entity:
+                # the agent noun may follow the adjective mention itself
+                # ("... is a potent angiogenic FACTOR")
+                need_factor = is_bare_process_adj and not re.match(
+                    r"^\s*(?:factor|inducer|agent)\b", after_right
+                )
+                if _match_adj_predicate(low_inter, need_factor) or (
+                    inter_seg and inter_seg.strip()
+                    and _match_adj_predicate(inter_seg, need_factor)
+                ):
+                    rel = ("decreases" if r_alias.startswith("anti-")
+                           else "increases")
+                    emit_pair(left, rel, right)
+                    continue
+
+            # ---- appositive exemplification: ", such as the activation of"
+            sa_rel = _retry_seg(_match_such_as_nominal, low_inter, inter_seg)
+            if sa_rel is not None and not same_entity:
+                emit_pair(left, sa_rel, right)
+                continue
+
+            # ---- predictor idiom: "X, a major predictor for Y" ------------
+            pred_rel = _retry_seg(_match_predictor, low_inter, inter_seg)
+            if pred_rel is not None and not same_entity:
+                emit_pair(left, pred_rel, right)
+                appos_subject[i + 1] = left
+                continue
+
+            # ---- targets-for-degradation: "X targets Y for proteolysis" --
+            tdeg = _match_target_for_deg(low_inter, after_right)
+            if tdeg is None and re.search(r"\s(?:and|or)\s", low_inter):
+                tdeg = _match_target_for_deg(
+                    re.split(r"\s+(?:and|or)\s+", low_inter)[-1], after_right
+                )
+            if tdeg is not None and not same_entity:
+                emit_pair(left, tdeg, right)
+                continue
+
             # ---- active verb + filler ------------------------------------
-            act = _match_active(low_inter)
+            act = _retry_seg(_match_active, low_inter, inter_seg)
+            if act is None and re.search(r"\s(?:and|or)\s", low_inter):
+                # VP coordination: "has been shown to co-localize with ...
+                # and to promote <Y>" — the final conjunct's verb phrase
+                # governs the object (no coord budget: the segment must be
+                # lead-fillers + verb only)
+                act = _match_active(
+                    re.split(r"\s+(?:and|or)\s+", low_inter)[-1]
+                )
             if act is not None:
                 rel, trail = act
                 # "ablation/loss/knockout of <X> abolished <Y>" — the
@@ -1000,7 +1316,13 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                                 _RESIDUE_3[site.group(1).lower()],
                                 int(site.group(2)))
                 subj_override = ability_subject.get(i, (None, None))[1]
-                for subj_m in (l_members if subj_override is None else [left]):
+                if i in appos_subject and subj_override is None:
+                    subj_list = [appos_subject[i]]
+                elif subj_override is None:
+                    subj_list = l_members
+                else:
+                    subj_list = [left]
+                for subj_m in subj_list:
                     for obj_m in r_members:
                         emit_pair(subj_m, rel, obj_m, wrap=wrap,
                                   obj_pmod=obj_pmod,
@@ -1008,7 +1330,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 continue
 
             # ---- passive + agent (reversed) ------------------------------
-            pas = _match_passive(low_inter)
+            pas = _retry_seg(_match_passive, low_inter, inter_seg)
+            if pas is None:
+                red = _match_reduced_passive(low_inter)
+                if red is not None:
+                    pas = (red, "by", None)
             if pas is not None:
                 rel, _marker, pmod = pas
                 if pmod is not None and pmod[1] is None:
@@ -1098,6 +1424,35 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                                 m, "directlyIncreases", x_m,
                                 obj_pmod=("Ph", res, pos),
                             )
+                        continue
+
+            # "phosphorylation of <Y> at <site>, which is the <X>-mediated
+            # site" -> X directlyIncreases p(Y, pmod(Ph, site)): the
+            # "-mediated site" apposition names the kinase of that site
+            med_site = re.match(r"^\s*[-−]mediated\s+site\b", tail)
+            if med_site is not None:
+                pm = None
+                for prior in _PHOSPHO_OF_RE.finditer(text[s_begin: m["begin"]]):
+                    pm = prior
+                if pm is not None:
+                    y_m = next(
+                        (
+                            x
+                            for x in ms
+                            if x["begin"] >= s_begin + pm.end()
+                            and x["end"] <= m["begin"]
+                            and (x["db"], x["id"]) != (m["db"], m["id"])
+                        ),
+                        None,
+                    )
+                    if y_m is not None:
+                        site = _SITE_RE.match(text[y_m["end"]: m["begin"]])
+                        pmod = (
+                            ("Ph", _RESIDUE_3[site.group(1).lower()],
+                             int(site.group(2)))
+                            if site else ("Ph", None, None)
+                        )
+                        emit_pair(m, "directlyIncreases", y_m, obj_pmod=pmod)
                         continue
 
             # "the <X> dependence of this effect" — the anaphoric effect is
@@ -1193,6 +1548,7 @@ def extract_statements_extended(
         matcher = _get_matcher(bc, token)
         out = []
         for t in txt:
+            t = normalize_block_text(t)
             ms = [
                 {"begin": s, "end": e, "alias": a, "db": db, "id": i,
                  "entry_name": n, "score": p}

@@ -97,7 +97,7 @@ def extract_triples_fused_block(pages: DataFrame, alias_rows: list) -> DataFrame
     — the engine that earns the real-gold recall. Statements carry
     ``sent_idx = 0`` (evidence spans the paragraph), matching the modular
     ``extractor="block"`` pipeline path, so outputs are interchangeable."""
-    from .extraction import extract_from_block
+    from .extraction import extract_from_block, normalize_block_text
 
     spark = pages.sparkSession
     bc = spark.sparkContext.broadcast(list(alias_rows))
@@ -118,6 +118,7 @@ def extract_triples_fused_block(pages: DataFrame, alias_rows: list) -> DataFrame
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"]
             ):
                 for para_idx, para in enumerate(extract_paragraphs_text(html, text)):
+                    para = normalize_block_text(para)
                     mentions = [
                         {"begin": b, "end": e, "alias": a, "db": db,
                          "id": i, "entry_name": n, "score": p}

@@ -25,9 +25,17 @@ the survivor it duplicated.
 
 At 100 TB the signature store is the bottleneck surface, not the corpus:
 it is ~(num_hashes x 32 B + overhead) per surviving doc, written
-partitioned/bucketed by ``key`` (Iceberg bucket transform in production)
-so the per-batch band-join prunes to the batch's own buckets instead of
-scanning the full store.
+partitioned by ``sig_bucket = pmod(xxhash64(key), buckets)`` so the
+per-batch band-join reads ONLY the batch's own buckets instead of scanning
+the full store. The pruning is lossless: the join key is (band, key), any
+store row that can match a batch row shares its ``key`` and therefore its
+bucket. A small batch touches few buckets -> the probe reads a few
+directories of a month-old multi-TB store; the bucket list per batch is
+<= ``buckets`` integers (one tiny driver-side collect, the same class as a
+metrics scalar). Iceberg production equivalent: ``PARTITIONED BY
+(bucket(64, key))`` + the engine's own bucket-join pruning.
+test_incremental_dedup.py asserts the probe's numFiles scan metric reads
+strictly fewer files than the store holds.
 """
 
 from __future__ import annotations
@@ -42,17 +50,34 @@ from .incremental import _write_batch_idempotent, stream_pages
 
 SIG_SCHEMA = "id long, sig array<string>, band int, key string"
 
+# store bucket count: fixed at write time (changing it re-keys the layout,
+# same operational rule as an Iceberg bucket transform)
+SIG_BUCKETS = 64
+
 
 def _store_path(out_root: str) -> str:
     return f"{out_root}/signatures"
 
 
-def read_signature_store(spark: SparkSession, out_root: str) -> DataFrame:
-    """Accumulated banded signatures of all surviving docs (empty-safe)."""
+def _bucket_col(buckets: int):
+    return F.pmod(F.xxhash64(F.col("key")), F.lit(buckets)).cast("int")
+
+
+def read_signature_store(
+    spark: SparkSession, out_root: str, bucket_ids: list[int] | None = None
+) -> DataFrame:
+    """Accumulated banded signatures of all surviving docs (empty-safe).
+
+    ``bucket_ids``: prune the read to these ``sig_bucket`` partitions — the
+    partition filter reaches the file index, so only those directories are
+    listed and read (the 100-TB probe path)."""
     path = _store_path(out_root)
     if not os.path.exists(path):
         return spark.createDataFrame([], SIG_SCHEMA)
-    return spark.read.parquet(path).drop("batch_id")
+    df = spark.read.parquet(path)
+    if bucket_ids is not None:
+        df = df.filter(F.col("sig_bucket").isin([int(b) for b in bucket_ids]))
+    return df.drop("batch_id", "sig_bucket")
 
 
 def _dup_ids(
@@ -136,10 +161,17 @@ def incremental_dedup(
         banded = minhash_det_banded(
             docs, n=n, num_hashes=num_hashes, bands=bands,
             id_col=id_col, text_col="_sketch_text",
-        ).persist()
+        ).withColumn("sig_bucket", _bucket_col(SIG_BUCKETS)).persist()
         try:
-            store = read_signature_store(spark, out_root)
-            dups = _dup_ids(banded, store, num_hashes, min_est)
+            # the batch's bucket footprint (<= SIG_BUCKETS ints) prunes the
+            # store probe to the directories that can possibly join
+            bucket_ids = sorted(
+                r[0] for r in banded.select("sig_bucket").distinct().collect()
+            )
+            store = read_signature_store(spark, out_root, bucket_ids)
+            dups = _dup_ids(
+                banded.drop("sig_bucket"), store, num_hashes, min_est
+            )
             survivors = docs.drop("_sketch_text").join(
                 dups.withColumnRenamed("new_id", id_col), id_col, "left_anti"
             )
@@ -148,7 +180,8 @@ def incremental_dedup(
                 dups.withColumnRenamed("new_id", "id"), "id", "left_anti"
             )
             _write_batch_idempotent(
-                surviving_sigs, _store_path(out_root), batch_id
+                surviving_sigs, _store_path(out_root), batch_id,
+                sub_partition="sig_bucket",
             )
         finally:
             banded.unpersist()

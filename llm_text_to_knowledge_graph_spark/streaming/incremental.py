@@ -31,7 +31,9 @@ def stream_pages(spark: SparkSession, pages_dir: str, max_files: int = 64) -> Da
     )
 
 
-def _write_batch_idempotent(df: DataFrame, path: str, batch_id: int) -> None:
+def _write_batch_idempotent(
+    df: DataFrame, path: str, batch_id: int, sub_partition: str | None = None
+) -> None:
     """Idempotent foreachBatch sink: the batch writes ONLY its own
     ``batch_id=<id>`` partition with dynamic partition overwrite.
 
@@ -39,12 +41,19 @@ def _write_batch_idempotent(df: DataFrame, path: str, batch_id: int) -> None:
     on restart. A blind append would duplicate the replayed rows; the
     partition overwrite makes the retry rewrite the same partition instead,
     so the table converges to exactly-once contents (ADVICE round 1).
-    Readers drop the ``batch_id`` column (see read_incremental_*)."""
+    Readers drop the ``batch_id`` column (see read_incremental_*).
+
+    ``sub_partition``: optional second-level partition column already on
+    ``df`` (e.g. the signature store's ``sig_bucket``) so downstream
+    point-reads prune directories. A replayed batch derives the identical
+    sub-partition values from the identical input, so the dynamic overwrite
+    still converges."""
+    cols = ["batch_id"] + ([sub_partition] if sub_partition else [])
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy(*cols)
         .parquet(path)
     )
 

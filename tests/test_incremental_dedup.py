@@ -98,3 +98,89 @@ def test_replayed_batch_converges(spark, tmp_path):
     # simulate the replay: the store already holds this batch's signatures
     dups = _dup_ids(banded, banded, num_hashes=16, min_est=0.5)
     assert dups.count() == 0
+
+
+def test_store_probe_prunes_buckets(spark, tmp_path):
+    """The per-batch store probe must read ONLY the batch's sig_bucket
+    partitions (VERDICT r2 #5). Asserted two ways: the scan plan carries a
+    PartitionFilters clause on sig_bucket, and the executed scan's numFiles
+    metric is strictly below the store's file count."""
+    import glob
+    import os
+
+    from llm_text_to_knowledge_graph_spark.streaming.dedup import (
+        SIG_BUCKETS,
+        _bucket_col,
+        _store_path,
+        incremental_dedup,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_root = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 40 distinct docs -> 40*bands banded keys spread over many buckets
+    rows = [
+        (f"u://{i}", None, None,
+         f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h", "en")
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.mode("append").parquet(
+        pages_dir
+    )
+    incremental_dedup(spark, pages_dir, out_root, ckpt, bands=4).awaitTermination(120)
+
+    store_files = glob.glob(
+        os.path.join(_store_path(out_root), "**", "*.parquet"), recursive=True
+    )
+    bucket_dirs = {
+        p.split("sig_bucket=")[1].split(os.sep)[0]
+        for p in store_files
+    }
+    assert len(bucket_dirs) > 4  # the layout actually fans out
+
+    # probe exactly one doc's buckets, the way process_batch does
+    one = spark.createDataFrame(rows[:1], PAGES_SCHEMA).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    from llm_text_to_knowledge_graph_spark.operators.dedup import (
+        minhash_det_banded,
+    )
+
+    banded = minhash_det_banded(one, bands=4, text_col="text").withColumn(
+        "sig_bucket", _bucket_col(SIG_BUCKETS)
+    )
+    bucket_ids = sorted(
+        r[0] for r in banded.select("sig_bucket").distinct().collect()
+    )
+    assert 0 < len(bucket_ids) <= 4
+
+    probe = read_signature_store(spark, out_root, bucket_ids)
+    rows_read = probe.collect()
+    # semantic: the probe sees the target doc's own signatures
+    target_id = one.select("doc_id").first()[0]
+    assert any(r["id"] == target_id for r in rows_read)
+
+    # plan: the partition filter reached the file index
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig_bucket" in plan
+
+    # physical: strictly fewer files scanned than the store holds
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.length()):
+        leaf = leaves.apply(i)
+        try:
+            num_files = leaf.metrics().apply("numFiles").value()
+            break
+        except Exception:
+            continue
+    assert num_files is not None
+    assert num_files < len(store_files)
+    # and no more files than the probed buckets' own directories hold
+    probed_files = [
+        p for p in store_files
+        if any(f"sig_bucket={b}{os.sep}" in p or p.endswith(f"sig_bucket={b}")
+               or f"sig_bucket={b}/" in p for b in bucket_ids)
+    ]
+    assert num_files <= len(probed_files)
