@@ -7,18 +7,34 @@ driver's documents table has no planted relations, so pipeline throughput
 is measured on the corpus the extraction semantics target).
 
 Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "loadavg": {name: [before, after]},
+         "queries": {name: sec, ...}, "queries_cold": {name: sec, ...},
+         "loadavg": {name: [before, after]}, "loadavg_cold": {...},
          "sf": X, "kg_triples_per_sec": ..., "kg_pages_per_sec": ...}
 
-Every timed block records the 1-min /proc/loadavg immediately before and
-after it — this box hosts neighbor sandboxes whose bursty load perturbs
-wall times, and without per-query load the cross-round deltas cannot be
-attributed (round-2 lesson: a -12%% headline swing with no code change).
+TWO-PASS METHODOLOGY (round 3). The whole suite runs twice in one session:
+
+  * pass 0 ("queries_cold") — each query's FIRST evaluation, the round-1/2
+    methodology, kept so per-query numbers stay comparable across rounds.
+    A first call pays whole-stage-codegen compile, Python-worker spawn and
+    cold page cache: one-time costs that amortize to zero on a long-lived
+    cluster but are 20-100%% of a 1-3s query here, which is why round-2's
+    cold-only numbers swung +/-2x run-to-run (the -12%% fused "regression"
+    and the 2x mention-engine flip-flop were both this noise).
+  * pass 1 ("queries", the headline; feeds "value" and the *_per_sec
+    extras) — the same queries re-run warm. Steady-state plan cost, the
+    number that scales to a 1000-executor job. Warm interleaved A/B at
+    sf0.1 reproduces within ~5%% where cold single-shots swung 2x.
+
+Every timed block (both passes) records the 1-min /proc/loadavg
+immediately before and after it — this box hosts neighbor sandboxes whose
+bursty load perturbs wall times, and without per-query load cross-round
+deltas cannot be attributed (round-2 lesson).
 
 NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
 ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block),
-so compare per-query timings across rounds, not the total.
+so compare per-query timings across rounds, not the total — and compare
+r1/r2 numbers against "queries_cold", not the warm headline.
 """
 
 from __future__ import annotations
@@ -29,8 +45,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from llm_text_to_knowledge_graph_spark import get_spark  # noqa: E402
@@ -61,9 +75,15 @@ def main() -> int:
     spark = get_spark(
         "kg-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16)
     )
-    timings: dict[str, float] = {}
-    loads: dict[str, list] = {}
+    cold_timings: dict[str, float] = {}
+    cold_loads: dict[str, list] = {}
+    warm_timings: dict[str, float] = {}
+    warm_loads: dict[str, list] = {}
     extras: dict[str, float] = {}
+
+    # pass-local recording targets; rebound between the cold and warm pass
+    timings = cold_timings
+    loads = cold_loads
 
     def timed(name: str, thunk):
         la0 = _loadavg()
@@ -83,145 +103,163 @@ def main() -> int:
     extract_triples_fused(wpages, alias_rows).count()
     extract_triples_fused_block(wpages, alias_rows).count()
 
-    # --- headline 1a: fused extraction (one Python crossing) ----------------
     pages = pages_df(spark, N_DOCS, seed=42, partitions=CPUS * 2)
-    n_triples, dt = timed(
-        "kg_extract_fused", lambda: extract_triples_fused(pages, alias_rows).count()
-    )
-    extras["kg_fused_triples_per_sec"] = round(n_triples / dt, 1)
-    extras["kg_fused_pages_per_sec"] = round(N_DOCS / dt, 1)
 
-    # --- headline 1a': fused EXTENDED block engine (pages -> triples, one
-    # Python crossing over whole paragraphs) — the engine that earns the
-    # real-gold recall; benched against the sentence engine above so the
-    # default choice is evidence-based (VERDICT r2 #2)
-    n_triples_b, dt = timed(
-        "kg_extract_fused_block",
-        lambda: extract_triples_fused_block(pages, alias_rows).count(),
-    )
-    extras["kg_fused_block_triples_per_sec"] = round(n_triples_b / dt, 1)
-    extras["kg_fused_block_pages_per_sec"] = round(N_DOCS / dt, 1)
+    def run_suite():
+        # --- headline 1a: fused extraction (one Python crossing) ------------
+        n_triples, dt = timed(
+            "kg_extract_fused", lambda: extract_triples_fused(pages, alias_rows).count()
+        )
+        extras["kg_fused_triples_per_sec"] = round(n_triples / dt, 1)
+        extras["kg_fused_pages_per_sec"] = round(N_DOCS / dt, 1)
 
-    # --- headline 1b: modular five-stage pipeline ----------------------------
-    def _pipeline():
-        res = run_pipeline(spark, pages, alias_rows, parallelism=CPUS * 2, persist=True)
-        return res, res["triples"].count()
+        # --- headline 1a': fused EXTENDED block engine (pages -> triples, one
+        # Python crossing over whole paragraphs) — the engine that earns the
+        # real-gold recall; benched against the sentence engine above so the
+        # default choice is evidence-based (VERDICT r2 #2)
+        n_triples_b, dt = timed(
+            "kg_extract_fused_block",
+            lambda: extract_triples_fused_block(pages, alias_rows).count(),
+        )
+        extras["kg_fused_block_triples_per_sec"] = round(n_triples_b / dt, 1)
+        extras["kg_fused_block_pages_per_sec"] = round(N_DOCS / dt, 1)
 
-    (res, n_triples), dt = timed("kg_pipeline", _pipeline)
-    extras["kg_triples_per_sec"] = round(n_triples / dt, 1)
-    extras["kg_pages_per_sec"] = round(N_DOCS / dt, 1)
-    extras["kg_triples"] = n_triples
+        # --- headline 1b: modular five-stage pipeline ----------------------------
+        def _pipeline():
+            res = run_pipeline(spark, pages, alias_rows, parallelism=CPUS * 2, persist=True)
+            return res, res["triples"].count()
 
-    # --- headline 2: graph materialization (nodes+edges) --------------------
-    n_edges, _ = timed("kg_graph_materialize", lambda: res["edges"].count())
-    extras["kg_edges"] = n_edges
+        (res, n_triples), dt = timed("kg_pipeline", _pipeline)
+        extras["kg_triples_per_sec"] = round(n_triples / dt, 1)
+        extras["kg_pages_per_sec"] = round(N_DOCS / dt, 1)
+        extras["kg_triples"] = n_triples
 
-    # --- headline 2b: hash-id (content-addressed) graph build — the 100TB
-    # scale path: join-free edges + one-distinct nodes over cached triples
-    from llm_text_to_knowledge_graph_spark.operators.graph import (
-        build_edges,
-        build_nodes,
-    )
+        # --- headline 2: graph materialization (nodes+edges) --------------------
+        n_edges, _ = timed("kg_graph_materialize", lambda: res["edges"].count())
+        extras["kg_edges"] = n_edges
 
-    def _hash_graph():
-        n = build_edges(res["triples"], id_strategy="hash").count()
-        build_nodes(res["triples"], id_strategy="hash").count()
-        return n
+        # --- headline 2b: hash-id (content-addressed) graph build — the 100TB
+        # scale path: join-free edges + one-distinct nodes over cached triples
+        from llm_text_to_knowledge_graph_spark.operators.graph import (
+            build_edges,
+            build_nodes,
+        )
 
-    n_edges_h, _ = timed("kg_graph_hash", _hash_graph)
-    assert n_edges_h == n_edges
+        def _hash_graph():
+            n = build_edges(res["triples"], id_strategy="hash").count()
+            build_nodes(res["triples"], id_strategy="hash").count()
+            return n
 
-    # --- oracle-contract queries over the sf dir -----------------------------
-    qs = entrymod.queries()
-    bench_queries = [
-        "q1_pricing",
-        "top_customers",
-        "edge_materialization",
-        "jaccard_pairs",
-        "dedup_exact",
-        "token_count",
-        "quality_score",
-        "lang_id",
-        "embedding_topk",
-        "ivf_ann_topk",
-        "mention_counts",
-        "mention_counts_native",
-        "connected_components_graph",
-        "minhash_pairs",
-        "minhash_pairs_det",
-        "simhash_pairs",
-        "simhash_pairs_native",
-    ]
-    for name in bench_queries:
-        # count() forces full evaluation without driver-side collect
-        timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
+        n_edges_h, _ = timed("kg_graph_hash", _hash_graph)
+        assert n_edges_h == n_edges
 
-    # --- ANN in its amortized regime: index built once (kmeans), then a
-    # 32-query batch over the cached index vs brute force over the same
-    # batch. One-shot IVF (ivf_ann_topk above) pays K cosines per corpus
-    # vector at index-build time and only wins when |queries| > K; the
-    # prebuilt index is the 100TB shape (corpus written partitioned by
-    # cell, probed many times).
-    from llm_text_to_knowledge_graph_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_index,
-        ivf_topk_indexed,
-    )
+        # --- oracle-contract queries over the sf dir -----------------------------
+        qs = entrymod.queries()
+        bench_queries = [
+            "q1_pricing",
+            "top_customers",
+            "edge_materialization",
+            "jaccard_pairs",
+            "dedup_exact",
+            "token_count",
+            "quality_score",
+            "lang_id",
+            "embedding_topk",
+            "ivf_ann_topk",
+            "mention_counts",
+            "mention_counts_native",
+            "connected_components_graph",
+            "minhash_pairs",
+            "minhash_pairs_det",
+            "simhash_pairs",
+            "simhash_pairs_native",
+        ]
+        for name in bench_queries:
+            # count() forces full evaluation without driver-side collect
+            timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
 
-    # K=8, nprobe=4: the sf embeddings table is ISOTROPIC (same-label mean
-    # cosine 0.03), so IVF recall there is scan-fraction-bound for any
-    # quantizer — 4/8 cells ~ 0.75 recall at half the scan. On genuinely
-    # clustered data the same index reaches >=0.9 recall at a 25% scan
-    # (pinned in tests/test_ivf.py).
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qids = list(range(32))
+        # --- ANN in its amortized regime: index built once (kmeans), then a
+        # 32-query batch over the cached index vs brute force over the same
+        # batch. One-shot IVF (ivf_ann_topk above) pays K cosines per corpus
+        # vector at index-build time and only wins when |queries| > K; the
+        # prebuilt index is the 100TB shape (corpus written partitioned by
+        # cell, probed many times).
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_index,
+            ivf_topk_indexed,
+        )
 
-    def _build_index():
-        corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
-        corpus = corpus.persist()
-        corpus.count()
-        return corpus, cents
+        # K=8, nprobe=4: the sf embeddings table is ISOTROPIC (same-label mean
+        # cosine 0.03), so IVF recall there is scan-fraction-bound for any
+        # quantizer — 4/8 cells ~ 0.75 recall at half the scan. On genuinely
+        # clustered data the same index reaches >=0.9 recall at a 25% scan
+        # (pinned in tests/test_ivf.py).
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qids = list(range(32))
 
-    (corpus, cents), _ = timed("ivf_index_build", _build_index)
-    ex, _ = timed(
-        "ann_brute_32q",
-        lambda: {
-            (r["query_id"], r["neighbor_id"])
-            for r in brute_force_topk(emb, qids, k=10).collect()
-        },
-    )
-    ap, _ = timed(
-        "ann_ivf_32q",
-        lambda: {
-            (r["query_id"], r["neighbor_id"])
-            for r in ivf_topk_indexed(corpus, cents, qids, k=10, nprobe=4).collect()
-        },
-    )
-    extras["ivf_recall_32q"] = round(len(ex & ap) / max(len(ex), 1), 4)
-    corpus.unpersist()
+        def _build_index():
+            corpus, cents = ivf_index(emb, n_centroids=8, method="kmeans")
+            corpus = corpus.persist()
+            corpus.count()
+            return corpus, cents
 
-    # --- eval harness at bench scale: grouped bipartite matching (E4) over
-    # the synthetic pipeline's predictions vs planted gold. Shuffle key is
-    # (url, evidence): group sizes are bounded by statements-per-sentence
-    # (small, near-uniform), so no skew handling is needed here — see
-    # PLANS.md §eval for the 10^9-statement shuffle note.
-    from llm_text_to_knowledge_graph_spark.corpus import gold_df
-    from llm_text_to_knowledge_graph_spark.eval.spark_eval import match_statements
+        (corpus, cents), _ = timed("ivf_index_build", _build_index)
+        ex, _ = timed(
+            "ann_brute_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_topk(emb, qids, k=10).collect()
+            },
+        )
+        ap, _ = timed(
+            "ann_ivf_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk_indexed(corpus, cents, qids, k=10, nprobe=4).collect()
+            },
+        )
+        extras["ivf_recall_32q"] = round(len(ex & ap) / max(len(ex), 1), 4)
+        corpus.unpersist()
 
-    pred = res["triples"].select("url", "evidence", "bel_statement")
-    gold = gold_df(spark, N_DOCS, seed=42).select("url", "evidence", "bel_statement")
-    n_match, _ = timed(
-        "eval_match_statements", lambda: match_statements(pred, gold).count()
-    )
-    extras["eval_match_rows"] = n_match
+        # --- eval harness at bench scale: grouped bipartite matching (E4) over
+        # the synthetic pipeline's predictions vs planted gold. Shuffle key is
+        # (url, evidence): group sizes are bounded by statements-per-sentence
+        # (small, near-uniform), so no skew handling is needed here — see
+        # PLANS.md §eval for the 10^9-statement shuffle note.
+        from llm_text_to_knowledge_graph_spark.corpus import gold_df
+        from llm_text_to_knowledge_graph_spark.eval.spark_eval import match_statements
 
-    total = round(sum(timings.values()), 3)
+        pred = res["triples"].select("url", "evidence", "bel_statement")
+        gold = gold_df(spark, N_DOCS, seed=42).select("url", "evidence", "bel_statement")
+        n_match, _ = timed(
+            "eval_match_statements", lambda: match_statements(pred, gold).count()
+        )
+        extras["eval_match_rows"] = n_match
+
+    # pass 0: cold (first evaluation of every plan — the r1/r2 numbers)
+    run_suite()
+    # drop every cache entry the cold pass left behind: Spark's CacheManager
+    # dedupes by canonicalized plan, so without this the warm pass's
+    # identical plans would silently READ the cold pass's persisted results
+    # instead of re-executing them.
+    spark.catalog.clearCache()
+    # pass 1: warm (codegen compiled, workers pooled, page cache hot) — the
+    # steady-state numbers; extras (*_per_sec) overwrite with warm values.
+    timings = warm_timings
+    loads = warm_loads
+    run_suite()
+
+    total = round(sum(warm_timings.values()), 3)
     out = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "loadavg": loads,
+        "queries": warm_timings,
+        "queries_cold": cold_timings,
+        "total_cold_sec": round(sum(cold_timings.values()), 3),
+        "loadavg": warm_loads,
+        "loadavg_cold": cold_loads,
         "sf": _SF_GUESS,
         **extras,
     }

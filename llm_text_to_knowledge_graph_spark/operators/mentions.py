@@ -283,11 +283,18 @@ def count_mentions_native(
         leftmost-longest boundary scan reduces to token equality: split on
         the boundary class, filter tokens against the dictionary inside the
         array, explode only the hits, broadcast-hash-join to entry names.
-        All inside WholeStageCodegen; measured ~1.6x faster than the
-        Arrow-batched Python matcher at sf0.1 on a quiet box (0.85s vs
-        1.40s warm; under heavy neighbor load the two measure at parity)
-        and ~5x faster than the alternation regex — the counting fast
-        path, and its cost no longer grows with dictionary size.
+        All inside WholeStageCodegen. Speed vs the Arrow-batched Python
+        matcher: PARITY within noise — warm interleaved A/B at sf0.1
+        (6 runs each) measures median 2.05s vs 2.21s, and the two-pass
+        bench.py warm numbers agree; earlier cold single-shot benches
+        swung anywhere from 1.6x faster to 2x slower because a first call
+        pays codegen compile (tokenize side) or worker-pool spawn (Arrow
+        side), which dominated 1-3s queries (settled in round 3 —
+        bench.py's "queries" vs "queries_cold"). It is ~5x faster than the
+        alternation regex. Its real wins are structural, not wall-clock:
+        zero Python runtime on the hot path (pure-JVM deployability) and
+        per-row cost flat in dictionary size (the Arrow matcher's automaton
+        build is per-executor, the alternation regex scans per character).
       * ``regex`` — general fallback for multi-token aliases: the same
         length-desc ordered alternation as ``AliasMatcher`` via
         ``regexp_extract_all`` with ``(?U)`` word-boundary lookarounds.

@@ -4,12 +4,15 @@ Media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over mapInPandas.
 
-Codec status (round 2): PNG (8-bit gray/RGB/RGBA, all five scanline
-filters) and PCM WAV decode for REAL, dependency-free (zlib + struct +
-numpy — golden-file tested). Other containers (JPEG/MP3/MP4) still raise
-NotImplementedError: their codecs genuinely need external libraries this
-container lacks; the deterministic ``fake=True`` digest stub remains for
-schema/batch-shape tests.
+Codec status (round 3): PNG (8-bit gray/RGB/RGBA, all five scanline
+filters), baseline JPEG (sequential DCT, Huffman, gray + YCbCr with
+4:4:4/4:2:2/4:2:0 subsampling, restart markers) and PCM WAV decode for
+REAL, dependency-free (zlib + struct + numpy; PNG/WAV golden-file
+tested, JPEG verified against a spec-independent test encoder plus
+real-world files). MP3/MP4 still raise NotImplementedError: those codecs
+genuinely need external libraries this container lacks; the
+deterministic ``fake=True`` digest stub remains for schema/batch-shape
+tests.
 """
 
 from __future__ import annotations
@@ -147,6 +150,246 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(height, width, ch)
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) --------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: spatial = C.T @ coeffs @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
+    resyncs past RSTn on restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            # a real marker (EOI / RSTn / next segment): pad with zeros, as
+            # the spec's byte-alignment fill; restart()/caller consumes it
+            return 0  # do not advance
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bits = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and byte-align (DRI intervals)."""
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
+            self.pos += 1  # skip any left-over entropy bytes
+        if 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _build_huffman(counts: list[int], symbols: list[int]) -> dict:
+    """(length, code) -> symbol, per T.81 Annex C canonical code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Minimal real baseline JPEG decoder (ITU-T T.81 sequential DCT):
+    8-bit samples, Huffman entropy coding, grayscale or YCbCr with any
+    h/v sampling factors <= 2 (4:4:4, 4:2:2, 4:2:0), restart markers,
+    multi-table DQT/DHT segments. Progressive (SOF2) and arithmetic
+    coding raise NotImplementedError. Returns (H, W, C) uint8 — C=1
+    grayscale, C=3 RGB (BT.601 YCbCr, chroma upsampled by replication).
+
+    Pure python+numpy entropy loop: this is the capability-parity codec
+    for the multimodal plumbing, not a throughput path — at 100 TB image
+    decode belongs in a native library behind the same mapInPandas UDF.
+    """
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (height, width, comps) ; comps: (cid, h, v, tq)
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", d[pos + 2: pos + 4])
+        body = d[pos + 4: pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                if prec:
+                    tbl = np.frombuffer(body[b: b + 128], dtype=">u2").astype(np.int32)
+                    b += 128
+                else:
+                    tbl = np.frombuffer(body[b: b + 64], dtype=np.uint8).astype(np.int32)
+                    b += 64
+                qt[tid] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+            _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic) not supported"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = list(body[b + 1: b + 17])
+                n = sum(counts)
+                symbols = list(body[b + 17: b + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(counts, symbols)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i: 3 + 2 * i]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0x0F)
+            height, width, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved JPEG scan not supported")
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            planes = {
+                cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+                for cid, h, v, _ in comps
+            }
+            pred = {cid: 0 for cid, *_ in comps}
+            reader = _JpegBitReader(d, pos + 2 + seglen)
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                        reader.restart()
+                        pred = {cid: 0 for cid, *_ in comps}
+                    mcu_i += 1
+                    for cid, h, v, tq in comps:
+                        td, ta = scan_tables[cid]
+                        for by in range(v):
+                            for bx in range(h):
+                                coef = np.zeros(64, dtype=np.int32)
+                                s = _huff_decode(reader, huff_dc[td])
+                                diff = _extend(reader.receive(s), s)
+                                pred[cid] += diff
+                                coef[0] = pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(reader, huff_ac[ta])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    coef[k] = _extend(reader.receive(s), s)
+                                    k += 1
+                                block = np.zeros(64, dtype=np.float64)
+                                block[_ZIGZAG] = coef * qt[tq]
+                                spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                                y0 = (my * v + by) * 8
+                                x0 = (mx * h + bx) * 8
+                                planes[cid][y0: y0 + 8, x0: x0 + 8] = spatial
+            out_planes = []
+            for cid, h, v, _ in comps:
+                p = planes[cid] + 128.0
+                p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+                out_planes.append(p[:height, :width])
+            if len(out_planes) == 1:
+                gray = np.clip(out_planes[0], 0, 255)
+                return gray.astype(np.uint8)[..., None]
+            y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+            rgb = np.stack(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+                axis=2,
+            )
+            return np.clip(rgb, 0, 255).astype(np.uint8)
+        elif marker == 0xD9:  # EOI
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Minimal real WAV decoder: RIFF/WAVE container, PCM 16-bit. Returns
     (samples int16 [n, channels], sample_rate)."""
@@ -215,22 +458,24 @@ def _feature_from_audio(samples: np.ndarray) -> np.ndarray:
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """payload -> FEATURE_DIM unit-norm feature vector.
 
-    Real paths (sniffed by magic bytes): PNG -> grid-of-block-means
-    feature; PCM WAV -> segment-energy feature. Other formats raise
-    NotImplementedError (JPEG/MP3/MP4 codecs need external libraries this
-    container lacks). ``fake=True`` keeps the digest stub for plumbing
-    tests."""
+    Real paths (sniffed by magic bytes): PNG / baseline JPEG ->
+    grid-of-block-means feature; PCM WAV -> segment-energy feature. Other
+    formats raise NotImplementedError (MP3/MP4 codecs need external
+    libraries this container lacks). ``fake=True`` keeps the digest stub
+    for plumbing tests."""
     if fake:
         return _fake_decode(payload, media_type)
     p = payload or b""
     if p.startswith(_PNG_MAGIC):
         return _feature_from_pixels(decode_png(p))
+    if p[:2] == b"\xff\xd8":
+        return _feature_from_pixels(decode_jpeg(p))
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         samples, _rate = decode_wav(p)
         return _feature_from_audio(samples)
     raise NotImplementedError(
-        "real decoding implemented for PNG and PCM WAV only; other codecs "
-        "require libraries not present in this container "
+        "real decoding implemented for PNG, baseline JPEG and PCM WAV; "
+        "other codecs require libraries not present in this container "
         "(pass fake=True for the deterministic stub)"
     )
 

@@ -105,7 +105,11 @@ def test_decode_media_real_paths_and_fallback():
     feat_a = decode_media(wav, "audio")
     assert feat_a.shape == (16,)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff JPEG-ish", "image")  # still honest: no JPEG
+        decode_media(b"ID3\x03 MP3-ish", "audio")  # still honest: no MP3
+    with pytest.raises(ValueError):
+        # JPEG is real as of r3: a truncated payload is a decode ERROR now,
+        # not an unimplemented-codec fallthrough
+        decode_media(b"\xff\xd8\xff JPEG-ish", "image")
 
 
 def test_extract_features_real_decode_in_spark(spark):
