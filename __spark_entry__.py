@@ -832,6 +832,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    # Container-level media metadata (r3): probe_media runs the REAL
+    # dependency-free parsers (MP4 stbl sample index, MP3 frame index, PNG
+    # IHDR, WAV fmt/data, JPEG SOF) over a deterministic synthetic corpus
+    # of VALID container files. The oracle is a spec-derived golden VALUES
+    # table: every expected number below is computable from the container
+    # specs by hand (e.g. MP3 duration = 6 frames x 1152 samples / 44100 Hz
+    # = 157 ms; WAV frames = 4000 bytes / 2 B-per-sample = 2000), not read
+    # back from the engine.
+    def media_probe(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.media_containers import (
+            synthesize_media,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.multimodal import (
+            MEDIA,
+            probe_media,
+        )
+
+        media = spark.createDataFrame(synthesize_media(12), schema=MEDIA)
+        return probe_media(media).select(
+            F.col("media_id").cast("long").alias("media_id"),
+            "container", "codec", "width", "height",
+            "duration_ms", "n_frames", "sample_rate",
+        )
+
+    q["media_probe"] = media_probe
+
     # S4/D9 metadata extraction over the sf documents (text mode) — the
     # paragraph filters (F4/F6/min-len) + abstract/count are SQL-expressible,
     # so this row is oracle-green (round-2: pages-based version was
@@ -1302,7 +1328,32 @@ def oracle_sql() -> dict[str, str]:
         for w in VOCAB
     )
 
+    # Spec-derived golden rows for media_probe (see the query's comment):
+    # the synthetic corpus cycles png/wav/mp3/mp4 and each field below is a
+    # hand-derivable container-spec constant, NOT engine output.
+    media_row = {
+        0: "'png',  'png',        16, 12,   -1,   -1,    -1",
+        1: "'wav',  'pcm',        -1, -1,  250, 2000,  8000",
+        2: "'mp3',  'mpeg-audio', -1, -1,  157,    6, 44100",
+        3: "'mp4',  'avc1',       32, 24, 2000,    8,    -1",
+    }
+    media_values = ",\n              ".join(
+        f"({i}, {media_row[i % 4]})" for i in range(12)
+    )
+    media_probe_sql = f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, container, codec,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(duration_ms AS INTEGER) AS duration_ms,
+               CAST(n_frames AS INTEGER) AS n_frames,
+               CAST(sample_rate AS INTEGER) AS sample_rate
+        FROM (VALUES {media_values})
+             t(media_id, container, codec, width, height,
+               duration_ms, n_frames, sample_rate)
+    """
+
     return {
+        "media_probe": media_probe_sql,
         "paragraph_filter": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS para_idx,

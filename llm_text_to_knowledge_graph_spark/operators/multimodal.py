@@ -9,10 +9,14 @@ filters), baseline JPEG (sequential DCT, Huffman, gray + YCbCr with
 4:4:4/4:2:2/4:2:0 subsampling, restart markers) and PCM WAV decode for
 REAL, dependency-free (zlib + struct + numpy; PNG/WAV golden-file
 tested, JPEG verified against a spec-independent test encoder plus
-real-world files). MP3/MP4 still raise NotImplementedError: those codecs
-genuinely need external libraries this container lacks; the
-deterministic ``fake=True`` digest stub remains for schema/batch-shape
-tests.
+real-world files). MP4 and MP3 are now parsed for REAL at the CONTAINER
+level (``media_containers.py``: ISO BMFF box walk + stts/stsz/stsc/stco/
+stss sample index; MPEG audio frame index) — which is what production
+frame-sampling actually uses (seek via stbl, decode only selected
+frames). Only the codec ENTROPY DECODE (H.264/AAC/MP3 Huffman) remains
+stubbed via NotImplementedError: it genuinely needs external libraries
+this container lacks. The deterministic ``fake=True`` digest stub
+remains for schema/batch-shape tests.
 """
 
 from __future__ import annotations
@@ -503,9 +507,30 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES)
 
 
+def _feature_from_bytes(frame: bytes) -> np.ndarray:
+    """Unit-norm 16-bin byte histogram of a frame's raw payload bytes —
+    deterministic and computed over the REAL sampled frame (the container
+    seek is exact); replace with a codec decode + pixel feature when a
+    decoder library is present (the UDF signature does not change)."""
+    if not frame:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    counts = np.bincount(
+        np.frombuffer(frame, dtype=np.uint8) >> 4, minlength=FEATURE_DIM
+    ).astype(np.float32)
+    norm = float(np.linalg.norm(counts)) or 1.0
+    return counts / norm
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
-    """video rows -> one row per sampled frame timestamp (schema-real,
-    decode stubbed): frame feature = payload digest + frame index."""
+    """video rows -> one row per sampled frame timestamp.
+
+    Real mode (``fake=False``): MP4 payloads are frame-sampled via the
+    container's own sample tables (``media_containers.mp4_frames_at`` —
+    nearest preceding sync sample per tick, exact byte ranges), and each
+    frame's feature is computed over its real bytes. Non-MP4 payloads in
+    real mode raise NotImplementedError from the parser, same policy as
+    ``decode_media``. Fake mode keeps the digest stub driven by the
+    ``duration_ms`` metadata column for plumbing tests."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -515,19 +540,66 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_containers import mp4_frames_at
+
         for pdf in batches:
             ids, stamps, feats = [], [], []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if not fake:
+                    for ts, frame in mp4_frames_at(payload or b"", every_ms):
+                        ids.append(mid)
+                        stamps.append(ts)
+                        feats.append(_feature_from_bytes(frame).tolist())
+                    continue
                 for ts in range(0, int(dur or 0), every_ms):
                     ids.append(mid)
                     stamps.append(ts)
                     feats.append(
                         decode_media(
-                            (payload or b"") + ts.to_bytes(4, "little"), "video", fake=fake
+                            (payload or b"") + ts.to_bytes(4, "little"), "video", fake=True
                         ).tolist()
                     )
             yield pd.DataFrame({"media_id": ids, "frame_ms": stamps, "feature": feats})
 
     return media.filter(media.media_type == "video").mapInPandas(run, schema=schema)
+
+
+PROBE = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Container-level metadata extraction (S4-analog for media columns):
+    sniff + parse every payload's REAL header/sample tables (MP4 stbl, MP3
+    frame index, PNG IHDR, WAV fmt/data, JPEG SOF) into typed columns.
+    Unrecognized payloads yield container=NULL instead of failing the
+    batch. Arrow-batched mapInPandas; payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_containers import probe_container
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = probe_container(payload or b"")
+                except (ValueError, NotImplementedError, struct.error):
+                    p = {"container": None, "codec": None, "width": None,
+                         "height": None, "duration_ms": None,
+                         "n_frames": None, "sample_rate": None}
+                rows.append({"media_id": mid, **p})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PROBE)
