@@ -701,6 +701,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["real_gold_heldout_pr"] = real_gold_heldout_pr
 
+    # Mechanical per-miss audit (r3): every unmatched gold statement in the
+    # three .bel papers with its code-derived category. Rows-only by nature
+    # (the categorizer runs the extraction engine); exact distributions and
+    # the 8 enumerated pattern_gap statements of the hardest paper are
+    # pinned in tests/test_real_gold.py::test_miss_audit_pinned.
+    def real_gold_miss_audit(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+            PAPER_LEXICONS,
+            audit_misses,
+        )
+
+        rows = []
+        for pmid in sorted(PAPER_LEXICONS):
+            a = audit_misses(pmid)
+            for m in a["misses"]:
+                rows.append((pmid, m["key"], m["category"], m["gold"]))
+        return spark.createDataFrame(
+            rows, "pmid string, block string, category string, gold string"
+        )
+
+    q["real_gold_miss_audit"] = real_gold_miss_audit
+
     # C1 (vocab matcher) + C2-cooccurrence + P6/P7 graph build, resolved
     # back to entity names so the single-token VOCAB makes the whole chain
     # DuckDB-checkable (round-2: was rows-only).

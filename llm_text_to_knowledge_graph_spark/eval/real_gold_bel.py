@@ -271,3 +271,142 @@ def run_merged_lexicon_eval() -> dict:
         "precision": matched / pred_total if pred_total else 0.0,
         "recall": matched / gold_total if gold_total else 0.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# per-miss audit (round 3): mechanically categorize every unmatched gold
+# ---------------------------------------------------------------------------
+
+_REL_WORDS = (
+    "increases", "decreases", "directlyIncreases", "directlyDecreases",
+    "association", "causesNoChange", "positiveCorrelation",
+    "negativeCorrelation", "->", "-|", "=>", "=|",
+)
+
+# activity / mechanism wrappers a curator adds from domain knowledge; they
+# are never literal surface text in the evidence sentence
+_MECH_FN_RE = re.compile(
+    r"\b(?:kin|cat|pep|deg|tport|gtp|chap|ribo|tscript|surf|sec|act)\("
+)
+
+
+def _count_rel_words(stmt: str) -> int:
+    n = 0
+    for w in _REL_WORDS:
+        if w.isalpha():
+            n += len(re.findall(r"\b" + w + r"\b", stmt))
+        else:
+            n += stmt.count(w)
+    return n
+
+
+def categorize_miss(
+    gold_stmt: str,
+    text: str,
+    mention_names: set[str],
+    lexicon: list | None = None,
+) -> str:
+    """Mechanical (code, not judgment) category for an unmatched gold
+    statement, ordered by how fundamentally out-of-reach it is for
+    pattern extraction under the pinned scorer:
+
+    - relationless_gold: no relation -> the reference scorer's
+      comparability gate (bel_parser.py:355-375) cannot match it at all.
+    - nested_statement: the object is itself a statement
+      ("a decreases (b increases c)") — outside the flat triple model.
+    - non_surface_entity: >=1 gold entity name never appears in the
+      evidence text (cross-block anaphora / curator background knowledge).
+    - mechanism_wrapper: subject/object wrapped in kin()/cat()/deg()/...
+      — mechanism the curator inferred, not surface-stated.
+    - species_namespace: every entity IS in the sentence, but a gold
+      entity's entry name exists under >=2 namespaces in the paper's
+      lexicon (the curator switches HGNC/MGI by species context; the
+      single-namespace dictionary must pick one, documented in
+      LEXICON_16962653) — the entity GATE fails even if the pattern fires.
+    - pattern_gap: everything needed IS in the sentence; an extraction
+      pattern could in principle emit it. The honest extractor-gap bucket.
+    """
+    from .bel_eval import parse_statement
+
+    parsed = parse_statement(gold_stmt)
+    if parsed["rel"] is None:
+        return "relationless_gold"
+    if _count_rel_words(gold_stmt) >= 2:
+        return "nested_statement"
+    names = {
+        e.split(":", 1)[-1].strip('"').lower()
+        for e in (parsed["subj_entities"] | (parsed["obj_entities"] or set()))
+    }
+    lowered = text.lower()
+    mention_lc = {m.lower() for m in mention_names}
+    for n in names:
+        if n and n not in lowered and n not in mention_lc:
+            return "non_surface_entity"
+    if _MECH_FN_RE.search(gold_stmt):
+        return "mechanism_wrapper"
+    if lexicon:
+        ns_by_name: dict[str, set[str]] = {}
+        for alias, db, _id, entry, _p in lexicon:
+            ns_by_name.setdefault(entry.lower(), set()).add(db)
+        for n in names:
+            if len(ns_by_name.get(n, ())) >= 2:
+                return "species_namespace"
+    return "pattern_gap"
+
+
+def audit_misses(pmid: str, lexicon: list | None = None) -> dict:
+    """Run the paper eval and return every gold_only miss with its
+    mechanical category: {"counts": {cat: n}, "misses": [{key, category,
+    gold}]}. The audit is the machine-checkable form of the docstring
+    claims about WHY recall stops where it does (VERDICT r2 #6 'done'
+    criterion) — pinned in tests/test_real_gold.py so a regression that
+    turns an inference-bound miss into a pattern_gap (or vice versa) is
+    visible."""
+    from ..operators.extraction import normalize_block_text
+    from ..operators.mentions import AliasMatcher
+    from .real_gold import score_blocks
+
+    if lexicon is None:
+        lexicon = PAPER_LEXICONS[pmid]
+    matcher = AliasMatcher(lexicon)
+    path = os.path.join(GOLD_BEL_DIR, f"pmid{pmid}.bel")
+    blocks = parse_bel_file(path)
+    text_by_key: dict[str, str] = {}
+    mentions_by_key: dict[str, set[str]] = {}
+    from ..operators.extraction import extract_from_block
+
+    for b in blocks:
+        text = normalize_block_text(b["text"])
+        ms = matcher.find(text)
+        b["pred"] = [
+            stmt
+            for stmt, _ in extract_from_block(
+                text,
+                [
+                    {"begin": s, "end": e, "alias": a, "db": db, "id": i,
+                     "entry_name": n, "score": p}
+                    for (s, e, a, db, i, n, p) in ms
+                ],
+            )
+        ]
+        text_by_key[b["key"]] = text
+        mentions_by_key[b["key"]] = {m[5] for m in ms} | {m[2] for m in ms}
+    result = score_blocks(blocks)
+    misses = []
+    counts: dict[str, int] = {}
+    for r in result["rows"]:
+        if r["match_type"] != "gold_only":
+            continue
+        cat = categorize_miss(
+            r["gold_statement"],
+            text_by_key[r["key"]],
+            mentions_by_key[r["key"]],
+            lexicon=lexicon,
+        )
+        counts[cat] = counts.get(cat, 0) + 1
+        misses.append(
+            {"key": r["key"], "category": cat, "gold": r["gold_statement"]}
+        )
+    return {"counts": counts, "misses": misses, **{
+        k: result[k] for k in ("matched", "pred_total", "gold_total")
+    }}

@@ -441,3 +441,96 @@ def test_merged_lexicon_generalization():
     assert r["precision"] >= 0.94
     assert r["recall"] >= 0.41
     assert r["gold_total"] == 179
+
+
+# ---------------------------------------------------------------------------
+# round 3: mechanical per-miss audit — the machine-checkable form of the
+# "each remaining miss requires inference beyond pattern extraction" claim
+# ---------------------------------------------------------------------------
+
+
+@needs_reference
+def test_miss_audit_pinned():
+    """Every unmatched gold statement in the three .bel papers carries a
+    mechanically derived category (eval/real_gold_bel.py::categorize_miss —
+    code, not judgment). Pinning the per-paper distributions makes the
+    recall story auditable: of 101 total misses, only 10 are pattern_gap
+    (everything needed is in the sentence and an extraction pattern could
+    in principle emit it); the rest need cross-block entities (60),
+    curator mechanism annotation (20), nested statements (5), relation-less
+    golds the pinned scorer cannot match by design (4), or a
+    species-context-aware grounder (2)."""
+    from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+        audit_misses,
+    )
+
+    a = audit_misses("16962653")
+    assert a["counts"] == {
+        "mechanism_wrapper": 5,
+        "non_surface_entity": 6,
+        "relationless_gold": 1,
+        "species_namespace": 2,
+    }
+
+    a = audit_misses("12928037")
+    assert a["counts"] == {
+        "mechanism_wrapper": 2,
+        "nested_statement": 2,
+        "non_surface_entity": 10,
+        "pattern_gap": 2,
+    }
+
+    a = audit_misses("15350900")
+    assert a["counts"] == {
+        "mechanism_wrapper": 13,
+        "nested_statement": 3,
+        "non_surface_entity": 44,
+        "pattern_gap": 8,
+        "relationless_gold": 3,
+    }
+    # the 8 enumerated extractor gaps of the hardest paper, so a future
+    # pattern that closes one is VISIBLE here (update both sides)
+    gaps = sorted(m["gold"] for m in a["misses"] if m["category"] == "pattern_gap")
+    assert gaps == [
+        'bp(GOBP:"response to hypoxia") increases r(HGNC:MET)',
+        "g(HGNC:VHL) association r(HGNC:HGF)",
+        "g(HGNC:VHL) association r(HGNC:MET)",
+        "p(HGNC:HIF1A,pmod(H,P)) directlyIncreases complex(p(HGNC:VHL),p(HGNC:HIF1A))",
+        'p(HGNC:VHL) association path(MESHD:"Neoplasm Invasiveness")',
+        'p(HGNC:VHL) association path(MESHD:"Neoplasm Metastasis")',
+        'p(HGNC:VHL) decreases r(HGNC:CXCR4)',
+        'p(HGNC:VHL) negativeCorrelation path(MESHD:"Carcinoma, Renal Cell")',
+    ]
+
+
+def test_categorize_miss_mechanics():
+    """Category rules on fresh constructed cases (corpus-independent)."""
+    from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+        categorize_miss,
+    )
+
+    lex = [("AAA", "HGNC", "1", "AAA", 1.0), ("aaa", "MGI", "2", "Aaa", 1.0)]
+    # no relation -> unmatchable by the scorer's comparability gate
+    assert categorize_miss("complex(p(HGNC:AAA),p(HGNC:BBB))", "AAA BBB", {"AAA", "BBB"}) == "relationless_gold"
+    # object is itself a statement
+    assert categorize_miss(
+        "p(HGNC:AAA) decreases (p(HGNC:BBB) increases p(HGNC:CCC))",
+        "AAA BBB CCC", {"AAA", "BBB", "CCC"},
+    ) == "nested_statement"
+    # entity absent from the evidence text
+    assert categorize_miss(
+        "p(HGNC:AAA) increases p(HGNC:ZZZ)", "AAA only here", {"AAA"},
+    ) == "non_surface_entity"
+    # curator mechanism wrapper
+    assert categorize_miss(
+        "kin(p(HGNC:AAA)) increases p(HGNC:BBB)", "AAA BBB", {"AAA", "BBB"},
+    ) == "mechanism_wrapper"
+    # dual-namespace entry name in the lexicon -> species gate hazard
+    assert categorize_miss(
+        "p(MGI:Aaa) increases p(HGNC:BBB)", "aaa BBB", {"Aaa", "BBB"},
+        lexicon=lex,
+    ) == "species_namespace"
+    # reachable: flat relation, surface entities, single namespace
+    assert categorize_miss(
+        "p(HGNC:BBB) increases p(HGNC:CCC)", "BBB CCC", {"BBB", "CCC"},
+    ) == "pattern_gap"
