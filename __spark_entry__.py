@@ -390,6 +390,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id
 
+    # Gopher rule-based quality filter (Rae et al. 2021 §A.1.1) — the
+    # standard pretraining-corpus cleaning pass; pure column expressions.
+    def gopher_quality(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.textstats import (
+            gopher_quality as op,
+        )
+
+        return op(_read(spark, sf, "documents"))
+
+    q["gopher_quality"] = gopher_quality
+
+    # Within-doc n-gram repetition (Gopher/C4 repetition-removal signal):
+    # explode 2-grams -> partial-agg groupBy(doc, gram) -> groupBy(doc).
+    def repetition_stats(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.textstats import (
+            repetition_stats as op,
+        )
+
+        return op(_read(spark, sf, "documents"))
+
+    q["repetition_stats"] = repetition_stats
+
     def fingerprint_md5(spark, sf):
         docs = _read(spark, sf, "documents")
         norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
@@ -1551,6 +1573,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS md5_fp
             FROM documents
+        """,
+        # Gopher §A.1.1 rules, independently re-derived in SQL: tokenizer,
+        # symbol counts and rule thresholds recomputed from the raw text.
+        "gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {toks} AS tk,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(tk) AS n_words,
+                     word_chars * 1.0 / len(tk) AS mean_wlen,
+                     (n_hash + n_ellipsis) * 1.0 / len(tk) AS sym_ratio,
+                     len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                         / len(tk) AS alpha_frac,
+                     len(list_intersect(list_distinct(tk),
+                         ['the','be','to','of','and','that','have','with'])) AS n_stop
+              FROM t WHERE len(tk) > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_wlen, 6) AS mean_word_len,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_words,
+                   (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_word_len,
+                   (sym_ratio <= 0.1) AS ok_symbols,
+                   (alpha_frac >= 0.8) AS ok_alpha,
+                   (n_stop >= 2) AS ok_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+                    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND n_stop >= 2) AS pass
+            FROM m
+        """,
+        # 2-gram repetition: LEAD window builds the grams, two groupings
+        # mirror the Spark partial-agg chain.
+        "repetition_stats": f"""
+            WITH l AS (
+              SELECT doc_id, {toks} AS tk FROM documents),
+            t AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     generate_subscripts(tk, 1) AS ord
+              FROM l WHERE len(tk) >= 2),
+            g AS (
+              SELECT doc_id,
+                     tok || ' ' || LEAD(tok) OVER
+                         (PARTITION BY doc_id ORDER BY ord) AS gram
+              FROM t),
+            pg AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt
+              FROM g WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+                   ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_gram_frac,
+                   ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0
+                         / SUM(cnt), 6) AS dup_gram_frac
+            FROM pg GROUP BY doc_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -109,3 +109,106 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(norm).alias("md5_fp"),
         _rolling(F.col(text_col)).alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: Gopher-style quality rules + n-gram repetition statistics
+# ---------------------------------------------------------------------------
+
+# the Gopher paper's required-stopword list (Rae et al. 2021, §A.1.1)
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A.1.1) — the
+    standard web-scale pretraining-corpus cleaning pass, as pure column
+    expressions (zero Python, one map-only stage):
+
+    * word count within [min_words, max_words]
+    * mean word length within [3, 10]
+    * symbol-to-word ratio (# or ellipsis) <= 0.1
+    * >= 80% of words contain at least one alphabetic character
+    * >= 2 distinct words from the required stop-word list
+
+    Returns one row per doc with each rule's boolean and the overall
+    ``pass`` conjunction; filter-pushdown-friendly (callers filter on
+    ``pass`` and Catalyst prunes the rule columns they don't read)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wlen = F.when(n_tok > 0, word_chars / n_tok).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    sym_ratio = F.when(n_tok > 0, (n_hash + n_ellipsis) / n_tok).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n_tok > 0, n_alpha / n_tok).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_tok.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        ok_words.alias("ok_words"),
+        ok_wlen.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_sym & ok_alpha & ok_stop).alias("pass"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher/C4 repetition-removal
+    signal): per doc, the total n-gram count, the occurrence count of the
+    most frequent n-gram, its fraction, and the fraction of n-gram
+    occurrences whose gram appears more than once.
+
+    Shape at scale: explode n-grams -> ONE partial-agg groupBy
+    (doc_id, gram) -> ONE groupBy(doc_id). Both aggregations map-side
+    combine; no joins, no windows. Docs are the natural partition key so
+    skew equals the longest document, not a hot token."""
+    toks = _tokens(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(0, size({'`tk`'}) - {n}),"
+        f" i -> concat_ws(' ', slice(`tk`, i + 1, {n})))"
+    )
+    per_gram = (
+        docs.select(F.col(id_col), toks.alias("tk"))
+        .filter(F.size(F.col("tk")) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_gram_count"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occurrences"),
+        )
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("top_gram_count").cast("long").alias("top_gram_count"),
+            F.round(F.col("top_gram_count") / F.col("n_grams"), 6).alias("top_gram_frac"),
+            F.round(F.col("dup_occurrences") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        )
+    )

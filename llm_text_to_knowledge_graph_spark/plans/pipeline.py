@@ -66,6 +66,14 @@ def run_pipeline(
     (evidence is the whole paragraph). The sentences/mentions stages are
     unchanged either way.
 
+    Default decision (r3, evidence-based): ``"sentence"`` stays the
+    throughput default — warm sf0.1 measures the fused block engine ~8%
+    slower while emitting identical triples on corpora whose relations are
+    sentence-local by construction. Pick ``"block"`` for real prose, where
+    its cross-clause patterns earn the measured real-gold recall
+    (tests/test_real_gold.py); both engines are benched every round
+    (``kg_extract_fused`` vs ``kg_extract_fused_block``).
+
     ``persist=True`` caches the multiply-referenced stages MEMORY_AND_DISK
     in lazy mode — without it the graph build re-executes the extraction
     once per downstream reference. The checkpointed mode gets the same cut

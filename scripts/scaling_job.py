@@ -99,10 +99,22 @@ def main() -> int:
         t0 = time.monotonic()
         triples = extract_triples_fused(pages, alias_rows)
         edges = build_edges(triples, id_strategy="hash", carry_names=True)
-        edges.write.mode("overwrite").parquet("/tmp/kg_scaling_edges")
+        # Output files are sized to the DATA, not the core count: without
+        # the coalesce, the map-only edge projection inherits one output
+        # file per 1MB input split (hundreds of tiny files), so the write
+        # is fixed-overhead-bound — the small-file anti-pattern — and its
+        # wall time tracks disk contention the load gate cannot see (r3:
+        # a 33% full-path outlier trial with peak_neighbor_load 0.0).
+        # A fixed file count at BOTH levels keeps the I/O work identical
+        # while task parallelism still exceeds the core count (32 >= 8).
+        # coalesce (not repartition): merges partitions in-stage, no
+        # shuffle; extraction still runs in every task.
+        edges.coalesce(32).write.mode("overwrite").parquet(
+            "/tmp/kg_scaling_edges"
+        )
         nodes_from_edges(
             spark.read.parquet("/tmp/kg_scaling_edges")
-        ).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
+        ).coalesce(8).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
         best_full = min(best_full, time.monotonic() - t0)
 
         # full job, dense-id path (reference CX2 export shape) — kept

@@ -335,3 +335,74 @@ def test_lsh_ann_recall_vs_brute_force(embeddings):
     # and the weak tail keeps >= the analytic floor
     weak_recall = len({(r["query_id"], r["neighbor_id"]) for r in exact} & approx) / 5
     assert weak_recall >= 0.2, weak_recall
+
+
+# ---------------------------------------------------------------------------
+# round 3: Gopher quality rules + n-gram repetition
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_rules(spark):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the river bank with plenty of words that have meaning ") * 3
+    short = "too short to pass"
+    symbols = "the of and that " + "# " * 40 + "have with words " * 10
+    numeric = "the of and that have with " + "12345 " * 60
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, numeric)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[1]["pass"] is True
+    assert got[2]["pass"] is False and got[2]["ok_words"] is False
+    assert got[3]["pass"] is False and got[3]["ok_symbols"] is False
+    # >50 words but mostly numeric tokens -> alpha rule rejects
+    assert got[4]["ok_alpha"] is False and got[4]["pass"] is False
+    # rule arithmetic: n_words and mean length on doc 1
+    toks = good.split()
+    assert got[1]["n_words"] == len(toks)
+    expect_mwl = sum(len(t) for t in toks) / len(toks)
+    assert abs(got[1]["mean_word_len"] - expect_mwl) < 1e-6
+
+
+def test_repetition_stats_counts(spark):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # grams: ab ba ab ba ab -> top 'a b' x3
+            (2, "w x y z"),            # all grams unique
+            (3, "solo"),               # < n tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 5
+    assert got[1]["top_gram_count"] == 3
+    assert got[1]["top_gram_frac"] == 0.6
+    assert got[1]["dup_gram_frac"] == 1.0  # every occurrence's gram repeats
+    assert got[2]["n_grams"] == 3
+    assert got[2]["top_gram_count"] == 1
+    assert got[2]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_stats_trigram(spark):
+    from llm_text_to_knowledge_graph_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "p q r p q r p q")], "doc_id long, text string"
+    )
+    got = repetition_stats(df, n=3).collect()[0].asDict()
+    # trigrams: pqr qrp rpq pqr qrp rpq -> 6 grams, top count 2, all dup
+    assert got["n_grams"] == 6
+    assert got["top_gram_count"] == 2
+    assert got["dup_gram_frac"] == 1.0
