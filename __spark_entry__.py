@@ -307,6 +307,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customers_without_big_orders"] = customers_without_big_orders
 
+    # ---- bucketed-store co-located join (plans/bucketing.py) ------------------
+    # Both sides are first persisted bucketed on the join key (one shuffle,
+    # paid at write), then the join itself plans ZERO Exchanges — the
+    # repeat-join layout for the KG store. The oracle checks values only;
+    # the plan shape is pinned in tests/test_bucketing.py.
+    def bucketed_segment_revenue(spark, sf):
+        from llm_text_to_knowledge_graph_spark.plans.bucketing import write_bucketed
+
+        cust = _read(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        orders = _read(spark, sf, "orders").select("o_custkey", "o_totalprice")
+        write_bucketed(
+            cust, "drv_cust_bkt", "c_custkey", 16, path="/tmp/kg_drv_bkt/cust"
+        )
+        write_bucketed(
+            orders, "drv_ord_bkt", "o_custkey", 16, path="/tmp/kg_drv_bkt/ord"
+        )
+        j = spark.table("drv_ord_bkt").join(
+            spark.table("drv_cust_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        return j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+
+    q["bucketed_segment_revenue"] = bucketed_segment_revenue
+
     # ---- time bucketing (streaming-window analog in batch) -------------------
     def events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
@@ -411,6 +440,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return op(_read(spark, sf, "documents"))
 
     q["repetition_stats"] = repetition_stats
+
+    # ---- curation: decontamination / sampling / packing / line dedup ---------
+    # Benchmark decontamination (GPT-3 appendix-C): every 50th doc plays the
+    # eval benchmark; 3-grams give real cross-doc hits on this vocab.
+    def decontam_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import decontaminate
+
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return decontaminate(docs, bench, n=3)
+
+    q["decontam_docs"] = decontam_docs
+
+    # Deterministic md5-keyed sampling: pure function of (doc_id, seed),
+    # reproducible by any engine with md5 — the oracle recomputes the draw.
+    def hash_sample_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import hash_sample
+
+        docs = _read(spark, sf, "documents")
+        return hash_sample(docs, rate=0.25, seed=7).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    q["hash_sample_docs"] = hash_sample_docs
+
+    # Greedy sequence packing into 200-token training sequences; the DuckDB
+    # oracle replays the same greedy fold with a recursive CTE per shard.
+    def pack_sequences(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import pack_greedy
+
+        docs = _read(spark, sf, "documents")
+        return pack_greedy(docs, budget=200, n_shards=8)
+
+    q["pack_sequences"] = pack_sequences
+
+    # C4-style cross-corpus line dedup. The flat synthetic docs have no
+    # newlines, so lines are materialized first (10-token chunks) with the
+    # same expression on both sides; dedup itself is the operator under test.
+    def line_dedup_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import line_dedup
+
+        docs = _read(spark, sf, "documents")
+        tk = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+        nl = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * F.lit(10) + 1, 10)),
+        )
+        multiline = docs.select(
+            "doc_id", F.concat_ws("\n", lines).alias("text")
+        )
+        return line_dedup(multiline)
+
+    q["line_dedup_docs"] = line_dedup_docs
+
+    # Corpus-balancing sampler: per-lang rates via one map-only threshold
+    # lookup, same engine-portable md5 draw as hash_sample.
+    def stratified_sample_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import (
+            stratified_hash_sample,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return stratified_hash_sample(
+            docs, rates={"en": 0.5, "de": 0.25}, default_rate=0.1, seed=42
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
+    # RAG chunking: 20-token windows with 5-token overlap (sized so the
+    # ~55-token synthetic docs produce several chunks each).
+    def chunk_docs_windows(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import chunk_docs
+
+        docs = _read(spark, sf, "documents")
+        return chunk_docs(docs, size=20, overlap=5)
+
+    q["chunk_docs_windows"] = chunk_docs_windows
 
     def fingerprint_md5(spark, sf):
         docs = _read(spark, sf, "documents")
@@ -1492,6 +1605,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         """,
+        # bucketed join: the layout is a plan-level optimization, so the
+        # oracle is the plain join — values must be identical.
+        "bucketed_segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1632,6 +1754,123 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0
                          / SUM(cnt), 6) AS dup_gram_frac
             FROM pg GROUP BY doc_id
+        """,
+        # decontamination: DuckDB rebuilds the identical distinct 3-gram
+        # sets (same trim/split/slice semantics) and replays the semi-join.
+        "decontam_docs": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(0, greatest(len(t) - 3, 0) + 1),
+                         i -> array_to_string(t[i+1 : i+3], ' '))) AS gs
+              FROM tk),
+            bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+            dg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            hits AS (
+              SELECT dg.doc_id, COUNT(*) AS n
+              FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_grams,
+                   COALESCE(hits.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        # deterministic sample: same md5 hex-prefix draw, threshold
+        # 0x40000000 = rate 0.25 of the 32-bit prefix space.
+        "hash_sample_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) < '40000000'
+        """,
+        # greedy packing replayed exactly: recursive CTE folds (bin, fill)
+        # over rn within each shard — the same close-on-overflow rule.
+        "pack_sequences": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents),
+            packed AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                     CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > 200
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > 200
+                          THEN b.n_tokens ELSE p.fill + b.n_tokens END
+              FROM base b JOIN packed p ON b.shard = p.shard AND b.rn = p.rn + 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(shard * 1000000 + bin AS BIGINT) AS seq_id
+            FROM packed
+        """,
+        # stratified sampler: same md5 draw, per-lang thresholds
+        # (0.5 -> 0x80000000, 0.25 -> 0x40000000, default 0.1 -> 0x19999999).
+        "stratified_sample_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            ELSE '19999999' END
+        """,
+        # chunking: same window arithmetic (stride 15, size 20), inclusive
+        # list_slice mirrors Spark's slice(start, length).
+        "chunk_docs_windows": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, t, len(t) AS n_tokens,
+                     CASE WHEN len(t) <= 20 THEN 1
+                          ELSE CAST(ceil((len(t) - 20) / 15.0) AS INT) + 1 END AS n_chunks
+              FROM tk),
+            m AS (
+              SELECT doc_id, t, n_tokens,
+                     unnest(range(0, n_chunks)) AS k
+              FROM c)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(k AS BIGINT) AS chunk_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(t, k*15 + 1, k*15 + 20), ' ') AS chunk_text
+            FROM m
+        """,
+        # line dedup: same 10-token line materialization, keeper = first
+        # occurrence by (doc_id, pos), reassembly ordered by pos.
+        "line_dedup_docs": """
+            WITH tk AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                         i -> array_to_string(t[i*10+1 : i*10+10], ' ')), chr(10)) AS text
+              FROM tk),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     len(string_split(text, chr(10))) AS n_lines
+              FROM d),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM l)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+                   CAST(MAX(n_lines) - COUNT(*) AS BIGINT) AS n_lines_dropped
+            FROM r WHERE rn = 1 GROUP BY doc_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

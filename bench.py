@@ -32,7 +32,9 @@ deltas cannot be attributed (round-2 lesson).
 
 NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
-ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block),
+ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
+decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
+repetition_stats),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -173,6 +175,14 @@ def main() -> int:
             "minhash_pairs_det",
             "simhash_pairs",
             "simhash_pairs_native",
+            # round 3: curation family (decontamination explodes grams on
+            # the corpus side; line dedup is the two-shuffle skew case;
+            # packing is the one sequential applyInPandas)
+            "decontam_docs",
+            "line_dedup_docs",
+            "pack_sequences",
+            "gopher_quality",
+            "repetition_stats",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

@@ -1,0 +1,243 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, deterministic sampling, greedy sequence packing, and
+cross-corpus line dedup.
+
+Everything except the greedy packing loop is built-in column expressions
+(JVM, whole-stage codegen); packing is the one genuinely sequential step
+and runs as ONE applyInPandas over hash shards. Each operator has a
+matching ANSI-SQL oracle in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _grams
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C recipe): flag every
+    training document that shares at least one word ``n``-gram with an
+    evaluation benchmark. Returns one row per doc with the count of
+    distinct contaminated grams and a ``contaminated`` boolean — callers
+    either drop flagged docs or route them to manual review.
+
+    Scale shape: the benchmark side (eval sets — MBs, not TBs) collapses
+    to DISTINCT grams and is BROADCAST, so the 100-TB side is one map-only
+    explode + broadcast-hash semi-join + one partial-agg groupBy(doc) —
+    the exploded grams never shuffle. The final left join keeps clean docs
+    as explicit zero rows (an audit table, not a silent filter).
+    """
+    bench_grams = benchmark.select(
+        F.explode(_grams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_grams(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float = 0.1,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on the document id:
+    keep a doc iff the first 8 hex chars of md5("{id}:{seed}") fall below
+    the rate threshold. A pure function of (id, seed) — the same doc is
+    sampled identically on every run, every engine, and every shard, which
+    is what makes samples reproducible and UNIONABLE across 100-TB crawl
+    snapshots (unlike rand(), whose draw depends on partitioning).
+
+    Map-only: the predicate is one md5 + string compare per row, pushed
+    into the scan's filter stage; no shuffle, no state.
+    """
+    threshold = format(int(rate * (1 << 32)), "08x")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return docs.filter(F.substring(key, 1, 8) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group deterministic sampling — the corpus-balancing pass (e.g.
+    downsample English to upsample the long tail by ratio). Same md5 draw
+    as :func:`hash_sample`, but the threshold is looked up per row from
+    the ``rates`` map, so one map-only filter implements the whole mixing
+    schedule; groups absent from ``rates`` get ``default_rate``.
+
+    The draw is keyed on (id, seed) only — NOT the group — so re-assigning
+    a doc's group (better lang-id model next crawl) changes its threshold
+    but never re-rolls its dice: sample membership stays monotone in the
+    rate, which keeps longitudinal corpus diffs meaningful.
+    """
+    mapping = F.create_map(
+        *[x for g, r in sorted(rates.items())
+          for x in (F.lit(g), F.lit(format(int(r * (1 << 32)), "08x")))]
+    )
+    default = F.lit(format(int(default_rate * (1 << 32)), "08x"))
+    threshold = F.coalesce(mapping[F.col(group_col)], default)
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return docs.filter(F.substring(key, 1, 8) < threshold)
+
+
+def chunk_docs(
+    docs: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (the RAG/embedding
+    chunking pass): chunk ``k`` covers tokens ``[k*stride+1, k*stride+size]``
+    with ``stride = size - overlap``; a doc at or under ``size`` tokens is
+    one chunk, otherwise enough chunks that the final window reaches the
+    last token. Pure column expressions — one map-only explode, no Python,
+    no shuffle; chunk ids are dense per doc so (doc_id, chunk_id) is a
+    stable global key.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= size, F.lit(1)).otherwise(
+        F.ceil((n_tok - size) / F.lit(float(stride))).cast("int") + 1
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, size)),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.posexplode(windows).alias("chunk_id", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+_PACK_SCHEMA = "doc_id long, shard long, n_tokens long, seq_id long"
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to training sequences of
+    at most ``budget`` whitespace tokens. Docs are sharded by
+    ``pmod(doc_id, n_shards)`` and packed greedily in doc_id order within
+    each shard (a doc that would overflow closes the bin; docs longer than
+    the budget get a bin alone). ``seq_id = shard * 1_000_000 + bin`` is
+    globally unique and a pure function of the input — rerunnable.
+
+    Packing is inherently sequential (bin state), so it is the one Python
+    step here: ONE applyInPandas per shard, receiving only (doc_id,
+    n_tokens) pairs — the token counting stays JVM-side and the text never
+    crosses to Python. At 100 TB, shards bound both parallelism and skew:
+    each shard sees ~1/n_shards of the docs regardless of content, and
+    packing quality is unaffected by sharding because any shard's greedy
+    fill converges to the same ~budget utilization.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        bins, b, fill = [], 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                b += 1
+                fill = 0
+            fill += t
+            bins.append(shard * 1_000_000 + b)
+        pdf["seq_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "seq_id"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-corpus line deduplication: every distinct line keeps
+    exactly ONE occurrence across the whole corpus — the lexicographically
+    first (min doc_id, then min position), a deterministic rule — and all
+    other occurrences are removed. Returns the re-assembled cleaned text
+    plus kept/dropped line counts; docs whose every line was dropped
+    disappear (callers union them back as empties if required).
+
+    Two shuffles total at any scale: groupBy(line) picks the keeper via a
+    single min(struct(doc_id, pos)) partial agg (map-side combine — the
+    heavy duplicate lines collapse before shuffling), then the keeper set
+    joins back against the exploded lines on the same key, and one
+    groupBy(doc) re-assembles order via array_sort (no window, no global
+    sort). Line-key skew IS the workload (that's the duplication being
+    removed) and is absorbed by the partial agg, not a salted join.
+    """
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    keeper = lines.groupBy("line").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    kept = lines.join(keeper, "line").filter(
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"),
+            F.max("n_lines").alias("n_lines"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(sep, F.transform("ls", lambda s: s["line"])).alias("text"),
+            F.size("ls").cast("long").alias("n_lines_kept"),
+            (F.col("n_lines") - F.size("ls")).cast("long").alias("n_lines_dropped"),
+        )
+    )
