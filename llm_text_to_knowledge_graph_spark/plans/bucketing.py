@@ -80,9 +80,19 @@ def hop_join(spark: SparkSession, prefix: str = "kg") -> DataFrame:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the pre-AQE physical plan
-    — the metric the bucketed layout is built to drive to zero."""
-    plan = df._jdf.queryExecution().sparkPlan().toString()
+    """Number of shuffle Exchange operators in the executed physical plan —
+    the metric the bucketed layout is built to drive to zero.
+
+    Must read ``executedPlan`` (not ``sparkPlan``): Exchanges are inserted
+    by the EnsureRequirements preparation rule, which runs between the two —
+    ``sparkPlan`` NEVER contains them, so counting there returns 0 for every
+    query. Under AQE the executed plan prints as AdaptiveSparkPlan with the
+    initial (exchange-bearing) plan inlined, which is exactly what we want
+    to assert on. BroadcastExchange is excluded: it ships a small table,
+    not a shuffle."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
-        1 for ln in plan.splitlines() if ln.lstrip("+-: *(0123456789)").startswith("Exchange")
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip("+-: *(0123456789)").startswith("Exchange")
     )
