@@ -88,7 +88,15 @@ MAX_NEIGHBOR_LOAD = 1.5  # pre-registered validity bound, see write_report
 
 
 def main() -> int:
-    n_docs = int(os.environ.get("SCALING_N_DOCS", "20000"))
+    # Corpus sized so the HIGH level's full-job trial runs well clear of
+    # the per-job fixed costs (two parquet commit protocols + stage
+    # scheduling, ~1-1.5s regardless of data volume). At 20k docs the
+    # local[8] full job finished in ~10s, so those constants were ~12% of
+    # the measurement and capped apparent efficiency at ~0.8 even for a
+    # perfectly scalable job; the 100-TB jobs the criterion models run for
+    # hours, where they are ~0%. 40k docs puts the high level at ~20s+
+    # (fixed costs <6%) while keeping a 6-trial run under ~40 min.
+    n_docs = int(os.environ.get("SCALING_N_DOCS", "40000"))
     lo, hi = (
         int(x) for x in os.environ.get("SCALING_CORES", "4,16").split(",")
     )

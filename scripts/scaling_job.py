@@ -112,9 +112,18 @@ def main() -> int:
         edges.coalesce(32).write.mode("overwrite").parquet(
             "/tmp/kg_scaling_edges"
         )
+        # The 1MB maxPartitionBytes override exists ONLY to pin identical
+        # INPUT (pages) splits at both levels; applying it to the
+        # intermediate edge read would shred a ~150MB table into ~150
+        # scheduling-bound tasks — per-task dispatch is a driver-serial
+        # constant, i.e. fixed latency that penalizes the high level's
+        # ratio without measuring the job. Normal splits for the
+        # intermediate, then restore before the next trial's pages scan.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
         nodes_from_edges(
             spark.read.parquet("/tmp/kg_scaling_edges")
         ).coalesce(8).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
         best_full = min(best_full, time.monotonic() - t0)
 
         # full job, dense-id path (reference CX2 export shape) — kept
