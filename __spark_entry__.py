@@ -1243,6 +1243,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_graph"] = pagerank_graph
 
+    # ---- crawl-snapshot delta (operators/delta.py) ---------------------------
+    # Deterministic old/new snapshots derived from the documents table:
+    # removals (doc_id % 17 = 3), edits (doc_id % 10 = 1), additions
+    # (doc_id % 13 = 2 re-keyed under doc://new/). Full per-url
+    # classification, oracled by the same derivation in SQL.
+    def snapshot_delta_classify(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.delta import classify_delta
+
+        docs = _read(spark, sf, "documents")
+        old = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("text"),
+        )
+        base = docs.filter(F.col("doc_id") % 17 != 3).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.when(
+                F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" Updated."))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        added = docs.filter(F.col("doc_id") % 13 == 2).select(
+            F.concat(F.lit("doc://new/"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("text"),
+        )
+        new = base.unionByName(added)
+        return classify_delta(old, new, fingerprint=F.md5(F.col("text")))
+
+    q["snapshot_delta_classify"] = snapshot_delta_classify
+
+    # rows-only: the incremental merge re-extracts only changed+added pages
+    # and unions with retained edges; incremental==batch is pinned by
+    # tests/test_delta.py (no SQL analog: extraction in the loop)
+    def snapshot_delta_merge(spark, sf):
+        from llm_text_to_knowledge_graph_spark.corpus import build_alias_rows, pages_df
+        from llm_text_to_knowledge_graph_spark.operators.delta import snapshot_delta
+        from llm_text_to_knowledge_graph_spark.operators.fused import (
+            extract_triples_fused,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.graph import build_edges
+
+        universe = pages_df(spark, 120, seed=42)
+        h = F.abs(F.xxhash64("url"))
+        old = universe.filter(h % 4 != 1)
+        new = universe.filter(h % 7 != 1).withColumn(
+            "text",
+            F.when(
+                h % 5 == 2, F.concat(F.col("text"), F.lit(" Editorial note."))
+            ).otherwise(F.col("text")),
+        )
+        alias_rows = build_alias_rows()
+        old_edges = build_edges(
+            extract_triples_fused(old, alias_rows),
+            id_strategy="hash",
+            carry_names=True,
+            carry_url=True,
+        )
+        out = snapshot_delta(old, new, alias_rows, old_edges)
+        return out["edges"].select("edge_id", "s", "t", "interaction", "url")
+
+    q["snapshot_delta_merge"] = snapshot_delta_merge
+
+    # the metrics row a crawl-ingest job logs per run (re-extract fraction)
+    def snapshot_delta_counts(spark, sf):
+        return (
+            snapshot_delta_classify(spark, sf)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_urls"))
+        )
+
+    q["snapshot_delta_counts"] = snapshot_delta_counts
+
     return q
 
 
@@ -1511,6 +1581,50 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "media_probe": media_probe_sql,
+        "snapshot_delta_classify": """
+            WITH old AS (
+              SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS old_fp
+              FROM documents
+            ),
+            new AS (
+              SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(CASE WHEN doc_id % 10 = 1 THEN text || ' Updated.'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 17 <> 3
+              UNION ALL
+              SELECT 'doc://new/' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS new_fp
+              FROM documents WHERE doc_id % 13 = 2
+            )
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
+        "snapshot_delta_counts": """
+            WITH old AS (
+              SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS old_fp
+              FROM documents
+            ),
+            new AS (
+              SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(CASE WHEN doc_id % 10 = 1 THEN text || ' Updated.'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 17 <> 3
+              UNION ALL
+              SELECT 'doc://new/' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS new_fp
+              FROM documents WHERE doc_id % 13 = 2
+            ),
+            cls AS (
+              SELECT CASE WHEN o.old_fp IS NULL THEN 'added'
+                          WHEN n.new_fp IS NULL THEN 'removed'
+                          WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n ON o.url = n.url
+            )
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n_urls FROM cls GROUP BY status
+        """,
         "paragraph_filter": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS para_idx,

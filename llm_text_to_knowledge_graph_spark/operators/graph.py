@@ -210,6 +210,7 @@ def build_edges(
     id_strategy: str = "dense",
     hash_seed: int = 0,
     carry_names: bool = False,
+    carry_url: bool = False,
 ) -> DataFrame:
     """Edge materialization (convert_to_cx2.py:104-133): endpoint ids +
     bel_expression/text/evidence carry-through, edge ids.
@@ -248,6 +249,12 @@ def build_edges(
             # edges (``nodes_from_edges``) and the full graph job becomes a
             # single extraction pass with no triples cache.
             cols += [F.col("subj").alias("s_name"), F.col("obj").alias("t_name")]
+        if carry_url:
+            # per-edge provenance: which crawl page produced this edge.
+            # Required by incremental maintenance (operators/delta.py) —
+            # re-crawled/removed pages retract exactly their own edges via
+            # an anti-join on url.
+            cols += ["url"]
         return edges.select(*cols)
     node_ids = nodes.select("node_id", "name")
     if broadcast_nodes:
