@@ -84,19 +84,20 @@ def best(results: list[dict], key: str) -> dict:
 
 
 MAX_TRIAL_LOAD = 2.5  # wait_for_quiet target between trials
-MAX_NEIGHBOR_LOAD = 1.5  # pre-registered validity bound, see write_report
+MAX_NEIGHBOR_LOAD = 1.5  # legacy loadavg bound (records without CPU attribution)
+MAX_NEIGHBOR_CORES = 1.0  # pre-registered validity bound on exact /proc/stat
+# CPU attribution (avg busy cores machine-wide minus the level's own cores,
+# integrated over each timed section) — see scaling_job.SectionMeter
 
 
 def main() -> int:
     # Corpus sized so the HIGH level's full-job trial runs well clear of
     # the per-job fixed costs (two parquet commit protocols + stage
-    # scheduling, ~1-1.5s regardless of data volume). At 20k docs the
-    # local[8] full job finished in ~10s, so those constants were ~12% of
-    # the measurement and capped apparent efficiency at ~0.8 even for a
-    # perfectly scalable job; the 100-TB jobs the criterion models run for
-    # hours, where they are ~0%. 40k docs puts the high level at ~20s+
-    # (fixed costs <6%) while keeping a 6-trial run under ~40 min.
-    n_docs = int(os.environ.get("SCALING_N_DOCS", "40000"))
+    # scheduling, ~1-1.5s regardless of data volume) AND long enough that
+    # a sub-section neighbor burst is averaged by the exact CPU meter
+    # rather than dominating the wall time. The 100-TB jobs the criterion
+    # models run for hours, where those constants are ~0%.
+    n_docs = int(os.environ.get("SCALING_N_DOCS", "80000"))
     lo, hi = (
         int(x) for x in os.environ.get("SCALING_CORES", "4,16").split(",")
     )
@@ -138,8 +139,19 @@ def write_report(lo, hi, n_docs, lo_runs, hi_runs) -> int:
     # trials should not discard the five clean measurements. The run as a
     # whole is valid iff >=2 clean trials remain at BOTH levels.
     all_lo, all_hi = lo_runs, hi_runs
-    lo_runs = [r for r in lo_runs if r.get("peak_neighbor_load", 0.0) <= MAX_NEIGHBOR_LOAD]
-    hi_runs = [r for r in hi_runs if r.get("peak_neighbor_load", 0.0) <= MAX_NEIGHBOR_LOAD]
+
+    def _dirty(r) -> bool:
+        # primary gate: exact /proc/stat CPU attribution over each timed
+        # section (neighbor_cores = avg busy cores - own cores). The
+        # loadavg peak stays as a fallback for records from older job
+        # versions that lack the field — loadavg is a 1-min EMA and
+        # underestimates bursts shorter than the section itself.
+        if "max_neighbor_cores" in r:
+            return r["max_neighbor_cores"] > MAX_NEIGHBOR_CORES
+        return r.get("peak_neighbor_load", 0.0) > MAX_NEIGHBOR_LOAD
+
+    lo_runs = [r for r in lo_runs if not _dirty(r)]
+    hi_runs = [r for r in hi_runs if not _dirty(r)]
     n_dropped = (len(all_lo) - len(lo_runs)) + (len(all_hi) - len(hi_runs))
     n_total = len(all_lo) + len(all_hi)
 
@@ -153,7 +165,8 @@ def write_report(lo, hi, n_docs, lo_runs, hi_runs) -> int:
         md = (
             f"> INVALID RUN (not evidence): fewer than 2 clean trials per "
             f"level after dropping trials with during-trial "
-            f"peak_neighbor_load > {MAX_NEIGHBOR_LOAD} "
+            f"max_neighbor_cores > {MAX_NEIGHBOR_CORES} (exact /proc/stat "
+            f"attribution; legacy records: peak_neighbor_load > {MAX_NEIGHBOR_LOAD}) "
             f"({n_dropped} of {n_total} trials dropped; "
             f"{len(lo_runs)} clean at local[{lo}], {len(hi_runs)} at "
             f"local[{hi}]); BASELINE.md left untouched.\n\n"
@@ -202,13 +215,17 @@ over the core ratio (medians shed bursty neighbor-sandbox load; the
 best-trial pairing is shown for comparison — it can pair a lucky trial of
 one level with an unlucky one of the other, so it swings both ways).
 Background loadavg at report time: {load}; each raw run below records the
-loadavg at trial start (``loadavg_before``) AND the peak sampled every 5 s
+loadavg at trial start (``loadavg_before``), the peak sampled every 5 s
 DURING the trials (``peak_load`` / ``peak_neighbor_load`` = peak minus the
-level's own cores). Trials with during-trial
-peak_neighbor_load > 1.5 are DROPPED (purely load-based, decided before
-looking at throughput; {n_dropped} of {n_total} trials dropped in this
-run); the statistics below use only clean trials, and the run is valid
-evidence only with >=2 clean trials per level.
+level's own cores), and — the primary validity signal — EXACT /proc/stat
+CPU attribution per timed section (``neighbor_cores`` = average busy cores
+machine-wide during the section minus the level's own cores; unlike the
+1-min-EMA loadavg it integrates precisely over the timed window, so bursts
+shorter than a section cannot hide). Trials whose chosen (best) sections
+saw max_neighbor_cores > {MAX_NEIGHBOR_CORES} are DROPPED (purely
+load-based, decided before looking at throughput; {n_dropped} of {n_total}
+trials dropped in this run); the statistics below use only clean trials,
+and the run is valid evidence only with >=2 clean trials per level.
 
 | job | local[{lo}] (N) median | local[{hi}] (4N) median | efficiency (median) | (best-of) |
 |---|---|---|---|---|

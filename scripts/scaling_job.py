@@ -16,6 +16,37 @@ import threading
 import time
 
 
+def _busy_jiffies() -> int:
+    """Machine-wide non-idle jiffies from /proc/stat (user+nice+system+irq+
+    softirq+steal+guest). Unlike 1-min loadavg — an EMA too sluggish to see
+    a 10-second burst inside a 10-second trial — the jiffy counter
+    integrates exactly over the timed window."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v) - v[3] - v[4]  # minus idle + iowait
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+class SectionMeter:
+    """Times a section AND attributes machine CPU: ``busy_cores`` is the
+    average number of busy cores machine-wide during the section, so
+    ``neighbor_cores = max(0, busy_cores - own_cores)`` is an exact
+    (not sampled) upper bound on concurrent neighbor-sandbox CPU — the
+    validity signal the loadavg gate approximates badly for short trials."""
+
+    def __init__(self, own_cores: int):
+        self.own = own_cores
+
+    def run(self, thunk):
+        b0, t0 = _busy_jiffies(), time.monotonic()
+        out = thunk()
+        wall = time.monotonic() - t0
+        busy_cores = (_busy_jiffies() - b0) / _CLK_TCK / max(wall, 1e-9)
+        return out, wall, round(max(0.0, busy_cores - self.own), 2)
+
+
 class LoadSampler:
     """Samples /proc/loadavg every few seconds for the life of the level.
 
@@ -85,20 +116,29 @@ def main() -> int:
 
     sampler = LoadSampler()
     sampler.__enter__()
-    best_fused, best_full, best_dense, n_triples = 1e18, 1e18, 1e18, 0
+    meter = SectionMeter(args.cores)
+    # per section: (best wall, neighbor_cores during that best instance)
+    best = {"fused": (1e18, 0.0), "full": (1e18, 0.0), "dense": (1e18, 0.0)}
+
+    def record(name: str, wall: float, nb: float) -> None:
+        if wall < best[name][0]:
+            best[name] = (wall, nb)
+
+    n_triples = 0
     for _ in range(args.trials):
-        t0 = time.monotonic()
-        n_triples = extract_triples_fused(pages, alias_rows).count()
-        best_fused = min(best_fused, time.monotonic() - t0)
+        n_triples, wall, nb = meter.run(
+            lambda: extract_triples_fused(pages, alias_rows).count()
+        )
+        record("fused", wall, nb)
 
         # full job, hash-id scale path (production shape): ONE extraction
         # pass writes the name-carrying edge table to parquet; the node
         # table derives from the WRITTEN edges (nodes_from_edges) — no
         # triples cache, no second extraction. The edge write is the
         # checkpoint the north_rule requires anyway.
-        t0 = time.monotonic()
-        triples = extract_triples_fused(pages, alias_rows)
-        edges = build_edges(triples, id_strategy="hash", carry_names=True)
+        def _full_job():
+            triples = extract_triples_fused(pages, alias_rows)
+            edges = build_edges(triples, id_strategy="hash", carry_names=True)
         # Output files are sized to the DATA, not the core count: without
         # the coalesce, the map-only edge projection inherits one output
         # file per 1MB input split (hundreds of tiny files), so the write
@@ -109,37 +149,45 @@ def main() -> int:
         # while task parallelism still exceeds the core count (32 >= 8).
         # coalesce (not repartition): merges partitions in-stage, no
         # shuffle; extraction still runs in every task.
-        edges.coalesce(32).write.mode("overwrite").parquet(
-            "/tmp/kg_scaling_edges"
-        )
-        # The 1MB maxPartitionBytes override exists ONLY to pin identical
-        # INPUT (pages) splits at both levels; applying it to the
-        # intermediate edge read would shred a ~150MB table into ~150
-        # scheduling-bound tasks — per-task dispatch is a driver-serial
-        # constant, i.e. fixed latency that penalizes the high level's
-        # ratio without measuring the job. Normal splits for the
-        # intermediate, then restore before the next trial's pages scan.
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
-        nodes_from_edges(
-            spark.read.parquet("/tmp/kg_scaling_edges")
-        ).coalesce(8).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
-        best_full = min(best_full, time.monotonic() - t0)
+            edges.coalesce(32).write.mode("overwrite").parquet(
+                "/tmp/kg_scaling_edges"
+            )
+            # The 1MB maxPartitionBytes override exists ONLY to pin
+            # identical INPUT (pages) splits at both levels; applying it to
+            # the intermediate edge read would shred a ~150MB table into
+            # ~150 scheduling-bound tasks — per-task dispatch is a
+            # driver-serial constant, i.e. fixed latency that penalizes the
+            # high level's ratio without measuring the job. Normal splits
+            # for the intermediate, then restore before the next trial's
+            # pages scan.
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+            nodes_from_edges(
+                spark.read.parquet("/tmp/kg_scaling_edges")
+            ).coalesce(8).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+
+        _, wall, nb = meter.run(_full_job)
+        record("full", wall, nb)
 
         # full job, dense-id path (reference CX2 export shape) — kept
         # measured for honesty about the stage-latency floor it carries.
-        t0 = time.monotonic()
-        triples = extract_triples_fused(pages, alias_rows).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        triples.count()
-        nodes = build_nodes(triples).persist(StorageLevel.MEMORY_AND_DISK)
-        build_edges(triples, nodes).count()
-        best_dense = min(best_dense, time.monotonic() - t0)
-        triples.unpersist()
-        nodes.unpersist()
+        def _dense_job():
+            triples = extract_triples_fused(pages, alias_rows).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            triples.count()
+            nodes = build_nodes(triples).persist(StorageLevel.MEMORY_AND_DISK)
+            build_edges(triples, nodes).count()
+            triples.unpersist()
+            nodes.unpersist()
+
+        _, wall, nb = meter.run(_dense_job)
+        record("dense", wall, nb)
 
     sampler.__exit__()
+    best_fused, best_full, best_dense = (
+        best["fused"][0], best["full"][0], best["dense"][0],
+    )
     peak = max(sampler.samples, default=0.0)
     print(
         json.dumps(
@@ -155,6 +203,16 @@ def main() -> int:
                 # worst background pressure observed DURING the trials
                 "peak_load": round(peak, 2),
                 "peak_neighbor_load": round(max(0.0, peak - args.cores), 2),
+                # exact /proc/stat CPU attribution for the CHOSEN (best)
+                # instance of each section: avg busy cores machine-wide
+                # minus this level's cores — the primary validity signal
+                # (loadavg above is an EMA too slow for 10-60s sections)
+                "neighbor_cores": {
+                    "fused": best["fused"][1],
+                    "full": best["full"][1],
+                    "dense": best["dense"][1],
+                },
+                "max_neighbor_cores": max(v[1] for v in best.values()),
             }
         )
     )
