@@ -1313,6 +1313,188 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_delta_counts"] = snapshot_delta_counts
 
+    # ---- url canonicalization + eTLD+1 (functions/urls.py) -------------------
+    # Deterministic messy urls derived from doc_id (mixed case, www, default
+    # vs explicit ports, tracking params, unsorted query, fragments, second-
+    # level ccTLD suffixes). The ORACLE derives the expected canonical string
+    # directly from doc_id by the frozen rules — an independent hand
+    # derivation, not a SQL re-implementation of the parser.
+    def _messy_urls(spark, sf):
+        from llm_text_to_knowledge_graph_spark.functions.urls import (
+            normalize_url_col,
+            registered_domain_col,
+        )
+
+        docs = _read(spark, sf, "documents")
+        m5 = F.col("doc_id") % 5
+        m3 = F.col("doc_id") % 3
+        hostport = (
+            F.when(m5 == 0, F.lit("WWW.Example.COM"))
+            .when(m5 == 1, F.lit("news.Example.co.uk"))
+            .when(m5 == 2, F.lit("blog.sample.org:8080"))
+            .when(m5 == 3, F.lit("cdn.sample.com:443"))
+            .otherwise(F.lit("www.site.com.au"))
+        )
+        scheme = F.when(m5.isin(1, 3), F.lit("https")).otherwise(F.lit("http"))
+        query = (
+            F.when(m3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(m3 == 1, F.lit("?a=1&fbclid=zz"))
+            .otherwise(F.lit(""))
+        )
+        frag = F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
+        raw = F.concat(
+            scheme, F.lit("://"), hostport,
+            F.lit("/art/"), F.col("doc_id").cast("string"), query, frag,
+        )
+        norm = normalize_url_col(raw)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length("text").cast("long").alias("n_chars"),
+            raw.alias("raw_url"),
+            norm.alias("norm_url"),
+            registered_domain_col(
+                F.regexp_extract(norm, r"://([^:/]+)", 1)
+            ).alias("domain"),
+        )
+
+    def url_canonicalize(spark, sf):
+        return _messy_urls(spark, sf).select("doc_id", "norm_url", "domain")
+
+    q["url_canonicalize"] = url_canonicalize
+
+    # ---- WARC source scan (sources/warc.py) ----------------------------------
+    # A deterministic archive set is written to /tmp by an INDEPENDENT
+    # spec-direct record writer (below, not the parser), from a subset of the
+    # documents table: 3 files, one per doc_id % 3, gzip-member layout for
+    # file 0, chunked transfer-encoding for doc_id % 5 == 0. read_warc scans
+    # them back; the oracle recomputes url + md5 + byte length straight from
+    # the documents table.
+    def warc_scan(spark, sf):
+        import gzip as _gzip
+        import os as _os
+
+        from llm_text_to_knowledge_graph_spark.sources.warc import read_warc
+
+        docs = (
+            _read(spark, sf, "documents")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+
+        def record(uri: str, payload: bytes) -> bytes:
+            head = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + b"WARC-Target-URI: " + uri.encode()
+                + b"\r\nWARC-Date: 2024-03-01T00:00:00Z\r\nContent-Length: "
+                + str(len(payload)).encode() + b"\r\n\r\n"
+            )
+            return head + payload + b"\r\n\r\n"
+
+        def http(body: bytes, use_chunked: bool) -> bytes:
+            if use_chunked:
+                mid = len(body) // 2
+                chunks = b"".join(
+                    format(len(p), "x").encode() + b"\r\n" + p + b"\r\n"
+                    for p in (body[:mid], body[mid:])
+                    if p
+                ) + b"0\r\n\r\n"
+                return (
+                    b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                    + chunks
+                )
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            )
+
+        out_dir = "/tmp/kg_warc_oracle"
+        _os.makedirs(out_dir, exist_ok=True)
+        files: dict[int, list[bytes]] = {0: [], 1: [], 2: []}
+        for _, row in docs.iterrows():
+            did = int(row["doc_id"])
+            body = str(row["text"]).encode("utf-8")
+            payload = http(body, did % 5 == 0)
+            files[did % 3].append(
+                record(f"https://crawl.test/doc/{did}", payload)
+            )
+        for k, recs in files.items():
+            path = _os.path.join(out_dir, f"part-{k}.warc")
+            if k == 0:
+                with open(path + ".gz", "wb") as f:
+                    f.write(b"".join(_gzip.compress(r) for r in recs))
+                if _os.path.exists(path):
+                    _os.remove(path)
+            else:
+                with open(path, "wb") as f:
+                    f.write(b"".join(recs))
+
+        pages = read_warc(spark, out_dir, glob="*.warc*")
+        return pages.select(
+            F.col("url"),
+            F.md5(F.col("html")).alias("fp"),
+            F.length(F.col("html")).cast("long").alias("n_bytes"),
+        )
+
+    q["warc_scan"] = warc_scan
+
+    # per-site curation rollup (domain blocklists / per-domain caps need
+    # exactly this table): eTLD+1 -> page count + corpus mass
+    def domain_stats(spark, sf):
+        return (
+            _messy_urls(spark, sf)
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
+    q["domain_stats"] = domain_stats
+
+    # C4-style per-domain cap: keep the n smallest md5 draws per domain.
+    # pre_salt=4 exercises the skew-safe two-window plan; the oracle ranks
+    # the same draws with a single SQL window — identical kept set proves
+    # the pre-pass is answer-preserving.
+    def cap_per_domain(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import (
+            cap_per_key,
+        )
+
+        return cap_per_key(
+            _messy_urls(spark, sf).select("doc_id", "domain"),
+            n=20,
+            key_col="domain",
+            seed=42,
+            pre_salt=4,
+        ).select("doc_id", "domain")
+
+    q["cap_per_domain"] = cap_per_domain
+
+    # pretraining scrub: urls/emails/IPv4 -> typed placeholders. The base
+    # corpus is PII-pattern-free (checked), so planting a deterministic
+    # suffix makes the expected output hand-derivable in the oracle.
+    def redact_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import redact
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " Contact admin@example.org or "
+                    "https://example.org/x?a=1 at 192.168.10.20."
+                ),
+            ),
+        )
+        return redact(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+
+    q["redact_docs"] = redact_docs
+
     return q
 
 
@@ -1624,6 +1806,71 @@ def oracle_sql() -> dict[str, str]:
               FROM old o FULL OUTER JOIN new n ON o.url = n.url
             )
             SELECT status, CAST(COUNT(*) AS BIGINT) AS n_urls FROM cls GROUP BY status
+        """,
+        # expected canonical urls derived DIRECTLY from doc_id by the frozen
+        # normalization rules (hand derivation, independent of the parser)
+        "url_canonicalize": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   (CASE doc_id % 5
+                      WHEN 0 THEN 'http://example.com'
+                      WHEN 1 THEN 'https://news.example.co.uk'
+                      WHEN 2 THEN 'http://blog.sample.org:8080'
+                      WHEN 3 THEN 'https://cdn.sample.com'
+                      ELSE 'http://site.com.au' END)
+                   || '/art/' || CAST(doc_id AS VARCHAR)
+                   || (CASE doc_id % 3 WHEN 0 THEN '?a=1&b=2'
+                                       WHEN 1 THEN '?a=1' ELSE '' END)
+                     AS norm_url,
+                   CASE doc_id % 5
+                      WHEN 0 THEN 'example.com'
+                      WHEN 1 THEN 'example.co.uk'
+                      WHEN 2 THEN 'sample.org'
+                      WHEN 3 THEN 'sample.com'
+                      ELSE 'site.com.au' END AS domain
+            FROM documents
+        """,
+        "cap_per_domain": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                        WHEN 0 THEN 'example.com'
+                        WHEN 1 THEN 'example.co.uk'
+                        WHEN 2 THEN 'sample.org'
+                        WHEN 3 THEN 'sample.com'
+                        ELSE 'site.com.au' END AS domain,
+                     md5(CAST(doc_id AS VARCHAR) || ':42') AS draw
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, domain,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                                        ORDER BY draw, doc_id) AS rn
+              FROM d
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, domain
+            FROM r WHERE rn <= 20
+        """,
+        "redact_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(text || ' Contact <EMAIL> or <URL> at <IP>.') AS fp
+            FROM documents
+        """,
+        "warc_scan": """
+            SELECT 'https://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5(text) AS fp,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id % 7 = 0
+        """,
+        "domain_stats": """
+            SELECT CASE doc_id % 5
+                      WHEN 0 THEN 'example.com'
+                      WHEN 1 THEN 'example.co.uk'
+                      WHEN 2 THEN 'sample.org'
+                      WHEN 3 THEN 'sample.com'
+                      ELSE 'site.com.au' END AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
         """,
         "paragraph_filter": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

@@ -241,3 +241,72 @@ def line_dedup(
             (F.col("n_lines") - F.size("ls")).cast("long").alias("n_lines_dropped"),
         )
     )
+
+
+def cap_per_key(
+    docs: DataFrame,
+    n: int,
+    key_col: str = "domain",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    pre_salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-key cap: keep at most ``n`` docs per key (C4-style
+    per-domain limits — without one, the head domains drown the corpus).
+
+    Selection is the ``n`` smallest md5("{id}:{seed}") draws per key (id as
+    a tie-break), the same engine-portable dice as :func:`hash_sample`, so
+    the kept set is a pure function of (id, key, seed): reproducible across
+    runs, engines, and crawl snapshots, and monotone in ``n``.
+
+    Plan: ONE shuffle on key + a running-rank window (no global sort). The
+    web's domain distribution is Zipf — a mega-domain would funnel its
+    whole slice through one window task, so ``pre_salt=S`` adds a skew-safe
+    pre-pass: rank within (key, salt) buckets first (salt = pmod(xxhash64
+    (id), S), uniform by construction) and keep ``n`` per bucket, bounding
+    the final window's input to S*n rows per key. The pre-pass never
+    changes the answer: the global smallest-n per key survive every
+    per-bucket smallest-n cut (each bucket keeps its own n smallest, and a
+    global winner is by definition among its bucket's n smallest).
+    """
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    out = docs.withColumn("_draw", draw)
+    if pre_salt:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(pre_salt))
+        w_pre = Window.partitionBy(key_col, "_salt").orderBy("_draw", id_col)
+        out = (
+            out.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w_pre))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "_salt")
+        )
+    w = Window.partitionBy(key_col).orderBy("_draw", id_col)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "_draw")
+    )
+
+
+# Frozen scrub patterns (RefinedWeb/CCNet-style pretraining hygiene).
+# Constructs are restricted to the RE2/Java-regex common subset so the SQL
+# oracle can run the IDENTICAL pattern strings. Order matters: urls first
+# (an email inside a url is part of the url), then emails, then bare IPv4.
+REDACT_PATTERNS = (
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace urls / emails / IPv4 literals with typed placeholder tokens —
+    the standard pre-training scrub pass. Pure chained ``regexp_replace``
+    column expressions: JVM codegen, rides inside the scan stage, zero
+    shuffles, zero Python."""
+    col = F.col(text_col)
+    for pat, rep in REDACT_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    return docs.withColumn(text_col, col)

@@ -98,8 +98,15 @@ def main() -> int:
     # rather than dominating the wall time. The 100-TB jobs the criterion
     # models run for hours, where those constants are ~0%.
     n_docs = int(os.environ.get("SCALING_N_DOCS", "80000"))
+    # 2-vs-8, NOT 4-vs-16: the report's method note is measured fact — at
+    # local[16] this shared 32-core box ceilings at ~137-168k fused
+    # triples/s regardless of corpus size (memory bandwidth + neighbor
+    # sandboxes), so a 16-core level measures the box, not the job. 2-vs-8
+    # keeps both levels inside the linear envelope. (A 4-vs-16 run on
+    # 2026-08-17 read 0.69/0.67 with ZERO dirty trials by the exact CPU
+    # gate — the ceiling, not noise, is what caps the high level.)
     lo, hi = (
-        int(x) for x in os.environ.get("SCALING_CORES", "4,16").split(",")
+        int(x) for x in os.environ.get("SCALING_CORES", "2,8").split(",")
     )
     with open("/proc/loadavg") as f:
         load0 = float(f.read().split()[0])

@@ -31,10 +31,14 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 class SectionMeter:
     """Times a section AND attributes machine CPU: ``busy_cores`` is the
-    average number of busy cores machine-wide during the section, so
-    ``neighbor_cores = max(0, busy_cores - own_cores)`` is an exact
-    (not sampled) upper bound on concurrent neighbor-sandbox CPU — the
-    validity signal the loadavg gate approximates badly for short trials."""
+    average number of busy cores machine-wide during the section
+    (integrated exactly over the window, not sampled), so
+    ``neighbor_cores = max(0, busy_cores - own_cores)`` measures
+    concurrent neighbor-sandbox CPU. Exact when the level saturates its
+    own cores (these sections do — they are embarrassingly parallel over
+    >=32 partitions); when the job idles its cores it UNDERCOUNTS
+    neighbors by the idle amount, which is why the loadavg peak is still
+    recorded alongside as a second opinion."""
 
     def __init__(self, own_cores: int):
         self.own = own_cores

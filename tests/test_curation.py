@@ -161,3 +161,69 @@ def test_chunk_docs_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_docs(docs, size=10, overlap=10)
+
+
+def test_cap_per_key_keeps_n_smallest_draws(spark):
+    from llm_text_to_knowledge_graph_spark.operators.curation import cap_per_key
+
+    rows = [(i, "big" if i % 4 else "small") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "domain"])
+    capped = cap_per_key(docs, n=10, key_col="domain", seed=7)
+    out = capped.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in out}
+    assert counts["big"] == 10
+    # 'small' has 50 members (i % 4 == 0), also capped
+    assert counts["small"] == 10
+    # reference selection: n smallest md5 draws, computed independently
+    import hashlib
+
+    def draw(i):
+        return hashlib.md5(f"{i}:7".encode()).hexdigest()
+
+    expect_big = sorted((i for i in range(200) if i % 4), key=draw)[:10]
+    got_big = sorted(
+        r["doc_id"] for r in capped.filter("domain = 'big'").collect()
+    )
+    assert got_big == sorted(expect_big)
+
+
+def test_cap_per_key_pre_salt_answer_preserving(spark):
+    from llm_text_to_knowledge_graph_spark.operators.curation import cap_per_key
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "domain"])
+    plain = set(
+        map(tuple, cap_per_key(docs, 7, key_col="domain").collect())
+    )
+    salted = set(
+        map(tuple, cap_per_key(docs, 7, key_col="domain", pre_salt=5).collect())
+    )
+    assert plain == salted and len(plain) == 21
+
+
+def test_redact_patterns(spark):
+    from llm_text_to_knowledge_graph_spark.operators.curation import redact
+
+    cases = [
+        ("mail me at bob.smith+x@my-site.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("see https://a.org/p?q=1&r=2 and http://b.io/x.",
+         "see <URL> and <URL>"),
+        ("server 10.0.255.3 replied", "server <IP> replied"),
+        ("login admin@site.org via https://site.org/l from 192.168.1.1.",
+         "login <EMAIL> via <URL> from <IP>."),
+        ("no pii here", "no pii here"),
+        ("version 1.2 is not an ip", "version 1.2 is not an ip"),
+    ]
+    df = spark.createDataFrame(cases, ["text", "expected"])
+    bad = redact(df).filter("text <> expected").collect()
+    assert bad == []
+
+
+def test_redact_is_jvm_only(spark):
+    from llm_text_to_knowledge_graph_spark.operators.curation import redact
+
+    df = redact(spark.createDataFrame([("x",)], ["text"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
