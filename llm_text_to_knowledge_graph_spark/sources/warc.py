@@ -192,6 +192,12 @@ def read_warc(
 
     reader = spark.readStream if stream else spark.read
     reader = reader.format("binaryFile")
+    if stream:
+        # streaming file sources demand an explicit schema; binaryFile's is
+        # fixed by the format spec
+        reader = reader.schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("content")

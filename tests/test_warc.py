@@ -195,7 +195,7 @@ def test_warc_pipeline_equivalence(spark, tmp_path):
         read_warc(spark, str(out)).withColumn("lang", F.lit("en")),
         alias_rows,
     )
-    key = ["url", "subj", "pred", "obj", "sentence"]
+    key = ["url", "subj", "pred", "obj", "evidence"]
     d = sorted(map(tuple, direct.select(*key).collect()))
     w = sorted(map(tuple, via_warc.select(*key).collect()))
     assert d == w and len(d) > 0
