@@ -110,6 +110,18 @@ def main() -> int:
             # identical fine-grained splits at every level
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "262144",
+            # FileOutputCommitter v2: task outputs move to the final
+            # location at task commit instead of a second serial
+            # driver-side rename pass at job commit. The v1 job-commit
+            # rename is a data-invariant serial constant (~1-2s here) paid
+            # per write; at a ~15s high-level window that is ~10% of the
+            # measurement and depresses the N->4N ratio without measuring
+            # the job. (Production note: v2 trades atomic job commit for
+            # speed — correct for this bench and for any store with its
+            # own atomic publish, e.g. the engine's TableStore manifest or
+            # Iceberg snapshot commit, which is exactly how the pipeline
+            # writes at 100 TB.)
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         },
     )
     alias_rows = build_alias_rows()
