@@ -173,10 +173,15 @@ def main() -> int:
             # the intermediate edge read would shred a ~150MB table into
             # ~150 scheduling-bound tasks — per-task dispatch is a
             # driver-serial constant, i.e. fixed latency that penalizes the
-            # high level's ratio without measuring the job. Normal splits
-            # for the intermediate, then restore before the next trial's
-            # pages scan.
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+            # high level's ratio without measuring the job. But the first
+            # fix (32m) over-corrected: ~166MB / 32m = ~6 read tasks, which
+            # UNDER-parallelizes the node-derive scan at the 8-core level
+            # (6 tasks on 8 cores = a hard 75% utilization cap on that
+            # stage — a ratio penalty that measures the split choice, not
+            # the job). 8m gives ~21 tasks: >=2 waves per core at the high
+            # level, still negligible dispatch. Restore 1m before the next
+            # trial's pages scan.
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
             nodes_from_edges(
                 spark.read.parquet("/tmp/kg_scaling_edges")
             ).coalesce(8).write.mode("overwrite").parquet("/tmp/kg_scaling_nodes")
