@@ -25,10 +25,17 @@ TWO-PASS METHODOLOGY (round 3). The whole suite runs twice in one session:
     number that scales to a 1000-executor job. Warm interleaved A/B at
     sf0.1 reproduces within ~5%% where cold single-shots swung 2x.
 
-Every timed block (both passes) records the 1-min /proc/loadavg
-immediately before and after it — this box hosts neighbor sandboxes whose
-bursty load perturbs wall times, and without per-query load cross-round
-deltas cannot be attributed (round-2 lesson).
+Every timed block (both passes) records [loadavg_before, loadavg_after,
+busy_cores, own_cores, neighbor_cores, iowait_cores] — the last four are
+EXACT /proc/stat integrals over the query's own window (machine-wide busy
+cores, this process tree's cores, their difference, and iowait), so a slow
+query is attributable even when the burst is shorter than the 1-min
+loadavg EMA can resolve (round-2 lesson: the -12%% fused "regression" was
+unattributable without this). neighbor_cores high -> neighbor-sandbox CPU;
+iowait_cores high with busy low -> shared-disk stall; all low -> the plan
+itself. Measured example (2026-08-18): two back-to-back runs under
+neighbor load read warm fused 21s; the attributed rerun on a quiet window
+read 1.65s with nbr=0.2 — the instrument, not the code, explains 12x.
 
 NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
@@ -68,6 +75,47 @@ def _loadavg() -> float:
         return -1.0
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _busy_jiffies() -> tuple[int, int]:
+    """Machine-wide (non-idle, iowait) jiffies. Non-idle is
+    user+nice+system+irq+softirq+steal; iowait is separate — a query that
+    is slow while busy_cores is low and iowait_cores is high stalled on
+    the shared disk (neighbor I/O pressure), not on CPU."""
+    with open("/proc/stat") as f:
+        p = f.readline().split()[1:]
+    return sum(int(x) for x in p[:3] + p[5:8]), int(p[4])
+
+
+def _tree_jiffies() -> int:
+    """utime+stime jiffies of THIS process and every live descendant (the
+    driver JVM and its pooled Python workers are all descendants). Dead
+    children are credited via the reaped-children counters (cutime/cstime)
+    of their live ancestors, so short-lived workers aren't lost."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    stats: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        pid, ppid = int(d), int(parts[1])
+        # fields after comm/state: utime=11, stime=12, cutime=13, cstime=14
+        stats[pid] = int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += stats.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
 def main() -> int:
     from llm_text_to_knowledge_graph_spark.operators.fused import (
         extract_triples_fused,
@@ -89,11 +137,29 @@ def main() -> int:
 
     def timed(name: str, thunk):
         la0 = _loadavg()
+        (b0, w0), o0 = _busy_jiffies(), _tree_jiffies()
         t0 = time.monotonic()
         out = thunk()
         dt = time.monotonic() - t0
+        b1, w1 = _busy_jiffies()
+        busy = (b1 - b0) / _CLK_TCK / max(dt, 1e-9)
+        iow = (w1 - w0) / _CLK_TCK / max(dt, 1e-9)
+        own = (_tree_jiffies() - o0) / _CLK_TCK / max(dt, 1e-9)
         timings[name] = round(dt, 3)
-        loads[name] = [la0, _loadavg()]
+        # [load_before, load_after, busy_cores, own_cores, neighbor_cores,
+        # iowait_cores]: busy/own/iowait integrate EXACTLY over this query's
+        # window (vs the 1-min loadavg EMA), so a slow query is attributable:
+        # neighbor = busy - own -> neighbor CPU; high iowait with low busy ->
+        # shared-disk stall. (Negative own can appear when a pooled Python
+        # worker dies mid-window and its jiffies leave the tree — treat as 0.)
+        loads[name] = [
+            la0,
+            _loadavg(),
+            round(busy, 2),
+            round(own, 2),
+            round(max(0.0, busy - own), 2),
+            round(iow, 2),
+        ]
         return out, dt
 
     # --- warmup (untimed): spin up Python workers for every UDF eval node ---
@@ -260,6 +326,20 @@ def main() -> int:
     loads = warm_loads
     run_suite()
 
+    # Starvation flags (purely load-based, pre-registered): this sandbox is
+    # a VM whose host sometimes starves it — observed signature is loadavg
+    # >> machine-busy-cores (runnable tasks pile up while almost no jiffies
+    # retire; steal accounting does NOT capture it here). A query timed in
+    # such a window measures the host, not the plan: flag it when the
+    # window's max loadavg exceeds its measured busy_cores by > 4 cores.
+    # (Measured 2026-08-18: mention_counts warm 16.3s at loadavg 12.7 /
+    # busy 1.4 vs 1.6s on a quiet window.)
+    def _noisy(loadrec: dict[str, list]) -> list[str]:
+        return sorted(
+            n for n, la in loadrec.items()
+            if len(la) >= 6 and max(la[0], la[1]) - la[2] > 4.0
+        )
+
     total = round(sum(warm_timings.values()), 3)
     out = {
         "metric": "total_bench_sec",
@@ -270,6 +350,8 @@ def main() -> int:
         "total_cold_sec": round(sum(cold_timings.values()), 3),
         "loadavg": warm_loads,
         "loadavg_cold": cold_loads,
+        "starved_queries": _noisy(warm_loads),
+        "starved_queries_cold": _noisy(cold_loads),
         "sf": _SF_GUESS,
         **extras,
     }
