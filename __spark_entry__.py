@@ -1495,6 +1495,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redact_docs"] = redact_docs
 
+    # model-based quality: CCNet-style bigram-LM perplexity — the LM is
+    # trained on a deterministic sample (doc_id < 200, the hash_sample
+    # shape) and broadcast; scoring touches the corpus once (explode +
+    # 2 broadcast joins + ONE partial-agg groupBy). Oracle retrains the
+    # identical LM with CTEs.
+    def lm_perplexity_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+            lm_perplexity,
+            ngram_lm,
+        )
+
+        docs = _read(spark, sf, "documents")
+        lm = ngram_lm(docs.filter(F.col("doc_id") < 200))
+        return lm_perplexity(docs, lm)
+
+    q["lm_perplexity_docs"] = lm_perplexity_docs
+
+    # model-based quality: learned logistic classifier over the frozen
+    # 4-feature text-stats vector, scored map-only with pinned weights
+    # (the fastText-classifier analog; weights trained+pinned by
+    # tests/test_quality_model.py). Pure JVM column math — plan-asserted
+    # Exchange-free in the test suite.
+    def quality_model_score(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+            score_quality_model,
+        )
+
+        return score_quality_model(_read(spark, sf, "documents"))
+
+    q["quality_model_score"] = quality_model_score
+
     return q
 
 
@@ -1854,6 +1885,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    md5(text || ' Contact <EMAIL> or <URL> at <IP>.') AS fp
             FROM documents
+        """,
+        "lm_perplexity_docs": """
+            WITH train AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents WHERE doc_id < 200),
+            tp AS (
+              SELECT ts[i] AS w1, ts[i + 1] AS w2
+              FROM train, UNNEST(range(1, len(ts))) AS r(i)),
+            big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp GROUP BY 1, 2),
+            uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+            v AS (
+              SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(ts) AS w FROM train)),
+            lmb AS (
+              SELECT w1, w2,
+                     ROUND(LN((c12 + 0.1) / (c1 + 0.1 * vs)), 9) AS logp
+              FROM big JOIN uni USING (w1) CROSS JOIN v),
+            lmu AS (
+              SELECT w1, ROUND(LN(0.1 / (c1 + 0.1 * vs)), 9) AS logp_unk
+              FROM uni CROSS JOIN v),
+            corpus AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents),
+            cp AS (
+              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+              FROM corpus, UNNEST(range(1, len(ts))) AS r(i)),
+            scored AS (
+              SELECT cp.doc_id,
+                     COALESCE(lmb.logp, lmu.logp_unk,
+                              (SELECT ROUND(-LN(vs), 9) FROM v)) AS lp
+              FROM cp
+              LEFT JOIN lmb ON cp.w1 = lmb.w1 AND cp.w2 = lmb.w2
+              LEFT JOIN lmu ON cp.w1 = lmu.w1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(lp), 6) AS avg_logp,
+                   ROUND(EXP(-ROUND(AVG(lp), 6)), 6) AS perplexity
+            FROM scored GROUP BY doc_id
+        """,
+        "quality_model_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), ['the','a','an','and','of','to','in','is','was','for','on','with','that','this'])) AS n_stop
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     ROUND(LEAST(n_chars / 500.0, 1.0), 9) AS len_score,
+                     ROUND(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 9) AS punct_ratio,
+                     ROUND(CASE WHEN n_tok > 0 THEN n_stop / LEAST(n_tok, 14) ELSE 0.0 END, 9) AS stop_ratio,
+                     ROUND(CASE WHEN n_tok > 0 THEN (n_chars - n_tok + 1) / n_tok ELSE 0.0 END, 9) AS mean_wlen
+              FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   len_score, punct_ratio, stop_ratio, mean_wlen,
+                   ROUND(1.0 / (1.0 + EXP(-(-7.7508
+                         + -11.1824 * len_score + -9.768 * punct_ratio
+                         + 79.1157 * stop_ratio + -0.0741 * mean_wlen))), 6)
+                     AS quality_prob
+            FROM f
         """,
         "warc_scan": """
             SELECT 'https://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
