@@ -1526,6 +1526,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_model_score"] = quality_model_score
 
+    # crawl-frontier seen-set: deterministic Bloom filter (md5-derived bit
+    # positions -> engine-portable), previous crawl = doc_id < 300, probe
+    # every url. Zero false negatives by construction; the oracle rebuilds
+    # the identical blocks with strpos-nibble math and bitwise aggregation.
+    def bloom_seen_urls(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.membership import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+        )
+        bloom = bloom_build(docs.filter(F.col("doc_id") < 300))
+        return bloom_probe(docs.select("url"), bloom)
+
+    q["bloom_seen_urls"] = bloom_seen_urls
+
     return q
 
 
@@ -1946,6 +1967,36 @@ def oracle_sql() -> dict[str, str]:
                          + 79.1157 * stop_ratio + -0.0741 * mean_wlen))), 6)
                      AS quality_prob
             FROM f
+        """,
+        "bloom_seen_urls": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            probes AS (
+              SELECT url, md5(url || ':' || CAST(i AS VARCHAR)) AS h,
+                     doc_id
+              FROM urls, UNNEST([0, 1, 2]) AS t(i)),
+            pos AS (
+              SELECT url, doc_id,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS p
+              FROM probes),
+            masked AS (
+              SELECT url, doc_id, p // 64 AS block,
+                     CASE WHEN p % 64 = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END AS mask
+              FROM pos),
+            blocks AS (
+              SELECT block, bit_or(mask) AS bits
+              FROM masked WHERE doc_id < 300 GROUP BY block)
+            SELECT m.url,
+                   bool_and((COALESCE(b.bits, 0) & m.mask) = m.mask) AS maybe_seen
+            FROM masked m LEFT JOIN blocks b USING (block)
+            GROUP BY m.url
         """,
         "warc_scan": """
             SELECT 'https://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
