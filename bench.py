@@ -249,6 +249,12 @@ def main() -> int:
             "pack_sequences",
             "gopher_quality",
             "repetition_stats",
+            # round 3 cont.: model-based quality (LM scoring = explode +
+            # 2 broadcast joins + one partial-agg groupBy; classifier =
+            # map-only frozen-weight sigmoid) and the Bloom frontier probe
+            "lm_perplexity_docs",
+            "quality_model_score",
+            "bloom_seen_urls",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect
@@ -331,13 +337,17 @@ def main() -> int:
     # >> machine-busy-cores (runnable tasks pile up while almost no jiffies
     # retire; steal accounting does NOT capture it here). A query timed in
     # such a window measures the host, not the plan: flag it when the
-    # window's max loadavg exceeds its measured busy_cores by > 4 cores.
-    # (Measured 2026-08-18: mention_counts warm 16.3s at loadavg 12.7 /
-    # busy 1.4 vs 1.6s on a quiet window.)
+    # window's MIN loadavg exceeds its measured busy_cores by > 4 cores.
+    # min, not max: genuine starvation holds loadavg high at BOTH edges of
+    # the window (measured 2026-08-18: mention_counts warm 16.3s at
+    # loadavg 12.7->10.1 / busy 1.4 vs 1.6s on a quiet window), while a
+    # decaying 1-min EMA from our own just-finished heavy query inflates
+    # only the leading edge and must not flag the sub-second queries after
+    # it.
     def _noisy(loadrec: dict[str, list]) -> list[str]:
         return sorted(
             n for n, la in loadrec.items()
-            if len(la) >= 6 and max(la[0], la[1]) - la[2] > 4.0
+            if len(la) >= 6 and min(la[0], la[1]) - la[2] > 4.0
         )
 
     total = round(sum(warm_timings.values()), 3)
