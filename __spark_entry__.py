@@ -1547,6 +1547,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_seen_urls"] = bloom_seen_urls
 
+    # ExactSubstr analog (Lee et al. 2021): repeated char-window detection.
+    # Exact variant counts every duplicated 40-char window; the winnowed
+    # variant exercises the scale path (per-window argmin selection, ~1/8
+    # index) — both fully oracle-checked, incl. the winnowing selection.
+    def dup_substring_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.dedup import (
+            dup_substring_stats,
+        )
+
+        return dup_substring_stats(_read(spark, sf, "documents"), length=40)
+
+    q["dup_substring_docs"] = dup_substring_docs
+
+    def dup_substring_winnowed(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.dedup import (
+            dup_substring_stats,
+        )
+
+        return dup_substring_stats(
+            _read(spark, sf, "documents"), length=40, winnow=8
+        )
+
+    q["dup_substring_winnowed"] = dup_substring_winnowed
+
     return q
 
 
@@ -1967,6 +1991,63 @@ def oracle_sql() -> dict[str, str]:
                          + 79.1157 * stop_ratio + -0.0741 * mean_wlen))), 6)
                      AS quality_prob
             FROM f
+        """,
+        "dup_substring_docs": """
+            WITH g AS (
+              SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h
+              FROM documents, UNNEST(range(1, length(text) - 38)) AS r(i)
+              WHERE length(text) >= 40),
+            k AS (
+              SELECT h, MIN(doc_id * 1000000000 + pos) AS kk, COUNT(*) AS occ
+              FROM g GROUP BY h),
+            f AS (
+              SELECT g.doc_id,
+                     CASE WHEN k.occ > 1
+                               AND g.doc_id * 1000000000 + g.pos <> k.kk
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM g JOIN k USING (h))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_grams,
+                   ROUND(SUM(is_dup) / COUNT(*), 6) AS dup_fraction
+            FROM f GROUP BY doc_id
+        """,
+        "dup_substring_winnowed": """
+            WITH g AS (
+              SELECT doc_id, i AS pos,
+                     md5(substr(text, i, 40)) AS h,
+                     md5(substr(text, i, 40))
+                       || lpad(CAST(i AS VARCHAR), 10, '0') AS wk
+              FROM documents, UNNEST(range(1, length(text) - 38)) AS r(i)
+              WHERE length(text) >= 40),
+            m AS (
+              SELECT doc_id, pos,
+                     MIN(wk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                       AS sel,
+                     MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+              FROM g),
+            s AS (
+              SELECT DISTINCT doc_id, sel FROM m
+              WHERE pos <= GREATEST(maxpos - 7, 1)),
+            sg AS (
+              SELECT doc_id, CAST(substr(sel, 33, 10) AS INT) AS pos,
+                     substr(sel, 1, 32) AS h
+              FROM s),
+            k AS (
+              SELECT h, MIN(doc_id * 1000000000 + pos) AS kk, COUNT(*) AS occ
+              FROM sg GROUP BY h),
+            f AS (
+              SELECT sg.doc_id,
+                     CASE WHEN k.occ > 1
+                               AND sg.doc_id * 1000000000 + sg.pos <> k.kk
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM sg JOIN k USING (h))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_grams,
+                   ROUND(SUM(is_dup) / COUNT(*), 6) AS dup_fraction
+            FROM f GROUP BY doc_id
         """,
         "bloom_seen_urls": """
             WITH urls AS (

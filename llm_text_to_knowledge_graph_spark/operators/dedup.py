@@ -496,3 +496,134 @@ def dedup_clusters(
             F.coalesce("cluster", F.col("node_id")).alias("cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring detection (ExactSubstr analog, char-gram granularity)
+# ---------------------------------------------------------------------------
+
+def dup_substring_stats(
+    docs: DataFrame,
+    length: int = 40,
+    winnow: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-substring statistics — the corpus-level
+    "memorization surface" signal of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"): any ``length``-char
+    substring occurring more than once ACROSS the corpus marks all its
+    non-canonical occurrences as duplicated text.
+
+    This is the fixed-window relational analog of that paper's
+    suffix-array ExactSubstr: every char window of ``length`` becomes an
+    md5 fingerprint (16 bytes cross the wire, never the substring), the
+    canonical occurrence per fingerprint is the min (doc_id, pos) — the
+    same deterministic survivor rule as the rest of this module — and
+    everything else counts as duplicated. A shared span of length
+    S >= length yields S - length + 1 matching windows, so
+    ``n_dup_grams`` tracks duplicated bytes up to boundary effects;
+    windows-vs-suffix-array trade-off: no arbitrary-length match
+    granularity, but pure relational algebra (two partial-agg shuffles on
+    16-byte keys, zero Python) instead of a distributed suffix array.
+
+    ``winnow=W`` (the scale knob) subsamples fingerprints by winnowing
+    (Schleimer et al. 2003, the MOSS scheme): every window of W
+    consecutive grams selects its minimum-hash gram, and the selected set
+    is the union over windows. Selection depends only on CONTENT, never
+    on window alignment, so two documents sharing any span of length
+    >= length + W - 1 are guaranteed a matching selected fingerprint
+    (the span contains a full W-window in both docs, whose argmin is the
+    same gram; a naive fixed-stride subsample has NO such guarantee — the
+    copies' windows sample different alignments unless offsets agree mod
+    stride, which is why stride is not offered). Ties break to the
+    smallest position via a zero-padded pos suffix on the comparison key
+    (md5 makes real ties negligible; the suffix keeps both engines
+    deterministic). Index shrinks ~1/W; the counts become winnowed-sample
+    estimates of the duplicated surface rather than exact window counts.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_fraction) over SELECTED
+    grams. Span EXCISION is a consumer concern (merge [pos, pos+length)
+    intervals per doc in one mapInPandas) — the stats are the filter
+    signal, and at 100 TB most pipelines threshold on dup_fraction rather
+    than rewrite text.
+
+    Scale shape: pre-winnow gram inflation is ~len(text) rows per doc in
+    the map stage (the honest cost ExactSubstr pays as ~8x suffix-array
+    memory instead), but only selected grams ever shuffle: the winnowing
+    sliding-min is a per-doc window over (doc_id, pos), i.e. ONE shuffle
+    by doc_id that immediately filters to ~1/W of its input. The
+    heavy-duplicate skew collapses map-side in both aggregations
+    (min-struct / count partial aggs, the same absorption argument as
+    ``line_dedup``).
+    """
+    t = F.col(text_col)
+    # sequence(1, 0) throws in Spark, so docs shorter than the window get
+    # an explicit empty position list (they then vanish at the explode,
+    # matching the "no grams" semantics)
+    idx = F.when(
+        F.length(t) >= length,
+        F.sequence(F.lit(1), F.length(t) - (length - 1)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                i.alias("pos"), F.md5(F.substring(t, i, length)).alias("h")
+            ))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    if winnow > 1:
+        wdoc = Window.partitionBy("doc_id")
+        wrun = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.currentRow, winnow - 1)
+        )
+        # comparison key: hash first (32 hex chars), zero-padded position
+        # as tie-break — the window min IS the window's selected gram, and
+        # the key format is byte-identical in the SQL oracle
+        grams = (
+            grams.withColumn(
+                "k", F.concat("h", F.lpad(F.col("pos").cast("string"), 10, "0"))
+            )
+            .withColumn("_maxpos", F.max("pos").over(wdoc))
+            .withColumn("_sel", F.min("k").over(wrun))
+            # valid window starts only; a doc with fewer than W grams
+            # keeps its one truncated window (start pos 1)
+            .filter(
+                F.col("pos")
+                <= F.greatest(F.col("_maxpos") - (winnow - 1), F.lit(1))
+            )
+            .select("doc_id", F.col("_sel").alias("k"))
+            .distinct()
+            .select(
+                "doc_id",
+                F.substring("k", 33, 10).cast("int").alias("pos"),
+                F.substring("k", 1, 32).alias("h"),
+            )
+        )
+    keeper = grams.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    flagged = grams.join(keeper, "h").select(
+        "doc_id",
+        (
+            (F.col("occ") > 1)
+            & ~((F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos")))
+        ).cast("int").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("is_dup").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+        )
+    )

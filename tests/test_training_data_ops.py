@@ -406,3 +406,66 @@ def test_repetition_stats_trigram(spark):
     assert got["n_grams"] == 6
     assert got["top_gram_count"] == 2
     assert got["dup_gram_frac"] == 1.0
+
+
+def test_dup_substring_stats_matches_reference(spark):
+    """Char-window repeated-substring stats vs an independent Python
+    implementation of the same fixed-window spec."""
+    from collections import defaultdict
+
+    from llm_text_to_knowledge_graph_spark.operators.dedup import dup_substring_stats
+
+    A = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    B = "completely different text here with no overlap at all in any window"
+    texts = {0: A + " unique tail zero", 1: "prefix one " + A, 2: B, 3: B, 4: "short"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in dup_substring_stats(docs, length=20).collect()
+    }
+
+    occ = defaultdict(list)
+    for d, t in texts.items():
+        for i in range(len(t) - 19):
+            occ[t[i : i + 20]].append((d, i + 1))
+    ndup, ntot = defaultdict(int), defaultdict(int)
+    for lst in occ.values():
+        k = min(lst)
+        for d, p in lst:
+            ntot[d] += 1
+            if len(lst) > 1 and (d, p) != k:
+                ndup[d] += 1
+    assert got == {d: (ntot[d], ndup[d]) for d in ntot}
+    assert 4 not in got  # shorter than the window -> no grams, no row
+
+
+def test_dup_substring_winnow_detects_misaligned_spans(spark):
+    """Winnowed selection is alignment-robust: the shared span sits at
+    offsets that disagree mod W (a fixed-stride subsample would miss it),
+    and the guarantee holds for spans >= length + W - 1."""
+    from llm_text_to_knowledge_graph_spark.operators.dedup import dup_substring_stats
+
+    span = "shared span of considerable length repeated verbatim across documents"
+    for lead in ("", "a ", "ab ", "abc "):  # offsets 0..3 vs 0 (W=4)
+        docs = spark.createDataFrame(
+            [(0, span + " tail a"), (1, lead + span + " tail b")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n_dup_grams"] for r in
+               dup_substring_stats(docs, length=30, winnow=4).collect()}
+        assert out[0] > 0 or out[1] > 0, f"missed at lead={lead!r}"
+
+
+def test_dup_substring_winnow_selection_is_content_defined(spark):
+    """The same text yields the same selected fingerprints regardless of
+    surrounding offset — and clean docs stay at zero dup grams."""
+    from llm_text_to_knowledge_graph_spark.operators.dedup import dup_substring_stats
+
+    docs = spark.createDataFrame(
+        [(0, "entirely unique document number zero with its own words only here"),
+         (1, "another fully distinct text with different content throughout it")],
+        "doc_id long, text string",
+    )
+    out = dup_substring_stats(docs, length=25, winnow=5).collect()
+    assert all(r["n_dup_grams"] == 0 for r in out)
+    assert all(r["n_grams"] >= 1 for r in out)
