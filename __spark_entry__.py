@@ -1571,6 +1571,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_substring_winnowed"] = dup_substring_winnowed
 
+    # real BPE token counts (Sennrich et al. 2016): merges trained on the
+    # word-count aggregate of doc_id < 200 (driver-side fit on a bounded
+    # sample, like the IVF quantizer), applied corpus-wide in ONE Arrow
+    # crossing. No SQL analog (iterative greedy merges) -> rows-only;
+    # correctness is pinned by tests/test_bpe.py against an independent
+    # sequential-application reference.
+    def bpe_token_count(spark, sf):
+        from llm_text_to_knowledge_graph_spark.functions.bpe import (
+            bpe_encode_df,
+            bpe_train,
+        )
+
+        docs = _read(spark, sf, "documents")
+        merges = bpe_train(docs.filter(F.col("doc_id") < 200), n_merges=200)
+        return bpe_encode_df(docs, merges)
+
+    q["bpe_token_count"] = bpe_token_count
+
     return q
 
 

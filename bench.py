@@ -255,6 +255,10 @@ def main() -> int:
             "lm_perplexity_docs",
             "quality_model_score",
             "bloom_seen_urls",
+            # winnowed repeated-substring scan: the char-gram explode is the
+            # heaviest map stage in the suite; winnowing keeps the shuffle
+            # at ~1/8 of it
+            "dup_substring_winnowed",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect
