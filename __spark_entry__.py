@@ -1589,6 +1589,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_token_count"] = bpe_token_count
 
+    # HyperLogLog distinct (operators/sketches.py): per-group distinct
+    # cardinality in CONSTANT state (256 registers/group) — the
+    # distinct-urls-per-domain question at 10^12 keys, where exact
+    # DISTINCT state is the bottleneck. Deterministic md5 register math
+    # => the oracle rebuilds the registers bit-for-bit and reproduces the
+    # estimate (harmonic sum is exact BIGINT — order-independent);
+    # exact_distinct alongside shows the ~6.5%-RSE estimate quality.
+    def hll_partkey_distinct(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.sketches import (
+            hll_distinct,
+        )
+
+        li = _read(spark, sf, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_partkey").cast("long").alias("pk"),
+        )
+        est = hll_distinct(li, "pk", ["flag"])
+        exact = li.groupBy("flag").agg(
+            F.countDistinct("pk").cast("long").alias("exact_distinct")
+        )
+        return est.join(exact, "flag").select(
+            "flag", "est_distinct", "exact_distinct"
+        )
+
+    q["hll_partkey_distinct"] = hll_partkey_distinct
+
+    # Count-Min heavy hitters (operators/sketches.py): token frequencies
+    # from a depth-4 x 4096-cell sketch — bounded state regardless of
+    # vocabulary size; est_n >= exact_n ALWAYS (no heavy hitter is ever
+    # missed), collisions can only promote. Oracle rebuilds the identical
+    # cells and min-estimates.
+    def cms_token_hitters(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        sketch = cms_build(toks, "tok")
+        est = cms_estimate(toks.select("tok").distinct(), sketch, "tok")
+        exact = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("exact_n")
+        )
+        return (
+            est.filter(F.col("est_n") >= 60)
+            .join(exact, "tok")
+            .select("tok", F.col("est_n").cast("long").alias("est_n"), "exact_n")
+        )
+
+    q["cms_token_hitters"] = cms_token_hitters
+
+    # Triangle counting (graph_query.py): degree-ordered orientation —
+    # hubs become wedge SINKS so wedge generation is sum(out_deg^2) with
+    # out_deg = O(sqrt(|E|)), not hub-degree-squared. Co-purchase graph
+    # (parts sharing an order); oracle brute-forces the 3-way join on the
+    # same canonical edges.
+    def triangle_counts(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            triangle_count,
+        )
+
+        li = _read(spark, sf, "lineitem").filter(
+            F.col("l_orderkey") < 3000
+        ).select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").cast("long").alias("pk"),
+        )
+        a = li.select(F.col("ok"), F.col("pk").alias("s"))
+        b = li.select(F.col("ok"), F.col("pk").alias("t"))
+        edges = (
+            a.join(b, "ok")
+            .filter(F.col("s") < F.col("t"))
+            .select("s", "t")
+            .distinct()
+        )
+        return triangle_count(edges).select(
+            F.col("node_id").cast("long").alias("node_id"), "n_triangles"
+        )
+
+    q["triangle_counts"] = triangle_counts
+
     return q
 
 
@@ -1621,6 +1705,8 @@ def entry_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llm_text_to_knowledge_graph_spark.operators.sketches import _HLL_NUMER
+
     stop_en = "['the','a','an','and','of','to','in','is','was','for','on','with','that','this']"
     stop_de = "['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','fuer']"
     stop_fr = "['le','la','les','et','est','un','une','de','des','dans','pour','que','pas']"
@@ -2735,5 +2821,118 @@ def oracle_sql() -> dict[str, str]:
                    paras[1] AS abstract,
                    CAST(len(paras) AS BIGINT) AS n_paragraphs
             FROM p
+        """,
+        # HLL: rebuild the 256 registers bit-for-bit (md5 nibble math), fold
+        # with the EXACT BIGINT harmonic sum, one double division at the end
+        "hll_partkey_distinct": f"""
+            WITH k AS (
+              SELECT l_returnflag AS flag,
+                     md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h
+              FROM lineitem),
+            z AS (
+              SELECT flag,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS register,
+                     substr(h, 3, 10) AS tail,
+                     length(regexp_extract(substr(h, 3, 10), '^0*', 0)) AS nz_nibbles
+              FROM k),
+            rho AS (
+              SELECT flag, register,
+                     CASE WHEN nz_nibbles = 10 THEN 41
+                          ELSE nz_nibbles * 4 + 1 +
+                               CASE WHEN strpos('0123456789abcdef',
+                                           substr(tail, nz_nibbles + 1, 1)) - 1 >= 8 THEN 0
+                                    WHEN strpos('0123456789abcdef',
+                                           substr(tail, nz_nibbles + 1, 1)) - 1 >= 4 THEN 1
+                                    WHEN strpos('0123456789abcdef',
+                                           substr(tail, nz_nibbles + 1, 1)) - 1 >= 2 THEN 2
+                                    ELSE 3 END
+                     END AS rho
+              FROM z),
+            regs AS (SELECT flag, register, MAX(rho) AS m
+                     FROM rho GROUP BY flag, register),
+            agg AS (
+              SELECT flag,
+                     SUM(CAST(1 AS BIGINT) << CAST(41 - m AS INT)) AS int_sum,
+                     COUNT(*) AS nzr
+              FROM regs GROUP BY flag),
+            est AS (
+              SELECT flag,
+                     CASE WHEN {_HLL_NUMER!r} / CAST(int_sum
+                                 + (256 - nzr) * (CAST(1 AS BIGINT) << 41)
+                                 AS DOUBLE) <= 640.0
+                               AND nzr < 256
+                          THEN 256.0 * ln(256.0 / (256 - nzr))
+                          ELSE {_HLL_NUMER!r} / CAST(int_sum
+                                 + (256 - nzr) * (CAST(1 AS BIGINT) << 41)
+                                 AS DOUBLE)
+                     END AS e
+              FROM agg),
+            exact AS (
+              SELECT l_returnflag AS flag,
+                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+              FROM lineitem GROUP BY flag)
+            SELECT flag, ROUND(e, 4) AS est_distinct, exact_distinct
+            FROM est JOIN exact USING (flag)
+        """,
+        # CMS: rebuild the depth-4 x 4096 cells and min-estimate; est >=
+        # exact always (sketch never undercounts)
+        "cms_token_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+              FROM documents WHERE doc_id < 300),
+            probes AS (
+              SELECT tok, i, md5(tok || ':' || CAST(i AS VARCHAR)) AS h
+              FROM toks, UNNEST([0, 1, 2, 3]) AS t(i)),
+            cells AS (
+              SELECT i AS r,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS c
+              FROM probes),
+            cms AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM cells GROUP BY r, c),
+            cand AS (SELECT DISTINCT tok FROM toks),
+            cprobes AS (
+              SELECT tok, i, md5(tok || ':' || CAST(i AS VARCHAR)) AS h
+              FROM cand, UNNEST([0, 1, 2, 3]) AS t(i)),
+            ccells AS (
+              SELECT tok, i AS r,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS c
+              FROM cprobes),
+            est AS (
+              SELECT tok, MIN(n) AS est_n
+              FROM ccells JOIN cms USING (r, c) GROUP BY tok),
+            exact AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY tok)
+            SELECT tok, CAST(est_n AS BIGINT) AS est_n, exact_n
+            FROM est JOIN exact USING (tok)
+            WHERE est_n >= 60
+        """,
+        # triangles: brute-force 3-way join on the same canonical edge set
+        # (the oracle may be quadratic in hub degree — it runs at sf0.01;
+        # the Spark plan is the degree-oriented one that survives skew)
+        "triangle_counts": """
+            WITH li AS (
+              SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+              FROM lineitem WHERE l_orderkey < 3000),
+            e AS (
+              SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (
+              SELECT a AS node_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT CAST(node_id AS BIGINT) AS node_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node_id
         """,
     }

@@ -259,6 +259,13 @@ def main() -> int:
             # heaviest map stage in the suite; winnowing keeps the shuffle
             # at ~1/8 of it
             "dup_substring_winnowed",
+            # round 3 cont.: constant-state sketches (HLL registers /
+            # Count-Min cells never outgrow their fixed layout — the
+            # distinct/frequency plan at trillion-key scale) and
+            # degree-oriented triangle counting (hubs as wedge sinks)
+            "hll_partkey_distinct",
+            "cms_token_hitters",
+            "triangle_counts",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

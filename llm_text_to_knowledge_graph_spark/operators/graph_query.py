@@ -232,3 +232,75 @@ def pagerank(
             )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, per_vertex: bool = True) -> DataFrame:
+    """Triangle counting via degree-ordered orientation.
+
+    The naive three-way self-join enumerates every WEDGE (2-path) in the
+    graph — on a Zipf-degree web/KG graph the hub vertices alone make that
+    quadratic in the hub degree (a 10^6-degree entity yields 10^12 wedges).
+    The classical fix (Schank & Wagner 2005; the plan inside every
+    distributed triangle counter since): orient each undirected edge from
+    the endpoint with the SMALLER (degree, id) to the larger. Every
+    triangle then has exactly one source vertex with two out-edges, and
+    out-degrees are bounded by O(sqrt(|E|)) — wedge generation is
+    sum(out_deg^2), minimized exactly where the skew lives (hubs become
+    wedge SINKS, not sources).
+
+    Plan: degree agg (one shuffle) -> broadcast-or-shuffle join of degrees
+    onto edges -> oriented wedge self-join on the source -> closure
+    semi-join against oriented edges. No driver actions, no iteration.
+
+    Returns (node_id, n_triangles) counting each triangle at all three
+    corners when ``per_vertex`` (vertices in no triangle are omitted), else
+    a single row (n_triangles) with the global count.
+    """
+    # canonical undirected edge set: (u < v), self-loops dropped, deduped
+    und = (
+        edges.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        undirected_edges(und.select(F.col("u").alias("s"), F.col("v").alias("t")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by the total order (deg, id): lo endpoint -> hi endpoint
+    with_deg = (
+        und.join(deg.select(F.col("s").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("s").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("d"),
+    ).select("src", F.col("d.v").alias("dst"), F.col("d.dv").alias("ddst"))
+    # wedges from each source: unordered pairs of its out-neighbors,
+    # ordered a-before-b by the same (deg, id) total order so the closure
+    # edge (a, b) appears in `oriented` exactly as a -> b
+    o1 = oriented.select("src", F.col("dst").alias("a"), F.col("ddst").alias("da"))
+    o2 = oriented.select("src", F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closure = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tris = wedges.join(closure, ["a", "b"]).select(
+        F.col("src").alias("x"), "a", "b"
+    )
+    if not per_vertex:
+        return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        tris.select(F.col("x").alias("node_id"))
+        .unionByName(tris.select(F.col("a").alias("node_id")))
+        .unionByName(tris.select(F.col("b").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

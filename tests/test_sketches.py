@@ -1,0 +1,213 @@
+"""Deterministic HLL / CMS sketches and triangle counting.
+
+Every property here is checked against an INDEPENDENT computation (exact
+Python counts, hashlib-reimplemented register math, itertools brute-force
+triangles) — never against the operator itself.
+"""
+
+import hashlib
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_text_to_knowledge_graph_spark.operators.sketches import (
+    HLL_ALPHA,
+    HLL_M,
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+from llm_text_to_knowledge_graph_spark.operators.graph_query import triangle_count
+
+
+# ---------------------------------------------------------------------------
+# independent python HLL (hashlib; no Spark, no shared code)
+# ---------------------------------------------------------------------------
+
+def _py_hll(keys):
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        tail = h[2:12]
+        bits = bin(int(tail, 16))[2:].zfill(40)
+        rho = 41 if int(tail, 16) == 0 else bits.index("1") + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    int_sum = sum(1 << (41 - m) for m in regs.values())
+    v = HLL_M - len(regs)
+    denom = int_sum + v * (1 << 41)
+    e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << 41) / denom
+    if e_raw <= 2.5 * HLL_M and v > 0:
+        return HLL_M * math.log(HLL_M / v)
+    return e_raw
+
+
+def test_hll_matches_independent_python(spark):
+    keys = [f"url-{i % 700}" for i in range(5000)]  # dups collapse
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = hll_distinct(df, "k").collect()[0]["est_distinct"]
+    assert got == pytest.approx(_py_hll(set(keys)), abs=1e-3)
+
+
+def test_hll_accuracy_within_rse_bound(spark):
+    # standard error for m=256 is ~1.04/sqrt(m) = 6.5%; allow 3 sigma
+    for n in (150, 1000, 20000):
+        df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        est = hll_distinct(df, "k").collect()[0]["est_distinct"]
+        assert abs(est - n) / n < 3 * 1.04 / math.sqrt(HLL_M), (n, est)
+
+
+def test_hll_grouped_and_duplicate_invariant(spark):
+    rows = [(g, f"item-{g}-{i % (50 * (g + 1))}") for g in range(3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp int, k string")
+    out = {r["grp"]: r["est_distinct"] for r in hll_distinct(df, "k", ["grp"]).collect()}
+    # duplicates must not move the estimate at all: sketch of the distinct
+    # set is identical by construction
+    ded = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(df.distinct(), "k", ["grp"]).collect()
+    }
+    assert out == ded
+    for g in range(3):
+        true = 50 * (g + 1)
+        assert abs(out[g] - true) / true < 0.25
+
+
+def test_hll_registers_merge_by_max(spark):
+    # union-then-sketch == sketch-then-max-merge (monthly snapshot merge)
+    a = spark.range(0, 800).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    b = spark.range(400, 1300).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    direct = hll_estimate(hll_registers(a.unionByName(b), "k")).collect()[0]
+    merged_regs = (
+        hll_registers(a, "k")
+        .unionByName(hll_registers(b, "k"))
+        .groupBy("register")
+        .agg(F.max("m").alias("m"))
+    )
+    merged = hll_estimate(merged_regs).collect()[0]
+    assert direct["est_distinct"] == merged["est_distinct"]
+
+
+def test_hll_register_table_bounded(spark):
+    df = spark.range(100_000).select(F.col("id").cast("string").alias("k"))
+    assert hll_registers(df, "k").count() <= HLL_M
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_tight_when_sparse(spark):
+    random.seed(7)
+    keys = [f"tok-{i}" for i in range(40)]
+    occurrences = [k for k in keys for _ in range(random.randint(1, 30))]
+    random.shuffle(occurrences)
+    df = spark.createDataFrame([(k,) for k in occurrences], "k string")
+    exact = {k: occurrences.count(k) for k in keys}
+    cand = spark.createDataFrame([(k,) for k in keys], "k string")
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(cand, cms_build(df, "k"), "k").collect()
+    }
+    assert set(est) == set(keys)
+    for k in keys:
+        assert est[k] >= exact[k]
+    # 40 keys into 4 rows x 4096 cols: collisions essentially impossible,
+    # estimates exact
+    assert est == exact
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, w int"
+    )
+    est = cms_estimate(
+        df.select("k").distinct(), cms_build(df, "k", weight_col="w"), "k"
+    ).collect()
+    assert {r["k"]: r["est_n"] for r in est} == {"a": 12, "b": 1}
+
+
+def test_cms_heavy_hitters_full_recall(spark):
+    # recall 1.0 by construction: no true heavy hitter may be missed
+    rows = [("hot", )] * 500 + [(f"cold-{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string")
+    hh = {r["k"] for r in cms_heavy_hitters(df, "k", threshold=400).collect()}
+    assert "hot" in hh
+    # with 3001 keys in 16384 cells some cold keys may collide upward,
+    # but never past depth-many independent rows: demand a small candidate set
+    assert len(hh) < 30
+
+
+def test_cms_sketch_bounded(spark):
+    df = spark.range(200_000).select(F.col("id").cast("string").alias("k"))
+    assert cms_build(df, "k", depth=4, nibbles=3).count() <= 4 * 16**3
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def _py_triangles(edge_list):
+    adj = {}
+    es = set()
+    for u, v in edge_list:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per = {}
+    n = 0
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once (a < b < c with a<b from es)
+                if a < b < c:
+                    n += 1
+                    for x in (a, b, c):
+                        per[x] = per.get(x, 0) + 1
+    return n, per
+
+
+def test_triangles_match_bruteforce_random_graph(spark):
+    random.seed(11)
+    edges = [
+        (random.randint(0, 40), random.randint(0, 40)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(edges, "s long, t long")
+    n_true, per_true = _py_triangles(edges)
+    assert n_true > 0  # dense enough to be a real test
+    got_global = triangle_count(df, per_vertex=False).collect()[0]["n_triangles"]
+    assert got_global == n_true
+    got_per = {
+        r["node_id"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    assert got_per == per_true
+    # corner identity: per-vertex counts sum to 3x the triangle count
+    assert sum(got_per.values()) == 3 * n_true
+
+
+def test_triangles_direction_and_dup_invariant(spark):
+    base = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    noisy = base + [(2, 1), (1, 3), (2, 3), (4, 4)]  # reversals, dups, loop
+    a = triangle_count(
+        spark.createDataFrame(base, "s long, t long"), per_vertex=False
+    ).collect()[0][0]
+    b = triangle_count(
+        spark.createDataFrame(noisy, "s long, t long"), per_vertex=False
+    ).collect()[0][0]
+    assert a == b == 1
+
+
+def test_triangles_star_hub_has_none(spark):
+    # the skew case the orientation is FOR: a pure hub has no triangles
+    # and must not generate quadratic wedges from the hub side
+    edges = [(0, i) for i in range(1, 200)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    assert triangle_count(df, per_vertex=False).collect()[0][0] == 0
