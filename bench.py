@@ -298,6 +298,22 @@ def main() -> int:
             return corpus, cents
 
         (corpus, cents), _ = timed("ivf_index_build", _build_index)
+
+        # production build variant: quantizer FIT on a deterministic 25%
+        # hash-sample (FAISS-style bounded training set — K centroids need
+        # O(K) statistics, not the corpus; at 10^12 vectors the full-corpus
+        # fit is k-means|| passes over the whole table per iteration). The
+        # assignment pass still covers every vector; recall recorded below
+        # so the trade is visible per-run.
+        def _build_index_sampled():
+            c2, k2 = ivf_index(
+                emb, n_centroids=8, method="kmeans", fit_sample=0.25
+            )
+            c2 = c2.persist()
+            c2.count()
+            return c2, k2
+
+        (corpus_s, cents_s), _ = timed("ivf_index_build_sampled", _build_index_sampled)
         ex, _ = timed(
             "ann_brute_32q",
             lambda: {
@@ -313,7 +329,18 @@ def main() -> int:
             },
         )
         extras["ivf_recall_32q"] = round(len(ex & ap) / max(len(ex), 1), 4)
+        ap_s, _ = timed(
+            "ann_ivf_sampled_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk_indexed(
+                    corpus_s, cents_s, qids, k=10, nprobe=4
+                ).collect()
+            },
+        )
+        extras["ivf_recall_sampled_32q"] = round(len(ex & ap_s) / max(len(ex), 1), 4)
         corpus.unpersist()
+        corpus_s.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is

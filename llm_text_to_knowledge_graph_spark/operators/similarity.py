@@ -172,6 +172,7 @@ def ivf_centroids(
     method: str = "kmeans",
     seed: int = 42,
     max_iter: int = 10,
+    fit_sample: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse quantizer centroids.
 
@@ -180,6 +181,16 @@ def ivf_centroids(
     distribution, which is what keeps recall up on clustered real-world
     embeddings (VERDICT round-1 item #3; the lowest-id selection collapses
     on clustered data because arbitrary vectors are not spread).
+
+    ``fit_sample``: fit the quantizer on a deterministic md5-keyed
+    fraction of the corpus instead of all of it — the production IVF
+    build (FAISS trains coarse quantizers on ~max(10k, 50*K) vectors, not
+    the collection): K centroids need O(K) statistics, so the fit sample
+    is bounded while the one map-only ASSIGNMENT pass still covers every
+    vector. At 10^12 vectors a full-corpus KMeans fit is k-means|| passes
+    over the whole table per iteration; the sampled fit is the same
+    centroids (distributionally) at a constant cost. Same fit/score split
+    as the bigram LM, the quality classifier, and the BPE merges.
 
     ``method="lowest_id"``: the ``n_centroids`` lowest-id vectors — fully
     deterministic independent of partitioning, reproducible by a SQL
@@ -197,12 +208,17 @@ def ivf_centroids(
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
+    fit_src = embeddings
+    if fit_sample is not None:
+        from .curation import hash_sample
+
+        fit_src = hash_sample(embeddings, rate=fit_sample, seed=seed, id_col=id_col)
     # spherical k-means: normalize first so euclidean centroids align with
     # the cosine cell assignment used at query time. ml.Normalizer is the
     # O(dim)-per-row plan (a transform-lambda dividing by a norm expression
     # re-evaluates the norm per ELEMENT — O(dim^2)) and passes all-zero
     # vectors through unscaled instead of emitting NaN features.
-    raw = embeddings.select(
+    raw = fit_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw")
     )
     feats = (
@@ -287,14 +303,20 @@ def ivf_index(
     vec_col: str = "embedding",
     method: str = "kmeans",
     seed: int = 42,
+    fit_sample: float | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Build the IVF index once: (corpus + ``cell`` column, centroids).
 
     At rest the returned corpus is written PARTITIONED BY (cell) so probes
     prune at file level; the build cost (K cosines per vector) is paid once
     and amortized over every subsequent query — the regime where IVF beats
-    brute force (see bench: ivf_query vs embedding_topk)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col, method, seed)
+    brute force (see bench: ivf_query vs embedding_topk). ``fit_sample``
+    bounds the quantizer FIT to a deterministic corpus fraction (see
+    :func:`ivf_centroids`) — the assignment pass still covers everything."""
+    cents = ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col, method, seed,
+        fit_sample=fit_sample,
+    )
     corpus = embeddings.withColumn(
         "cell", nearest_cells_col(F.col(vec_col), cents, 1)[0]
     )

@@ -137,3 +137,45 @@ def test_cell_assignment_plan_parity_across_k_cutoff(spark):
         a = {r.vec_id: list(r.cells) for r in lit.collect()}
         b = {r.vec_id: list(r.cells) for r in pdp.collect()}
         assert a == b, f"k={k}: plan-dependent assignment"
+
+
+def test_ivf_sampled_fit_recall_parity(spark):
+    """Quantizer fit on a deterministic 30% hash-sample (the production
+    build: FAISS-style bounded training set) must match the FULL-corpus
+    fit's recall — K centroids need O(K) statistics, not the corpus.
+    Parity, not an absolute bound: on this 4-blob corpus a few exact
+    cosine neighbors are cross-cluster for BOTH fits (measured 26/30
+    either way), so an absolute threshold would test the data, not the
+    sampling."""
+    from llm_text_to_knowledge_graph_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _emb_df(spark, n=400)
+    k = 10
+    ex = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, [0, 1, 2], k=k).collect()
+    }
+
+    def recall(fit_sample):
+        corpus, cents = ivf_index(
+            emb, n_centroids=4, method="kmeans", fit_sample=fit_sample
+        )
+        ap = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk_indexed(corpus, cents, [0, 1, 2], k=k, nprobe=2).collect()
+        }
+        return len(ex & ap) / len(ex)
+
+    r_full, r_sampled = recall(None), recall(0.3)
+    assert r_sampled >= r_full
+    assert r_sampled >= 0.8
+    # the sampled fit is a pure function of (id, seed): identical cell
+    # ids regardless of partitioning
+    _, cents_a = ivf_index(emb, n_centroids=4, method="kmeans", fit_sample=0.3)
+    _, cents_b = ivf_index(
+        emb.repartition(7), n_centroids=4, method="kmeans", fit_sample=0.3
+    )
+    assert [c[0] for c in cents_a] == [c[0] for c in cents_b]
