@@ -1673,6 +1673,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_counts"] = triangle_counts
 
+    # BM25 keyword retrieval (operators/retrieval.py): the topical-subset
+    # / RAG-context ranker. Explode is pruned to the query vocabulary
+    # inside the scan stage; idf + avgdl are broadcast 1-row/|terms|-row
+    # aggregates; the corpus crosses the wire once as (doc, term, tf).
+    def bm25_topical_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.retrieval import (
+            bm25_scores,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return bm25_scores(docs, ["spark", "stream", "vector"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "score"
+        )
+
+    q["bm25_topical_docs"] = bm25_topical_docs
+
+    # histogram-quantile sketch (operators/sketches.py): doc-length
+    # percentiles per language from a 64-bin equi-width histogram —
+    # constant state per group vs the full per-group sort exact quantiles
+    # need; bins SUM-merge across snapshots sharing edges.
+    def doclen_quantiles(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.sketches import (
+            histogram_quantiles,
+            quantile_histogram,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "lang", F.length("text").cast("double").alias("x")
+        )
+        hist = quantile_histogram(docs, "x", group_cols=["lang"], nbins=64)
+        return histogram_quantiles(
+            hist, [0.5, 0.9, 0.99], group_cols=["lang"]
+        ).select("lang", F.col("q").cast("double").alias("q"), "est")
+
+    q["doclen_quantiles"] = doclen_quantiles
+
     return q
 
 
@@ -2934,5 +2970,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node_id AS BIGINT) AS node_id,
                    CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY node_id
+        """,
+        # BM25 (Lucene idf variant, k1=1.2 b=0.75): every double replayed —
+        # avgdl is an exact-int-sum average, so it is bit-identical; the
+        # per-doc term sum (<= 3 terms) is rounded to 6dp
+        "bm25_topical_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            m AS (SELECT doc_id, term FROM toks
+                  WHERE term IN ('spark', 'stream', 'vector')),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM m GROUP BY doc_id, term),
+            dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                    FROM m GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sterm
+              FROM tf
+              JOIN dfr USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   ROUND(SUM(sterm), 6) AS score
+            FROM sc GROUP BY doc_id
+        """,
+        # histogram quantiles: identical bin/interpolation double math
+        "doclen_quantiles": """
+            WITH v AS (
+              SELECT lang, CAST(length(text) AS DOUBLE) AS x FROM documents),
+            b AS (SELECT lang, MIN(x) AS lo, MAX(x) AS hi
+                  FROM v GROUP BY lang),
+            binned AS (
+              SELECT v.lang,
+                     CASE WHEN (b.hi - b.lo) / 64.0 = 0 THEN 0
+                          ELSE LEAST(CAST(FLOOR((v.x - b.lo)
+                                     / ((b.hi - b.lo) / 64.0)) AS INT), 63)
+                     END AS bin,
+                     b.lo AS lo, (b.hi - b.lo) / 64.0 AS width
+              FROM v JOIN b USING (lang)),
+            h AS (SELECT lang, bin, COUNT(*) AS n,
+                         ANY_VALUE(lo) AS lo, ANY_VALUE(width) AS width
+                  FROM binned GROUP BY lang, bin),
+            c AS (SELECT lang, bin, n, lo, width,
+                         SUM(n) OVER (PARTITION BY lang ORDER BY bin) - n
+                             AS cum_before,
+                         SUM(n) OVER (PARTITION BY lang) AS total
+                  FROM h),
+            sel AS (
+              SELECT lang, q,
+                     lo + width * bin
+                        + width * (q * total - cum_before) / n AS est,
+                     ROW_NUMBER() OVER (PARTITION BY lang, q ORDER BY bin)
+                         AS rn
+              FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+              WHERE cum_before + n >= q * total)
+            SELECT lang, CAST(q AS DOUBLE) AS q, ROUND(est, 6) AS est
+            FROM sel WHERE rn = 1
         """,
     }

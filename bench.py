@@ -266,6 +266,10 @@ def main() -> int:
             "hll_partkey_distinct",
             "cms_token_hitters",
             "triangle_counts",
+            # BM25 (vocabulary-pruned explode + broadcast stats) and the
+            # histogram-quantile sketch (two partial-aggs, nbins state)
+            "bm25_topical_docs",
+            "doclen_quantiles",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

@@ -242,3 +242,113 @@ def cms_heavy_hitters(
     cand = df.select(key_col).distinct()
     est = cms_estimate(cand, sketch, key_col, depth, nibbles)
     return est.filter(F.col("est_n") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    nbins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram as rows: (group..., bin, n, lo, width).
+
+    The distribution-profiling sketch (doc-length / quality-score / latency
+    percentiles per language or domain): exact quantiles need a per-group
+    SORT — a full shuffle of the corpus at 10^12 rows — while a histogram
+    is two aggregations with ``nbins`` rows of state per group. Spark's
+    ``percentile_approx`` answers the same question but its KLL-ish buffer
+    is a JVM-private blob; these rows are storable, SUM-mergeable across
+    snapshots sharing bin edges, and reproducible by any engine (all edge
+    math is the same double formula everywhere).
+
+    Pass 1: per-group min/max (partial-agg, map-side combined).
+    Pass 2: bin assignment (map-only double math) + partial-agg count.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    joined = df.join(F.broadcast(bounds), group_cols) if group_cols else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    # degenerate group (all values equal): everything in bin 0, width 0
+    bin_ = F.when(width == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_lo")) / width).cast("int"), F.lit(nbins - 1)
+        )
+    )
+    return (
+        joined.select(*group_cols, bin_.alias("bin"), "_lo", width.alias("_w"))
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_lo").alias("lo"),
+            F.first("_w").alias("width"),
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate quantiles from a :func:`quantile_histogram` table:
+    (group..., q, est) with linear interpolation inside the selected bin
+    (the textbook histogram-quantile estimator; error bounded by bin
+    width). Window cumulative-sum over nbins rows per group — the window
+    runs over SKETCH rows, never the corpus."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy("bin") if group_cols else (
+        Window.orderBy("bin")
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "n",
+        "lo",
+        "width",
+        (F.sum("n").over(w) - F.col("n")).alias("cum_before"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("total")
+        # the selected bin: first bin whose cumulative count reaches target
+        sel = (
+            cum.filter(F.col("cum_before") + F.col("n") >= target)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*group_cols).orderBy("bin")
+                    if group_cols
+                    else Window.orderBy("bin")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        est = (
+            F.col("lo")
+            + F.col("width") * F.col("bin")
+            + F.col("width")
+            * (target - F.col("cum_before"))
+            / F.col("n")
+        )
+        part = sel.select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.round(est, 6).alias("est"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

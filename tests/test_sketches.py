@@ -211,3 +211,44 @@ def test_triangles_star_hub_has_none(spark):
     edges = [(0, i) for i in range(1, 200)]
     df = spark.createDataFrame(edges, "s long, t long")
     assert triangle_count(df, per_vertex=False).collect()[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# plan assertions: the sketches stay JVM-side and shuffle-minimal
+# ---------------------------------------------------------------------------
+
+def test_sketch_plans_zero_python_and_bounded_shuffles(spark):
+    from llm_text_to_knowledge_graph_spark.operators.retrieval import bm25_scores
+    from llm_text_to_knowledge_graph_spark.operators.sketches import (
+        quantile_histogram,
+    )
+    from llm_text_to_knowledge_graph_spark.plans.bucketing import exchange_count
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("grp"),
+        F.concat(F.lit("key-"), (F.col("id") % 900).cast("string")).alias("k"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 11).cast("string"),
+            F.lit(" tok"), (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 997).cast("double").alias("x"),
+    )
+    plans = {
+        # build = exactly ONE shuffle (the partial-agg groupBy); estimate
+        # adds the tiny second agg on <=256 rows/group
+        "hll": (hll_distinct(df, "k", ["grp"]), 2),
+        "cms": (cms_build(df, "k"), 1),
+        # histogram: bounds agg + broadcast join back + bin agg
+        "hist": (quantile_histogram(df, "x", ["grp"]), 2),
+        # bm25: dl agg, tf agg, df agg, per-doc sum + broadcast joins;
+        # the dl join on doc_id is the one non-broadcast join
+        "bm25": (bm25_scores(df, ["tok1", "tok2"]), 6),
+    }
+    for name, (frame, max_exchanges) in plans.items():
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, marker)
+        assert exchange_count(frame) <= max_exchanges, (
+            name, exchange_count(frame)
+        )
