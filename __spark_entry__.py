@@ -1709,6 +1709,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doclen_quantiles"] = doclen_quantiles
 
+    # DSIR importance weights (Xie et al. 2023): logratio of two bigram
+    # LMs (target = english doc_id<200 sample, base = doc_id<300 sample)
+    # per document. ONE corpus explode + 4 broadcast joins + one
+    # partial-agg groupBy; both LMs replayed bit-for-bit by the oracle.
+    def dsir_weights(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+            dsir_logratio,
+            ngram_lm,
+        )
+
+        docs = _read(spark, sf, "documents")
+        t_lm = ngram_lm(
+            docs.filter((F.col("lang") == "en") & (F.col("doc_id") < 200))
+        )
+        b_lm = ngram_lm(docs.filter(F.col("doc_id") < 300))
+        return dsir_logratio(docs, t_lm, b_lm)
+
+    q["dsir_weights"] = dsir_weights
+
+    # deterministic Gumbel-top-k importance resampling: inclusion odds
+    # proportional to exp(logratio), uniform drawn from md5(id:seed) so
+    # the draw is a pure function of (id, seed). Synthetic logratios
+    # (doc_id % 7 - 3) keep the oracle focused on the sampling math —
+    # the LM logratio path is oracled by dsir_weights above.
+    def dsir_resample_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+            dsir_resample,
+        )
+
+        lr = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            ((F.col("doc_id") % 7).cast("double") - F.lit(3.0)).alias(
+                "logratio"
+            ),
+        )
+        return dsir_resample(lr, k=100, seed=11)
+
+    q["dsir_resample_docs"] = dsir_resample_docs
+
     return q
 
 
@@ -3032,5 +3071,91 @@ def oracle_sql() -> dict[str, str]:
               WHERE cum_before + n >= q * total)
             SELECT lang, CAST(q AS DOUBLE) AS q, ROUND(est, 6) AS est
             FROM sel WHERE rn = 1
+        """,
+        # DSIR: retrain BOTH bigram LMs (target + base) with CTEs, replay
+        # every logprob, ratio from the 6dp-rounded averages
+        "dsir_weights": """
+            WITH train_t AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents WHERE lang = 'en' AND doc_id < 200),
+            tp_t AS (
+              SELECT ts[i] AS w1, ts[i + 1] AS w2
+              FROM train_t, UNNEST(range(1, len(ts))) AS r(i)),
+            big_t AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp_t GROUP BY 1, 2),
+            uni_t AS (SELECT w1, SUM(c12) AS c1 FROM big_t GROUP BY 1),
+            v_t AS (
+              SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(ts) AS w FROM train_t)),
+            lmb_t AS (
+              SELECT w1, w2,
+                     ROUND(LN((c12 + 0.1) / (c1 + 0.1 * vs)), 9) AS lp_t
+              FROM big_t JOIN uni_t USING (w1) CROSS JOIN v_t),
+            lmu_t AS (
+              SELECT w1, ROUND(LN(0.1 / (c1 + 0.1 * vs)), 9) AS lpu_t
+              FROM uni_t CROSS JOIN v_t),
+            train_b AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents WHERE doc_id < 300),
+            tp_b AS (
+              SELECT ts[i] AS w1, ts[i + 1] AS w2
+              FROM train_b, UNNEST(range(1, len(ts))) AS r(i)),
+            big_b AS (SELECT w1, w2, COUNT(*) AS c12 FROM tp_b GROUP BY 1, 2),
+            uni_b AS (SELECT w1, SUM(c12) AS c1 FROM big_b GROUP BY 1),
+            v_b AS (
+              SELECT COUNT(DISTINCT w) AS vs
+              FROM (SELECT unnest(ts) AS w FROM train_b)),
+            lmb_b AS (
+              SELECT w1, w2,
+                     ROUND(LN((c12 + 0.1) / (c1 + 0.1 * vs)), 9) AS lp_b
+              FROM big_b JOIN uni_b USING (w1) CROSS JOIN v_b),
+            lmu_b AS (
+              SELECT w1, ROUND(LN(0.1 / (c1 + 0.1 * vs)), 9) AS lpu_b
+              FROM uni_b CROSS JOIN v_b),
+            corpus AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents),
+            cp AS (
+              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+              FROM corpus, UNNEST(range(1, len(ts))) AS r(i)),
+            scored AS (
+              SELECT cp.doc_id,
+                     COALESCE(lmb_t.lp_t, lmu_t.lpu_t,
+                              (SELECT ROUND(-LN(vs), 9) FROM v_t)) AS lt,
+                     COALESCE(lmb_b.lp_b, lmu_b.lpu_b,
+                              (SELECT ROUND(-LN(vs), 9) FROM v_b)) AS lb
+              FROM cp
+              LEFT JOIN lmb_t ON cp.w1 = lmb_t.w1 AND cp.w2 = lmb_t.w2
+              LEFT JOIN lmu_t ON cp.w1 = lmu_t.w1
+              LEFT JOIN lmb_b ON cp.w1 = lmb_b.w1 AND cp.w2 = lmb_b.w2
+              LEFT JOIN lmu_b ON cp.w1 = lmu_b.w1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(lt), 6) AS avg_logp_target,
+                   ROUND(AVG(lb), 6) AS avg_logp_base,
+                   ROUND(ROUND(AVG(lt), 6) - ROUND(AVG(lb), 6), 6) AS logratio
+            FROM scored GROUP BY doc_id
+        """,
+        # Gumbel-top-k resample: u from the first 8 md5 nibbles, the same
+        # strpos math as the bloom/sketch oracles
+        "dsir_resample_docs": f"""
+            WITH lr AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id % 7 AS DOUBLE) - 3.0 AS logratio
+              FROM documents),
+            hx AS (
+              SELECT doc_id, logratio,
+                     md5(CAST(doc_id AS VARCHAR) || ':11') AS h
+              FROM lr),
+            u AS (
+              SELECT doc_id, logratio,
+                     ({" + ".join(f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}.0" for i in range(1, 9))}
+                      + 0.5) / 4294967296.0 AS u
+              FROM hx),
+            keyed AS (
+              SELECT doc_id, logratio,
+                     ROUND(logratio + (-LN(-LN(u))), 6) AS sample_key
+              FROM u)
+            SELECT doc_id, logratio, sample_key
+            FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
         """,
     }

@@ -270,6 +270,9 @@ def main() -> int:
             # histogram-quantile sketch (two partial-aggs, nbins state)
             "bm25_topical_docs",
             "doclen_quantiles",
+            # DSIR importance weights: one corpus explode + 4 broadcast
+            # joins (two sample-trained LMs) + one partial-agg groupBy
+            "dsir_weights",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

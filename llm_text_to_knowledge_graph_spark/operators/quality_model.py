@@ -223,3 +223,105 @@ def score_quality_model(
         *_FEATURES,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_lm: dict,
+    base_lm: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by ``logratio = avg_logp_target - avg_logp_base`` under two
+    :func:`ngram_lm` models — one trained on an in-domain/target sample,
+    one on the general corpus. ``exp(logratio)`` is the per-bigram
+    importance weight; documents that look like the target domain score
+    high, generic/junk documents score low.
+
+    Plan: ONE explode of the corpus (not one per model) + FOUR broadcast
+    joins (both LMs' bigram/unigram tables are sample-trained and tiny)
+    + one partial-agg groupBy(doc_id) — the corpus crosses the wire once,
+    collapsed to per-doc sums, same shape as :func:`lm_perplexity`.
+    Averages are rounded to 6dp and the ratio computed FROM the rounded
+    averages, so the result is a pure function of them (engine- and
+    partitioning-independent; full SQL oracle)."""
+    import math
+
+    floor_t = F.lit(round(-math.log(target_lm["vocab_size"]), 9))
+    floor_b = F.lit(round(-math.log(base_lm["vocab_size"]), 9))
+    toks = _tokens(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))))
+        .alias("pos", "w1"),
+        toks.alias("_toks"),
+    ).select("doc_id", "w1", F.element_at("_toks", F.col("pos") + 2).alias("w2"))
+    tb = target_lm["bigrams"].select("w1", "w2", F.col("logp").alias("lp_t"))
+    tu = target_lm["unigrams"].select("w1", F.col("logp_unk").alias("lpu_t"))
+    bb = base_lm["bigrams"].select("w1", "w2", F.col("logp").alias("lp_b"))
+    bu = base_lm["unigrams"].select("w1", F.col("logp_unk").alias("lpu_b"))
+    scored = (
+        pairs.join(F.broadcast(tb), ["w1", "w2"], "left")
+        .join(F.broadcast(tu), ["w1"], "left")
+        .join(F.broadcast(bb), ["w1", "w2"], "left")
+        .join(F.broadcast(bu), ["w1"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp_t"), F.col("lpu_t"), floor_t).alias("lt"),
+            F.coalesce(F.col("lp_b"), F.col("lpu_b"), floor_b).alias("lb"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lt"), 6).alias("avg_logp_target"),
+        F.round(F.avg("lb"), 6).alias("avg_logp_base"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp_target",
+        "avg_logp_base",
+        F.round(
+            F.col("avg_logp_target") - F.col("avg_logp_base"), 6
+        ).alias("logratio"),
+    )
+
+
+def dsir_resample(
+    logratios: DataFrame,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k importance resampling over
+    :func:`dsir_logratio` output: sampling WITHOUT replacement where a
+    document's inclusion probability is proportional to its importance
+    weight exp(logratio) — the textbook Gumbel-max trick, but with the
+    uniform drawn from md5(id:seed) instead of rand() so the draw is a
+    pure function of (id, seed): reproducible across runs, engines and
+    partitionings, and unionable across crawl snapshots (the same
+    reasons curation.hash_sample rejects rand()).
+
+    Plan: map-only key computation + TakeOrdered(k) — no global sort
+    materialization."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("logratio") + gumbel, 6)
+    return (
+        logratios.select(id_col, "logratio", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )

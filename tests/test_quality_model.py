@@ -182,3 +182,49 @@ def test_lm_scoring_plan_shape(spark):
     smj = plan.find("SortMergeJoin")
     if smj != -1:
         assert plan.find("BroadcastExchange") < smj
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def test_dsir_logratio_prefers_target_domain(spark):
+    from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+        dsir_logratio,
+        ngram_lm,
+    )
+
+    target_texts = ["spark shuffle join broadcast partition " * 4] * 30
+    base_texts = ["weather garden recipe music travel sports " * 4] * 30
+    rows = (
+        [(i, t, "t") for i, t in enumerate(target_texts)]
+        + [(100 + i, t, "b") for i, t in enumerate(base_texts)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    t_lm = ngram_lm(df.filter("dom = 't'"))
+    b_lm = ngram_lm(df)
+    out = {r["doc_id"]: r["logratio"] for r in dsir_logratio(df, t_lm, b_lm).collect()}
+    # every target doc must outscore every base doc
+    assert min(out[i] for i in range(30)) > max(out[100 + i] for i in range(30))
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    from llm_text_to_knowledge_graph_spark.operators.quality_model import (
+        dsir_resample,
+    )
+
+    # synthetic logratios: ids 0..49 high weight, 50..299 low weight
+    rows = [(i, 3.0 if i < 50 else -3.0) for i in range(300)]
+    lr = spark.createDataFrame(rows, "doc_id long, logratio double")
+    a = [r["doc_id"] for r in dsir_resample(lr, k=40, seed=7).collect()]
+    b = [
+        r["doc_id"]
+        for r in dsir_resample(lr.repartition(13), k=40, seed=7).collect()
+    ]
+    assert a == b  # pure function of (id, seed): partitioning-independent
+    # exp(6) ~ 400x weight: nearly all picks come from the heavy 50
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 35
+    # different seed -> different (but still heavy-biased) draw
+    c = [r["doc_id"] for r in dsir_resample(lr, k=40, seed=8).collect()]
+    assert c != a
