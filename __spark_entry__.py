@@ -1748,6 +1748,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_resample_docs"] = dsir_resample_docs
 
+    # Adamic-Adar link prediction (graph_query.py): KG completion over
+    # the same co-purchase graph as triangle_counts — score non-adjacent
+    # pairs by shared neighbors weighted 1/ln(deg(center)). Skew guard is
+    # the principled center-degree cap (hubs generate quadratic wedges
+    # but contribute ~0 weight); unbounded here at sf scale.
+    def link_prediction_pairs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            link_prediction_scores,
+        )
+
+        li = _read(spark, sf, "lineitem").filter(
+            F.col("l_orderkey") < 3000
+        ).select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").cast("long").alias("pk"),
+        )
+        a = li.select(F.col("ok"), F.col("pk").alias("s"))
+        b = li.select(F.col("ok"), F.col("pk").alias("t"))
+        edges = (
+            a.join(b, "ok")
+            .filter(F.col("s") < F.col("t"))
+            .select("s", "t")
+            .distinct()
+        )
+        return link_prediction_scores(edges, min_common=3).select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "common_neighbors",
+            "adamic_adar",
+        )
+
+    q["link_prediction_pairs"] = link_prediction_pairs
+
     return q
 
 
@@ -3157,5 +3190,35 @@ def oracle_sql() -> dict[str, str]:
               FROM u)
             SELECT doc_id, logratio, sample_key
             FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+        """,
+        # Adamic-Adar: replay wedges + open-pair anti-join on the same
+        # canonical co-purchase edges as triangle_counts
+        "link_prediction_pairs": """
+            WITH li AS (
+              SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+              FROM lineitem WHERE l_orderkey < 3000),
+            e AS (
+              SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+            adj AS (
+              SELECT u AS ctr, v AS nb FROM e
+              UNION ALL SELECT v AS ctr, u AS nb FROM e),
+            deg AS (SELECT ctr, COUNT(*) AS d FROM adj GROUP BY ctr),
+            wedges AS (
+              SELECT a1.nb AS a, a2.nb AS b, 1.0 / LN(deg.d) AS w
+              FROM adj a1
+              JOIN adj a2 USING (ctr)
+              JOIN deg USING (ctr)
+              WHERE a1.nb < a2.nb),
+            open_pairs AS (
+              SELECT wedges.a, wedges.b, wedges.w
+              FROM wedges LEFT JOIN e
+                ON wedges.a = e.u AND wedges.b = e.v
+              WHERE e.u IS NULL)
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   ROUND(SUM(w), 6) AS adamic_adar
+            FROM open_pairs GROUP BY a, b
+            HAVING COUNT(*) >= 3
         """,
     }

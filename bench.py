@@ -273,6 +273,8 @@ def main() -> int:
             # DSIR importance weights: one corpus explode + 4 broadcast
             # joins (two sample-trained LMs) + one partial-agg groupBy
             "dsir_weights",
+            # Adamic-Adar link prediction: wedge join + open-pair anti-join
+            "link_prediction_pairs",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

@@ -304,3 +304,83 @@ def triangle_count(edges: DataFrame, per_vertex: bool = True) -> DataFrame:
     return corners.groupBy("node_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    top_per_node: int | None = None,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction over the undirected
+    edge table — the KG-completion pass: score NON-adjacent vertex pairs
+    by their shared neighborhood, weighting each shared neighbor x by
+    1/ln(deg(x)) (Adamic & Adar 2003) so promiscuous hubs certify less
+    than selective nodes.
+
+    Returns (a, b, common_neighbors, adamic_adar) for pairs a < b with at
+    least ``min_common`` shared neighbors and NO existing edge.
+
+    Plan: every wedge a-x-b contributes to its pair's score, so wedge
+    enumeration is irreducibly Σ deg(x)² — UNLIKE triangle_count, no
+    orientation trick applies (a triangle is witnessed once by its
+    one two-out-edge vertex; a common-neighbor score needs every witness).
+    The skew guard is therefore ``max_center_degree``: drop wedge CENTERS
+    above a degree cap. That is not just pragmatic — it is principled
+    for this scoring function, because a 10^6-degree hub contributes
+    1/ln(10^6) ≈ 0.07 per pair to adamic_adar while generating 10^12
+    wedges: the centers that blow up the join are exactly the ones whose
+    evidence is worthless. Remaining shape: one degree agg, one self-join
+    on the center, one anti-join against the canonical edges, one
+    partial-agg groupBy(pair); ln(deg) is computed once per center row,
+    map-side. ``top_per_node`` caps results per left vertex with a window
+    over already-aggregated pair rows.
+    """
+    und = (
+        edges.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = undirected_edges(
+        und.select(F.col("u").alias("s"), F.col("v").alias("t"))
+    )
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "s").select(
+        F.col("s").alias("ctr"), F.col("deg").alias("dctr"), F.col("t").alias("nb")
+    )
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("dctr") <= max_center_degree)
+    o1 = centers.select("ctr", "dctr", F.col("nb").alias("a"))
+    o2 = centers.select("ctr", F.col("nb").alias("b"))
+    wedges = (
+        o1.join(o2, "ctr")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (F.lit(1.0) / F.log(F.col("dctr").cast("double"))).alias("w"),
+        )
+    )
+    open_pairs = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = open_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.round(F.sum("w"), 6).alias("adamic_adar"),
+    ).filter(F.col("common_neighbors") >= min_common)
+    if top_per_node is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(
+        F.desc("adamic_adar"), F.col("b")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_per_node)
+        .drop("_rn")
+    )

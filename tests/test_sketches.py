@@ -252,3 +252,82 @@ def test_sketch_plans_zero_python_and_bounded_shuffles(spark):
         assert exchange_count(frame) <= max_exchanges, (
             name, exchange_count(frame)
         )
+
+
+# ---------------------------------------------------------------------------
+# link prediction (Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+def _py_adamic_adar(edge_list, max_center_degree=None):
+    adj = {}
+    es = set()
+    for u, v in edge_list:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for x, nbrs in adj.items():
+        if max_center_degree is not None and len(nbrs) > max_center_degree:
+            continue
+        w = 1.0 / math.log(len(nbrs))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                a, b = ns[i], ns[j]
+                if (a, b) in es:
+                    continue
+                cn, aa = out.get((a, b), (0, 0.0))
+                out[(a, b)] = (cn + 1, aa + w)
+    return {k: (cn, round(aa, 6)) for k, (cn, aa) in out.items()}
+
+
+def test_link_prediction_matches_independent_python(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        link_prediction_scores,
+    )
+
+    random.seed(21)
+    edges = [(random.randint(0, 30), random.randint(0, 30)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_scores(df).collect()
+    }
+    want = _py_adamic_adar(edges)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    # no predicted pair may be an existing edge
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    assert not (set(got) & es)
+
+
+def test_link_prediction_degree_cap_and_topk(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        link_prediction_scores,
+    )
+
+    random.seed(22)
+    edges = [(random.randint(0, 25), random.randint(0, 25)) for _ in range(120)]
+    # add a hub touching everything: with the cap it must not certify
+    edges += [(99, i) for i in range(26)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_scores(df, max_center_degree=10).collect()
+    }
+    want = _py_adamic_adar(edges, max_center_degree=10)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    top = link_prediction_scores(df, top_per_node=2).collect()
+    from collections import Counter
+
+    per_a = Counter(r["a"] for r in top)
+    assert max(per_a.values()) <= 2
