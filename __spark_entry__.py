@@ -1781,6 +1781,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_prediction_pairs"] = link_prediction_pairs
 
+    # personalized PageRank: teleport to a seed set (one customer + one
+    # nation hub) over the same graph as pagerank_graph — the RAG
+    # context-selection / seed-expansion scorer. Oracle: unrolled
+    # 5-iteration CTE with the seeded teleport vector.
+    def ppr_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            personalized_pagerank,
+        )
+
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        pr = personalized_pagerank(c, seeds=[1, 2_000_003], iterations=5)
+        return pr.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+
+    q["ppr_graph"] = ppr_graph
+
     return q
 
 
@@ -1875,6 +1896,45 @@ def oracle_sql() -> dict[str, str]:
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
         r0 AS (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
         {pr_iters}
+        SELECT node_id, ROUND(rank, 6) AS rank FROM it5
+    """
+
+    # personalized variant: same unrolled power iteration, teleport vector
+    # = 0.5 on each of the two seeds instead of 1/n everywhere
+    ppr_p0 = (
+        "CASE WHEN nodes.node_id IN (1, 2000003) THEN 0.5 ELSE 0.0 END"
+    )
+    ppr_iters = ""
+    prev = "r0"
+    for i in range(1, 6):
+        ppr_iters += f""",
+        it{i} AS (
+          SELECT nodes.node_id,
+                 0.15 * {ppr_p0} + 0.85 * COALESCE(c.in_rank, 0.0) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT und.t AS node_id, SUM({prev}.rank / deg.deg) AS in_rank
+            FROM und
+            JOIN deg ON und.s = deg.s
+            JOIN {prev} ON {prev}.node_id = und.s
+            GROUP BY und.t
+          ) c ON c.node_id = nodes.node_id
+        )"""
+        prev = f"it{i}"
+
+    ppr_sql = f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(c_custkey AS BIGINT) AS s,
+                 CAST(c_nationkey AS BIGINT) + 2000000 AS t
+          FROM customer
+        ),
+        und AS (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e),
+        deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+        nodes AS (SELECT DISTINCT s AS node_id FROM und),
+        r0 AS (SELECT node_id,
+                      CASE WHEN node_id IN (1, 2000003) THEN 0.5 ELSE 0.0 END
+                          AS rank
+               FROM nodes)
+        {ppr_iters}
         SELECT node_id, ROUND(rank, 6) AS rank FROM it5
     """
 
@@ -2844,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
         """,
         "pagerank_graph": pagerank_sql,
+        "ppr_graph": ppr_sql,
         "relation_extract_docs": f"""
             WITH l AS (
               SELECT doc_id,

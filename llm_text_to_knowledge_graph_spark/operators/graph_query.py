@@ -384,3 +384,77 @@ def link_prediction_scores(
         .filter(F.col("_rn") <= top_per_node)
         .drop("_rn")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 5,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the teleport vector is
+    uniform over ``seeds`` instead of all nodes, so rank mass concentrates
+    in the seeds' neighborhood — the RAG context-selection primitive over
+    the knowledge graph ("which entities/evidence matter from THESE query
+    entities outward"), and the standard seed-expansion scorer for
+    entity-set completion.
+
+    Same fixed-iteration join+agg shape as :func:`pagerank` (deterministic
+    for a given input; one join + one aggregation per iteration, lineage
+    truncated per round); the teleport column is a literal CASE over the
+    seed list (seeds are query-sized, not data-sized). In directed mode
+    dangling mass re-teleports to the seeds via the same 1-row crossJoin —
+    no mid-loop driver actions.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    seeds = [int(s) for s in seeds]
+    g = (
+        undirected_edges(edges).distinct()
+        if undirected
+        else edges.select("s", "t").distinct()
+    )
+    g = g.localCheckpoint(eager=True)
+    out_deg = g.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        g.select(F.col("s").alias("node_id"))
+        .unionByName(g.select(F.col("t").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p0 = F.when(
+        F.col("node_id").isin(seeds), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("rank", p0)
+    g_deg = g.join(out_deg, "s").localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            g_deg.join(ranks.withColumnRenamed("node_id", "s"), "s")
+            .select(
+                F.col("t").alias("node_id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_ranks = nodes.join(contribs, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(1.0 - damping) * p0
+                + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if not undirected:
+            # dangling mass re-teleports to the seeds (1-row crossJoin,
+            # no driver action — same discipline as pagerank)
+            total = new_ranks.agg(F.sum("rank").alias("_total"))
+            new_ranks = new_ranks.crossJoin(F.broadcast(total)).select(
+                "node_id",
+                (
+                    F.col("rank")
+                    + (F.lit(1.0) - F.col("_total")) * p0
+                ).alias("rank"),
+            )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks

@@ -127,3 +127,60 @@ def test_graph_query_layer_is_id_scheme_agnostic(spark):
     assert "nodes" in aspects and "edges" in aspects
     for p in (t, hn, he, dn, de):
         p.unpersist()
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        personalized_pagerank,
+    )
+
+    # two communities bridged by one edge; seed in community A
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = a + b + [(4, 10)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    pr = {
+        r["node_id"]: r["rank"]
+        for r in personalized_pagerank(df, seeds=[0], iterations=8).collect()
+    }
+    # every community-A node outranks every community-B node
+    assert min(pr[i] for i in range(5)) > max(pr[i] for i in range(10, 15))
+    # rank is a distribution over nodes (undirected: no dangling loss)
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        personalized_pagerank,
+    )
+
+    import random as _r
+
+    _r.seed(3)
+    edges = list({(min(u, v), max(u, v))
+                  for u, v in ((_r.randint(0, 11), _r.randint(0, 11)) for _ in range(40))
+                  if u != v})
+    df = spark.createDataFrame(edges, "s long, t long")
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    p0 = np.zeros(n)
+    for s in (nodes[0], nodes[3]):
+        p0[idx[s]] = 0.5
+    r = p0.copy()
+    for _ in range(6):
+        r = 0.15 * p0 + 0.85 * (P.T @ r)
+    got = {
+        row["node_id"]: row["rank"]
+        for row in personalized_pagerank(
+            df, seeds=[nodes[0], nodes[3]], iterations=6
+        ).collect()
+    }
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, node
