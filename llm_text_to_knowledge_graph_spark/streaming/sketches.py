@@ -82,3 +82,35 @@ def read_hll_distinct(
     """Current distinct estimate per group from the accumulated store."""
     group_cols = list(group_cols or [])
     return hll_estimate(read_hll_registers(spark, out_dir, group_cols), group_cols)
+
+
+def compact_hll_store(spark: SparkSession, out_dir: str, group_cols: list[str] | None = None) -> None:
+    """Rewrite the per-batch register partitions as ONE folded partition
+    (``batch_id=-1``) — the lazy maintenance pass that keeps an old store's
+    file count proportional to groups, not to micro-batches. Safe at any
+    time because the fold is the same MAX the readers apply: compacting
+    and then folding again returns the identical registers (idempotent),
+    and a crash between write and cleanup only leaves extra partitions
+    whose re-fold cannot change the answer.
+
+    Write-then-swap: the folded table lands in a sibling directory and
+    replaces the store with an atomic rename, so concurrent readers see
+    either the old layout or the new one — never a partial mix."""
+    import os
+    import shutil
+
+    group_cols = list(group_cols or [])
+    folded = read_hll_registers(spark, out_dir, group_cols)
+    tmp = out_dir.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        folded.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    old = out_dir.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_dir, old)
+    os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)

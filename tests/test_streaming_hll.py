@@ -81,3 +81,52 @@ def test_streaming_hll_matches_batch_and_grows(spark, tmp_path):
         for r in read_hll_distinct(spark, out_dir, ["lang"]).collect()
     }
     assert got3 == got2
+
+
+def test_compact_hll_store_preserves_answer(spark, tmp_path):
+    from llm_text_to_knowledge_graph_spark.streaming.sketches import (
+        compact_hll_store,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "hll")
+    _pages_df(spark, 0, 250).write.mode("append").parquet(pages_dir)
+    incremental_hll(
+        spark, pages_dir, out_dir, str(tmp_path / "c1"), group_cols=["lang"]
+    ).awaitTermination(120)
+    _pages_df(spark, 250, 600).write.mode("append").parquet(pages_dir)
+    incremental_hll(
+        spark, pages_dir, out_dir, str(tmp_path / "c1"), group_cols=["lang"]
+    ).awaitTermination(120)
+    before = {
+        r["lang"]: r["est_distinct"]
+        for r in read_hll_distinct(spark, out_dir, ["lang"]).collect()
+    }
+    import glob
+
+    files_before = len(glob.glob(f"{out_dir}/**/*.parquet", recursive=True))
+    compact_hll_store(spark, out_dir, ["lang"])
+    files_after = len(glob.glob(f"{out_dir}/**/*.parquet", recursive=True))
+    after = {
+        r["lang"]: r["est_distinct"]
+        for r in read_hll_distinct(spark, out_dir, ["lang"]).collect()
+    }
+    assert after == before
+    assert files_after < files_before
+    # stream continues over a compacted store: new batches append their
+    # own partitions and the fold still matches batch
+    _pages_df(spark, 600, 800).write.mode("append").parquet(pages_dir)
+    incremental_hll(
+        spark, pages_dir, out_dir, str(tmp_path / "c1"), group_cols=["lang"]
+    ).awaitTermination(120)
+    got = {
+        r["lang"]: r["est_distinct"]
+        for r in read_hll_distinct(spark, out_dir, ["lang"]).collect()
+    }
+    batch = {
+        r["lang"]: r["est_distinct"]
+        for r in hll_distinct(
+            spark.read.parquet(pages_dir), "url", ["lang"]
+        ).collect()
+    }
+    assert got == batch
