@@ -1802,6 +1802,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ppr_graph"] = ppr_graph
 
+    # deterministic negative sampling (operators/negatives.py): corrupted
+    # triples for KG-embedding training — map-only md5 draws over the
+    # dense entity space + ONE anti-join (the filtered protocol). Pure
+    # function of (edge, copy, seed): the oracle replays every draw.
+    def kg_negative_samples(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.negatives import (
+            negative_samples,
+        )
+
+        edges = _read(spark, sf, "customer").filter(
+            F.col("c_custkey") < 500
+        ).select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        return negative_samples(edges, n_entities=2000, k=2, seed=5)
+
+    q["kg_negative_samples"] = kg_negative_samples
+
     return q
 
 
@@ -3281,5 +3300,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w), 6) AS adamic_adar
             FROM open_pairs GROUP BY a, b
             HAVING COUNT(*) >= 3
+        """,
+        # negative sampling: replay the 60-bit md5 draw (15 nibbles, exact
+        # BIGINT multipliers), parity split, modulo pick, anti-join
+        "kg_negative_samples": f"""
+            WITH e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS s,
+                     CAST(c_nationkey AS BIGINT) + 2000000 AS t
+              FROM customer WHERE c_custkey < 500),
+            copies AS (
+              SELECT s, t, i AS copy,
+                     md5(CAST(s AS VARCHAR) || ':' || CAST(t AS VARCHAR)
+                         || ':' || CAST(i AS VARCHAR) || ':5') AS hx
+              FROM e, UNNEST([0, 1]) AS u(i)),
+            drawn AS (
+              SELECT s, t, copy,
+                     ({" + ".join(f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)::BIGINT * {16 ** (15 - i)}" for i in range(1, 16))}) AS h
+              FROM copies),
+            neg AS (
+              SELECT s, t, copy,
+                     (h % 2 = 0) AS corrupt_head,
+                     CASE WHEN h % 2 = 0 THEN (h >> 1) % 2000 ELSE s END AS neg_s,
+                     CASE WHEN h % 2 = 0 THEN t ELSE (h >> 1) % 2000 END AS neg_t
+              FROM drawn)
+            SELECT neg.s, neg.t, CAST(neg.copy AS INT) AS copy,
+                   neg.corrupt_head,
+                   CAST(neg.neg_s AS BIGINT) AS neg_s,
+                   CAST(neg.neg_t AS BIGINT) AS neg_t
+            FROM neg
+            LEFT JOIN (SELECT DISTINCT s AS ts, t AS tt FROM e) tr
+              ON neg.neg_s = tr.ts AND neg.neg_t = tr.tt
+            WHERE tr.ts IS NULL
         """,
     }

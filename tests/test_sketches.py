@@ -331,3 +331,68 @@ def test_link_prediction_degree_cap_and_topk(spark):
 
     per_a = Counter(r["a"] for r in top)
     assert max(per_a.values()) <= 2
+
+
+# ---------------------------------------------------------------------------
+# negative sampling
+# ---------------------------------------------------------------------------
+
+def test_negative_samples_match_independent_python(spark):
+    from llm_text_to_knowledge_graph_spark.operators.negatives import (
+        negative_samples,
+    )
+
+    random.seed(31)
+    edges = list({(random.randint(0, 19), random.randint(0, 19)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "s long, t long")
+    n_ent, k, seed = 20, 3, 7
+
+    def py_negatives():
+        es = set(edges)
+        out = set()
+        for s, t in edges:
+            for c in range(k):
+                h = int(hashlib.md5(f"{s}:{t}:{c}:{seed}".encode()).hexdigest()[:15], 16)
+                repl = (h >> 1) % n_ent
+                if h % 2 == 0:
+                    ns, nt = repl, t
+                else:
+                    ns, nt = s, repl
+                if (ns, nt) not in es:
+                    out.add((s, t, c, h % 2 == 0, ns, nt))
+        return out
+
+    got = {
+        (r["s"], r["t"], r["copy"], r["corrupt_head"], r["neg_s"], r["neg_t"])
+        for r in negative_samples(df, n_ent, k=k, seed=seed).collect()
+    }
+    assert got == py_negatives()
+    assert len(got) > 0
+    # no emitted negative is a true edge
+    es = set(edges)
+    assert all((ns, nt) not in es for (_, _, _, _, ns, nt) in got)
+    # partitioning-invariant (pure function of (edge, copy, seed))
+    got2 = {
+        (r["s"], r["t"], r["copy"], r["corrupt_head"], r["neg_s"], r["neg_t"])
+        for r in negative_samples(df.repartition(9), n_ent, k=k, seed=seed).collect()
+    }
+    assert got2 == got
+
+
+def test_negative_samples_draws_near_uniform(spark):
+    from llm_text_to_knowledge_graph_spark.operators.negatives import (
+        negative_samples,
+    )
+
+    # one edge, many copies: the replacement draw must spread over the
+    # entity space (chi-square-free sanity: every decile hit)
+    df = spark.createDataFrame([(0, 1)], "s long, t long")
+    neg = negative_samples(df, n_entities=10, k=400, filter_true=False)
+    repl = [
+        r["neg_s"] if r["corrupt_head"] else r["neg_t"] for r in neg.collect()
+    ]
+    from collections import Counter
+
+    c = Counter(repl)
+    assert set(c) == set(range(10))
+    assert max(c.values()) < 3 * min(c.values())
