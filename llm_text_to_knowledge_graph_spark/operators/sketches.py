@@ -96,7 +96,11 @@ def hll_registers(
     group_cols = group_cols or []
     key = F.col(key_col).cast("string")
     return (
-        df.select(
+        # null keys are not counted (COUNT(DISTINCT) semantics); without
+        # the filter a null key would land as a null REGISTER row and
+        # inflate the non-zero-register count in hll_estimate
+        df.filter(key.isNotNull())
+        .select(
             *group_cols,
             _hll_register(key).alias("register"),
             _hll_rho(key).alias("rho"),
@@ -165,6 +169,8 @@ def cms_build(
     ~16k rows. SUM-mergeable across snapshot sketches."""
     key = F.col(key_col).cast("string")
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # null keys carry no countable identity (COUNT semantics)
+    df = df.filter(key.isNotNull())
     cells = df.select(
         F.explode(
             F.array(

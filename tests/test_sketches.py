@@ -396,3 +396,19 @@ def test_negative_samples_draws_near_uniform(spark):
     c = Counter(repl)
     assert set(c) == set(range(10))
     assert max(c.values()) < 3 * min(c.values())
+
+
+def test_sketches_ignore_null_keys(spark):
+    # COUNT(DISTINCT)/COUNT semantics: null keys carry no identity. A null
+    # key must neither crash nor shift the estimate (a null REGISTER row
+    # would otherwise inflate hll_estimate's non-zero-register count).
+    rows = [(f"k{i}",) for i in range(500)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "k string")
+    clean = spark.createDataFrame(rows[:500], "k string")
+    assert (
+        hll_distinct(df, "k").collect()[0]["est_distinct"]
+        == hll_distinct(clean, "k").collect()[0]["est_distinct"]
+    )
+    a = {(r["row"], r["col"]): r["n"] for r in cms_build(df, "k").collect()}
+    b = {(r["row"], r["col"]): r["n"] for r in cms_build(clean, "k").collect()}
+    assert a == b
