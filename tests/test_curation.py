@@ -40,6 +40,24 @@ def test_decontaminate_counts_distinct_grams(spark):
     assert row["n_hit_grams"] == 1
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the eval-gram set must reach the corpus as a broadcast, never a
+    # shuffle: at 100 TB the corpus-side grams may not repartition
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    plan = (
+        decontaminate(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_hash_sample_deterministic_and_sized(spark):
     docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
     a = sorted(r["doc_id"] for r in hash_sample(docs, rate=0.25, seed=7).collect())
