@@ -1131,6 +1131,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    # ---- SemDeDup: cluster-bounded semantic dedup (Abbas et al. 2023).
+    # Deterministic lowest-id centroids so DuckDB rebuilds the identical
+    # cells; the synthetic embeddings have no 0.95-level semantic dups, so
+    # the driver query uses 0.35 (≈ the corpus's p99.9 pairwise cosine) to
+    # exercise drops — the operator is threshold-agnostic.
+    def semdedup_embeddings(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            ivf_centroids,
+            semantic_dedup,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        cents = ivf_centroids(emb, n_centroids=8, method="lowest_id")
+        return semantic_dedup(emb, cents, threshold=0.35)
+
+    q["semdedup_embeddings"] = semdedup_embeddings
+
     # ---- iterative graph algorithm: connected components over the
     # customer/supplier/nation star graph. The oracle recomputes components
     # with a completely different algorithm (recursive-CTE transitive
@@ -2840,6 +2859,34 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,
         "simhash_pairs_native": simhash_native_sql,
+        # SemDeDup: DuckDB rebuilds the lowest-id-centroid cells, replays
+        # the centroid-sim-ASC ordering and the pairwise round-6 cosine
+        # threshold, and reproduces every keep/drop + witness.
+        "semdedup_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+            asg AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     ROUND(list_cosine_similarity(e.v, c.cv), 9) AS csim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
+                                c.cid ASC) AS rn
+              FROM e CROSS JOIN c),
+            a AS (SELECT vec_id, v, cid AS cell, csim FROM asg WHERE rn = 1),
+            drp AS (
+              SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+              FROM a x JOIN a y ON x.cell = y.cell
+               AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+               AND ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+              GROUP BY x.vec_id)
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.cell AS INT) AS cell,
+                   a.csim AS centroid_sim,
+                   CAST(drp.dup_of AS BIGINT) AS dup_of,
+                   drp.dup_of IS NOT NULL IS FALSE AS keep
+            FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id
+        """,
         "ivf_ann_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

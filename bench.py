@@ -275,6 +275,8 @@ def main() -> int:
             "dsir_weights",
             # Adamic-Adar link prediction: wedge join + open-pair anti-join
             "link_prediction_pairs",
+            # SemDeDup: map-only cell assignment + within-cell self-join
+            "semdedup_embeddings",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

@@ -359,6 +359,91 @@ def ivf_topk_indexed(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    cluster-bounded pairwise cosine. Complements ``embedding_dup_pairs``
+    (LSH buckets): this is the published kmeans-cluster variant whose
+    keep-policy preserves DIVERSITY — within each duplicate neighborhood
+    the survivor is the item FARTHEST from the cluster centroid, which the
+    paper shows beats random/nearest keeps for downstream training.
+
+    Semantics (matches the reference implementation's pairwise rule):
+    order each cluster's items by centroid-similarity ASC (id ASC ties),
+    so the farthest-from-centroid item ranks first; drop item *i* iff some
+    EARLIER item *j* has cos(i, j) >= threshold. The rule is purely
+    pairwise — no greedy cascade, no iteration — so it is ONE self-join
+    per cell + one partial-agg groupBy.
+
+    Scale shape: the quantizer bounds all-pairs to within-cell —
+    Σ n_c² ≈ N²/K for balanced KMeans cells, the whole point of the
+    cluster step (pick K so cells are ~10⁴-10⁵ docs; at rest the assigned
+    corpus is written PARTITIONED BY (cell), so the self-join is
+    partition-local with zero wide shuffle). Assignment reuses the IVF
+    map-only plan (:func:`nearest_cells_col` — literal codegen ≤64
+    centroids, Arrow/BLAS beyond). Everything else is JVM column math.
+
+    Returns one row per input vector — clean keeps are positively
+    certified, like :func:`~..curation.decontaminate`:
+    ``(id_col, cell, centroid_sim, dup_of, keep)`` where ``dup_of`` is the
+    lowest-id earlier-ranked witness within threshold (null for keeps).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    cids_lit = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    cvecs_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in centroids]
+    )
+    pos = F.array_position(cids_lit, F.col("cell")).cast("int")
+    assigned = (
+        embeddings.select(
+            F.col(id_col),
+            vec.alias("_v"),
+            nearest_cells_col(vec, centroids, 1)[0].alias("cell"),
+        )
+        .withColumn(
+            "centroid_sim",
+            F.round(cosine_col(F.col("_v"), F.element_at(cvecs_lit, pos)), 9),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+        "cell", F.col("centroid_sim").alias("_csa"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+        "cell", F.col("centroid_sim").alias("_csb"),
+    )
+    earlier = (F.col("_csb") < F.col("_csa")) | (
+        (F.col("_csb") == F.col("_csa")) & (F.col("_idb") < F.col("_ida"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(earlier)
+        .filter(
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), round_digits)
+            >= F.lit(threshold)
+        )
+        .groupBy("_ida")
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        assigned.join(dropped, assigned[id_col] == dropped["_ida"], "left")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            "centroid_sim",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
