@@ -453,6 +453,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_docs"] = decontam_docs
 
+    # C4-style blocklist pass: blocked sources play the domain blocklist,
+    # two corpus-vocabulary words play the badword list; map-only.
+    def blocklist_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return blocklist_filter(
+            docs,
+            blocked_keys=["src3", "src7"],
+            blocked_terms=["vector", "bloom"],
+        )
+
+    q["blocklist_docs"] = blocklist_docs
+
     # Deterministic md5-keyed sampling: pure function of (doc_id, seed),
     # reproducible by any engine with md5 — the oracle recomputes the draw.
     def hash_sample_docs(spark, sf):
@@ -2652,6 +2668,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # decontamination: DuckDB rebuilds the identical distinct 3-gram
         # sets (same trim/split/slice semantics) and replays the semi-join.
+        # blocklist: DuckDB replays the literal key/term sets over the same
+        # lowercased alphanumeric tokenization
+        "blocklist_docs": """
+            WITH tk AS (
+              SELECT doc_id, source,
+                     list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> t <> '') AS t
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   source IN ('src3', 'src7') AS key_blocked,
+                   CAST(len(list_filter(t, x -> x IN ('vector', 'bloom'))) AS BIGINT)
+                     AS n_blocked_terms,
+                   (source IN ('src3', 'src7'))
+                     OR len(list_filter(t, x -> x IN ('vector', 'bloom'))) > 0
+                     AS blocked
+            FROM tk
+        """,
         "decontam_docs": """
             WITH tk AS (
               SELECT doc_id,

@@ -68,6 +68,57 @@ def decontaminate(
     )
 
 
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_keys: list[str] = (),
+    blocked_terms: list[str] = (),
+    key_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist pass (Raffel et al. 2020 §2.2): drop documents
+    whose source/domain key is on a blocked list OR whose text contains any
+    blocked term as a whole lowercased word. Returns one audit row per doc
+    (clean keeps positively certified, like :func:`decontaminate`):
+    ``(id_col, key_blocked, n_blocked_terms, blocked)``.
+
+    Scale shape: blocklists are curation artifacts (10²-10⁴ entries), so
+    both live as LITERAL arrays inside the scan stage — the whole pass is
+    one map-only projection, zero shuffles, zero Python; Catalyst compiles
+    ``isin`` to a hash-set probe. Term hits are counted by tokenizing once
+    and filtering the token array against the literal set — flat in
+    document length, no per-term regex scans. For blocklists past literal
+    size (rare), the decontaminate shape applies: explode tokens +
+    broadcast semi-join.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    blocked_lit = F.array(*[F.lit(t.lower()) for t in blocked_terms])
+    n_terms = (
+        # coalesce: null text -> null tokens -> count 0, not null
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: F.array_contains(blocked_lit, t))),
+            F.lit(0),
+        )
+        if blocked_terms
+        else F.lit(0)
+    )
+    key_blocked = (
+        F.col(key_col).isin([k for k in blocked_keys])
+        if blocked_keys
+        else F.lit(False)
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.coalesce(key_blocked, F.lit(False)).alias("key_blocked"),
+        n_terms.cast("long").alias("n_blocked_terms"),
+        (
+            F.coalesce(key_blocked, F.lit(False)) | (n_terms > 0)
+        ).alias("blocked"),
+    )
+
+
 def hash_sample(
     docs: DataFrame,
     rate: float = 0.1,

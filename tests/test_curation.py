@@ -3,6 +3,7 @@
 import pytest
 
 from llm_text_to_knowledge_graph_spark.operators.curation import (
+    blocklist_filter,
     chunk_docs,
     decontaminate,
     hash_sample,
@@ -10,6 +11,47 @@ from llm_text_to_knowledge_graph_spark.operators.curation import (
     pack_greedy,
     stratified_hash_sample,
 )
+
+
+def test_blocklist_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean text here", "good.com"),
+            (2, "contains one BADWORD in caps", "good.com"),   # term hit (case)
+            (3, "badword badword badwords", "good.com"),       # 2 hits, not substring
+            (4, "clean text", "evil.com"),                     # key hit
+            (5, None, "good.com"),                             # null text, clean
+            (6, "embedded notbadword stays clean", "good.com"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (r["key_blocked"], r["n_blocked_terms"], r["blocked"])
+        for r in blocklist_filter(
+            docs, blocked_keys=["evil.com"], blocked_terms=["badword"]
+        ).collect()
+    }
+    assert got == {
+        1: (False, 0, False),
+        2: (False, 1, True),
+        3: (False, 2, True),   # whole-word only: "badwords" does not count
+        4: (True, 0, True),
+        5: (False, 0, False),
+        6: (False, 0, False),
+    }
+
+
+def test_blocklist_filter_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "s")], "doc_id long, text string, source string"
+    )
+    plan = (
+        blocklist_filter(docs, ["s"], ["a"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles: one scan-stage projection
 
 
 def test_decontaminate_flags_shared_ngrams(spark):
