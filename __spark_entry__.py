@@ -1278,6 +1278,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_graph"] = pagerank_graph
 
+    # ---- k-core decomposition over the order<->part bipartite graph (the
+    # one sf graph with real cycles; k=6 peels for 9 rounds at sf0.01, so
+    # the fixpoint loop is genuinely exercised). Oracle: the peel unrolled
+    # 12 rounds in SQL (convergence + 3 no-op rounds of margin).
+    def kcore_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import k_core
+
+        li = _read(spark, sf, "lineitem").select(
+            F.col("l_orderkey").cast("long").alias("s"),
+            (F.col("l_partkey").cast("long") + 3_000_000).alias("t"),
+        )
+        core = k_core(li, k=6)
+        return core.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+
+    q["kcore_graph"] = kcore_graph
+
     # ---- crawl-snapshot delta (operators/delta.py) ---------------------------
     # Deterministic old/new snapshots derived from the documents table:
     # removals (doc_id % 17 = 3), edits (doc_id % 10 = 1), additions
@@ -1885,6 +1904,41 @@ def entry_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 6, rounds: int = 12) -> str:
+    """Unrolled k-core peel: round i drops edges touching a vertex whose
+    round-(i) degree < k; ``rounds`` exceeds the measured sf0.01
+    convergence depth (9) so the tail rounds are provable no-ops."""
+    # MATERIALIZED: each e{i}/low{i} is referenced 2-3 times downstream;
+    # inlined CTEs would re-expand the whole prefix per reference
+    # (3^rounds scans of lineitem)
+    ctes = [
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT s, t FROM (
+            SELECT CAST(l_orderkey AS BIGINT) AS s,
+                   CAST(3000000 + l_partkey AS BIGINT) AS t FROM lineitem
+            UNION ALL
+            SELECT CAST(3000000 + l_partkey AS BIGINT),
+                   CAST(l_orderkey AS BIGINT) FROM lineitem))"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"low{i} AS MATERIALIZED (SELECT s FROM "
+            f"(SELECT s, COUNT(*) AS c FROM e{i} GROUP BY s) WHERE c < {k})"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT s, t FROM e{i} "
+            f"WHERE s NOT IN (SELECT s FROM low{i}) "
+            f"AND t NOT IN (SELECT s FROM low{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(s AS BIGINT) AS node_id,
+               CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{rounds} GROUP BY s"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3004,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
         """,
         "pagerank_graph": pagerank_sql,
+        "kcore_graph": _kcore_oracle(k=6, rounds=12),
         "ppr_graph": ppr_sql,
         "relation_extract_docs": f"""
             WITH l AS (

@@ -172,6 +172,44 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
+    """Undirected k-core: iteratively peel vertices with degree < ``k``
+    until fixpoint — the standard KG summarization / noise-trim pass
+    (the k-core is the maximal subgraph where every vertex keeps >= k
+    surviving neighbors). Returns the core's vertices with their
+    within-core degree: ``(node_id, degree)``.
+
+    Plan per round: ONE partial-agg degree groupBy + two anti-joins
+    dropping edges incident to peeled vertices (broadcast-converted by AQE
+    while the peel set is small — and the peel set SHRINKS monotonically,
+    so later rounds are the cheap ones). Convergence is a changed-count
+    scalar per round (same instrument as connected_components); edge
+    tables are ``localCheckpoint``ed each round to truncate the
+    iterative-plan lineage. Rounds needed = peeling depth, typically
+    O(log n) on web-ish degree distributions; ``max_iter`` bounds
+    pathological chains (a path graph peels 1 layer per round).
+    """
+    und = undirected_edges(edges).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+        low = deg.filter(F.col("degree") < k).select("s").localCheckpoint(
+            eager=True
+        )
+        if low.isEmpty():
+            break
+        und = (
+            und.join(low, "s", "left_anti")
+            .join(low.withColumnRenamed("s", "t"), "t", "left_anti")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("s").alias("node_id"), "degree")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
