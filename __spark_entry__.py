@@ -1166,6 +1166,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup_embeddings"] = semdedup_embeddings
 
+    # ---- int8 quantization of the embedding table (the 4x-at-rest storage
+    # plan), flattened to (vec_id, pos, qval, scale) so the oracle checks
+    # every quantized component exactly.
+    def quantize_embeddings(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            quantize_int8,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        qt = quantize_int8(emb)
+        return qt.select(
+            "vec_id",
+            F.posexplode("qvec").alias("pos", "qval"),
+            F.round("scale", 9).alias("scale"),
+        ).select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("qval").cast("long").alias("qval"),
+            "scale",
+        )
+
+    q["quantize_embeddings"] = quantize_embeddings
+
     # ---- iterative graph algorithm: connected components over the
     # customer/supplier/nation star graph. The oracle recomputes components
     # with a completely different algorithm (recursive-CTE transitive
@@ -2947,6 +2972,27 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,
         "simhash_pairs_native": simhash_native_sql,
+        # int8 quantization: every component replayed — both engines round
+        # HALF-AWAY-FROM-ZERO, so qval is exact
+        "quantize_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                     CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS amax
+                    FROM e)),
+            u AS (
+              SELECT vec_id, scale,
+                     generate_subscripts(v, 1) - 1 AS pos,
+                     unnest(v) AS x
+              FROM s)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(pos AS INT) AS pos,
+                   CAST(ROUND(x / scale, 0) AS BIGINT) AS qval,
+                   ROUND(scale, 9) AS scale
+            FROM u
+        """,
         # SemDeDup: DuckDB rebuilds the lowest-id-centroid cells, replays
         # the centroid-sim-ASC ordering and the pairwise round-6 cosine
         # threshold, and reproduces every keep/drop + witness.

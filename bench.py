@@ -277,6 +277,9 @@ def main() -> int:
             "link_prediction_pairs",
             # SemDeDup: map-only cell assignment + within-cell self-join
             "semdedup_embeddings",
+            # k-core peel: ~10 shrinking degree-agg + anti-join rounds —
+            # the iterative-graph cost profile alongside CC/pagerank
+            "kcore_graph",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect
