@@ -41,7 +41,7 @@ NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
 ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
 decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
-repetition_stats),
+repetition_stats, kcore_graph, quantize_build, ann_quantized_32q),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -355,6 +355,31 @@ def main() -> int:
         extras["ivf_recall_sampled_32q"] = round(len(ex & ap_s) / max(len(ex), 1), 4)
         corpus.unpersist()
         corpus_s.unpersist()
+
+        # --- int8-quantized exact scan over the same 32-query batch: the
+        # storage-tier plan (4x fewer bytes at rest AND through the scan;
+        # integer multiply-adds in the distance). Build is one map-only pass,
+        # timed like ivf_index_build; recall vs float32 recorded per-run.
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            quantize_int8,
+            quantized_topk,
+        )
+
+        def _build_quant():
+            qt = quantize_int8(emb).persist()
+            qt.count()
+            return qt
+
+        qt, _ = timed("quantize_build", _build_quant)
+        aq, _ = timed(
+            "ann_quantized_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in quantized_topk(qt, qids, k=10).collect()
+            },
+        )
+        extras["quantized_recall_32q"] = round(len(ex & aq) / max(len(ex), 1), 4)
+        qt.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is
