@@ -363,6 +363,7 @@ def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization — the storage/bandwidth plan
     for a 100-TB embedding table: float32 -> 1 byte/dim + one scale (4×
@@ -375,9 +376,13 @@ def quantize_int8(
     exactly representable. Returns ``(id_col, qvec array<tinyint>,
     scale double)``. Dequantization is ``qvec[i] * scale`` — see
     :func:`quantized_topk`; the reconstruction error is bounded by
-    scale/2 per component (pinned in tests along with top-k recall)."""
+    scale/2 per component (pinned in tests along with top-k recall).
+    ``extra_cols`` carries index columns (e.g. the IVF ``cell``) through
+    unchanged — see :func:`ivf_topk_quantized`."""
     staged = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *[F.col(c) for c in extra_cols],
     )
     amax = F.aggregate(
         F.col("_v"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
@@ -394,6 +399,7 @@ def quantize_int8(
             F.col("_v"), lambda x: F.round(x / F.col("scale"), 0).cast("tinyint")
         ).alias("qvec"),
         "scale",
+        *extra_cols,
     )
 
 
@@ -424,6 +430,52 @@ def quantized_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine_col(dqq, dq), round_digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_quantized(
+    corpus_q: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    round_digits: int = 3,
+) -> DataFrame:
+    """IVF over the int8 corpus — the FAISS IVF-SQ8 analog and the actual
+    100-TB ANN plan: cell pruning cuts the scan to ~nprobe/K of the corpus
+    AND every scanned byte is 4× cheaper (int8 at rest, int multiply-adds
+    in the distance). ``corpus_q`` is ``quantize_int8(ivf_corpus,
+    extra_cols=("cell",))`` — written PARTITIONED BY (cell) at rest so
+    probes prune at file level, exactly like the float index.
+
+    Probe-side cell assignment runs on the integer arrays cast to double:
+    cosine is invariant to the per-vector scale, so dequantization is
+    never needed — not even against the float centroids. The assignment
+    perturbation from quantization is bounded by the reconstruction error
+    (scale/2 per component); overlap vs the float IVF probe is pinned in
+    tests/test_quantize.py."""
+    dq = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    q = corpus_q.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.explode(nearest_cells_col(dq, cents, nprobe)).alias("cell"),
+    )
+    joined = corpus_q.join(F.broadcast(q), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dqc = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    dqq = F.transform(F.col("q_qvec"), lambda x: x.cast("double"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_col(dqq, dqc), round_digits).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -5,6 +5,9 @@ import numpy as np
 
 from llm_text_to_knowledge_graph_spark.operators.similarity import (
     brute_force_topk,
+    ivf_index,
+    ivf_topk_indexed,
+    ivf_topk_quantized,
     quantize_int8,
     quantized_topk,
 )
@@ -59,3 +62,30 @@ def test_quantized_topk_recall(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ivf_quantized_matches_float_ivf(spark):
+    # IVF-SQ8: same index probed over the int8 corpus must agree with the
+    # float IVF probe almost everywhere (quantization perturbs assignment
+    # and ranks by <= scale/2 per component)
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 32) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(32) * 0.4])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus, cents = ivf_index(df, n_centroids=4, method="lowest_id")
+    queries = [0, 1, 2, 3]
+    flt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_indexed(corpus, cents, queries, k=10, nprobe=2).collect()
+    }
+    corpus_q = quantize_int8(corpus, extra_cols=("cell",))
+    assert corpus_q.columns == ["vec_id", "qvec", "scale", "cell"]
+    qnt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_quantized(corpus_q, cents, queries, k=10, nprobe=2).collect()
+    }
+    overlap = len(flt & qnt) / len(flt)
+    assert overlap >= 0.9, overlap
