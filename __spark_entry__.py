@@ -1191,6 +1191,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantize_embeddings"] = quantize_embeddings
 
+    # ---- IVF-SQ8: the IVF index probed over the int8 corpus (the actual
+    # 100-TB ANN plan — cell pruning AND 4x cheaper scanned bytes).
+    # Deterministic lowest-id centroids so DuckDB rebuilds the identical
+    # index, quantizes identically, and replays probe + scoring exactly.
+    def ivf_ann_quantized(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk_quantized,
+            quantize_int8,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        corpus, cents = ivf_index(emb, n_centroids=16, method="lowest_id")
+        corpus_q = quantize_int8(corpus, extra_cols=("cell",))
+        return ivf_topk_quantized(
+            corpus_q, cents, query_ids=[0, 1, 2], k=5, nprobe=2
+        )
+
+    q["ivf_ann_quantized"] = ivf_ann_quantized
+
     # ---- iterative graph algorithm: connected components over the
     # customer/supplier/nation star graph. The oracle recomputes components
     # with a completely different algorithm (recursive-CTE transitive
@@ -3020,6 +3043,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(drp.dup_of AS BIGINT) AS dup_of,
                    drp.dup_of IS NOT NULL IS FALSE AS keep
             FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id
+        """,
+        # IVF-SQ8: rebuild the float index, quantize the corpus per-vector,
+        # then run BOTH probe assignment and scoring on the integer arrays
+        # (cosine is scale-invariant, so no dequantization anywhere) —
+        # value-identical to the Spark plan.
+        "ivf_ann_quantized": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            asg AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
+                                c.cid ASC) AS rn
+              FROM e CROSS JOIN cents c),
+            corpus AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+            qz AS (
+              SELECT vec_id, cell,
+                     list_transform(v, x -> ROUND(x / scale, 0)) AS qv
+              FROM (SELECT vec_id, v, cell,
+                           CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+                    FROM (SELECT vec_id, v, cell,
+                                 list_max(list_transform(v, x -> abs(x))) AS amax
+                          FROM corpus))),
+            probes AS (
+              SELECT z.vec_id AS query_id, z.qv AS qq, c.cid AS cell,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY z.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(z.qv, c.cv), 9) DESC,
+                                c.cid ASC) AS rn
+              FROM qz z CROSS JOIN cents c
+              WHERE z.vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT p.query_id, z.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(z.qv, p.qq), 3) AS cosine
+              FROM qz z JOIN (SELECT * FROM probes WHERE rn <= 2) p
+                ON z.cell = p.cell
+              WHERE z.vec_id != p.query_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         "ivf_ann_topk": """
             WITH cents AS (

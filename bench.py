@@ -41,7 +41,8 @@ NOTE on cross-round totals: the query set GROWS each round (round 2 added
 minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
 ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
 decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
-repetition_stats, kcore_graph, quantize_build, ann_quantized_32q),
+repetition_stats, kcore_graph, quantize_build, ann_quantized_32q,
+ivf_sq8_build, ann_ivf_sq8_32q),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -353,7 +354,6 @@ def main() -> int:
             },
         )
         extras["ivf_recall_sampled_32q"] = round(len(ex & ap_s) / max(len(ex), 1), 4)
-        corpus.unpersist()
         corpus_s.unpersist()
 
         # --- int8-quantized exact scan over the same 32-query batch: the
@@ -380,6 +380,33 @@ def main() -> int:
         )
         extras["quantized_recall_32q"] = round(len(ex & aq) / max(len(ex), 1), 4)
         qt.unpersist()
+
+        # --- IVF-SQ8: the composed plan (cell pruning x int8 scan) over the
+        # same 32-query batch — the actual 100-TB ANN shape. Reads the
+        # still-persisted float index; the quantize pass carries `cell`
+        # through, so the build adds one map-only projection.
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            ivf_topk_quantized,
+        )
+
+        def _build_ivf_sq8():
+            cq = quantize_int8(corpus, extra_cols=("cell",)).persist()
+            cq.count()
+            return cq
+
+        cq, _ = timed("ivf_sq8_build", _build_ivf_sq8)
+        asq, _ = timed(
+            "ann_ivf_sq8_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk_quantized(
+                    cq, cents, qids, k=10, nprobe=4
+                ).collect()
+            },
+        )
+        extras["ivf_sq8_recall_32q"] = round(len(ex & asq) / max(len(ex), 1), 4)
+        cq.unpersist()
+        corpus.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is
