@@ -1214,6 +1214,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_quantized"] = ivf_ann_quantized
 
+    # ---- PQ / ADC ANN: product-quantization codes (m=8 subspaces x 16
+    # codes = 8 bytes/vector, 32x at rest) searched via asymmetric-distance
+    # lookup tables. Deterministic lowest-id codebooks so DuckDB rebuilds
+    # the identical codebooks, encodes identically (argmin-L2, round-9 tie
+    # classes, code-asc ties), and replays the ADC scoring exactly.
+    def pq_ann_topk(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        books = pq_codebooks(emb, m=8, ksub=16, method="lowest_id")
+        codes = pq_encode(emb, books)
+        return pq_topk(codes, books, emb, query_ids=[0, 1, 2], k=5)
+
+    q["pq_ann_topk"] = pq_ann_topk
+
     # ---- iterative graph algorithm: connected components over the
     # customer/supplier/nation star graph. The oracle recomputes components
     # with a completely different algorithm (recursive-CTE transitive
@@ -3043,6 +3065,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(drp.dup_of AS BIGINT) AS dup_of,
                    drp.dup_of IS NOT NULL IS FALSE AS keep
             FROM a LEFT JOIN drp ON a.vec_id = drp.vec_id
+        """,
+        # PQ/ADC: rebuild the lowest-id codebooks, re-encode every vector
+        # (argmin-L2 per subspace, round-9 tie classes, code-asc ties), and
+        # replay the ADC top-k as a codes->LUT join + SUM — value-identical
+        # to the Spark literal-lookup plan after round-6.
+        "pq_ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, v,
+                         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS slot
+                  FROM e ORDER BY vec_id LIMIT 16),
+            js AS (SELECT range AS j FROM range(8)),
+            cb AS (SELECT js.j, b.slot AS code,
+                          list_slice(b.v, js.j*8 + 1, js.j*8 + 8) AS cvec
+                   FROM b CROSS JOIN js),
+            enc AS (
+              SELECT e.vec_id, cb.j, cb.code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY ROUND(POWER(list_distance(
+                                  list_slice(e.v, cb.j*8 + 1, cb.j*8 + 8),
+                                  cb.cvec), 2), 9) ASC,
+                                cb.code ASC) AS rn
+              FROM e CROSS JOIN cb),
+            codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN (0, 1, 2)),
+            lut AS (SELECT q.query_id, cb.j, cb.code,
+                           POWER(list_distance(
+                             list_slice(q.qv, cb.j*8 + 1, cb.j*8 + 8),
+                             cb.cvec), 2) AS d2
+                    FROM q CROSS JOIN cb),
+            scored AS (
+              SELECT l.query_id, c.vec_id AS neighbor_id,
+                     ROUND(SUM(l.d2), 6) AS adc
+              FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+              WHERE c.vec_id != l.query_id
+              GROUP BY l.query_id, c.vec_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   adc,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         # IVF-SQ8: rebuild the float index, quantize the corpus per-vector,
         # then run BOTH probe assignment and scoring on the integer arrays

@@ -42,7 +42,7 @@ minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
 ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
 decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
 repetition_stats, kcore_graph, quantize_build, ann_quantized_32q,
-ivf_sq8_build, ann_ivf_sq8_32q),
+ivf_sq8_build, ann_ivf_sq8_32q, pq_build, ann_brute_l2_32q, ann_pq_32q),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -407,6 +407,46 @@ def main() -> int:
         extras["ivf_sq8_recall_32q"] = round(len(ex & asq) / max(len(ex), 1), 4)
         cq.unpersist()
         corpus.unpersist()
+
+        # --- PQ/ADC over the same 32-query batch: 8-byte codes (32x at
+        # rest), codebooks FIT on a deterministic 25% sample (same bounded
+        # fit as ivf_index_build_sampled), search = codes-only LUT scan +
+        # exact re-rank of the Q*R shortlist (FAISS IndexRefineFlat shape).
+        # Recall is scored against exact L2 (PQ's metric), not cosine.
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            brute_force_l2_topk,
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        def _build_pq():
+            books = pq_codebooks(
+                emb, m=8, ksub=16, method="kmeans", fit_sample=0.25
+            )
+            pc = pq_encode(emb, books).persist()
+            pc.count()
+            return books, pc
+
+        (books, pcodes), _ = timed("pq_build", _build_pq)
+        exl2, _ = timed(
+            "ann_brute_l2_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_l2_topk(emb, qids, k=10).collect()
+            },
+        )
+        apq, _ = timed(
+            "ann_pq_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in pq_topk(
+                    pcodes, books, emb, qids, k=10, rerank=100
+                ).collect()
+            },
+        )
+        extras["pq_recall_32q"] = round(len(exl2 & apq) / max(len(exl2), 1), 4)
+        pcodes.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is

@@ -485,6 +485,274 @@ def ivf_topk_quantized(
     )
 
 
+def _l2sq(a, b):
+    """Squared euclidean distance between two array<double> columns —
+    built-ins only (one zip_with + one fold), codegen-friendly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_l2_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k — the correctness reference for the PQ path (product
+    quantization approximates EUCLIDEAN distance, FAISS IndexPQ's metric;
+    :func:`brute_force_topk` is its cosine sibling). Same plan shape:
+    broadcast queries, one corpus scan, rank-bounded output."""
+    vd = F.col(vec_col).cast("array<double>")
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), vd.alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(_l2sq(F.col("qvec"), vd), 6).alias("l2sq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2sq", "rank")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample: float | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space is split into ``m``
+    contiguous subspaces and each gets its own ``ksub``-entry codebook —
+    m * ksub centroids jointly define k^m implicit cells, which is how PQ
+    reaches billion-scale codomain size from a kilobyte of codebook.
+
+    ``method="kmeans"``: m independent pyspark.ml L2 KMeans fits on the
+    subvector slices (PQ is a EUCLIDEAN quantizer — no spherical
+    normalization here, unlike the IVF coarse quantizer). ``fit_sample``
+    bounds each fit to a deterministic md5-keyed corpus fraction, same
+    fit/score split as :func:`ivf_centroids` (FAISS trains PQ codebooks
+    on ~max(10k, 50*ksub) vectors, never the collection).
+
+    ``method="lowest_id"``: codebook j = the j-th subvector slice of the
+    ``ksub`` lowest-id vectors — fully deterministic, reproducible by a
+    SQL oracle (the driver's DuckDB-checked query).
+
+    Build-time driver actions (dim probe, ksub-row collect, m model fits)
+    are one-off index-build costs, amortized like :func:`ivf_index`."""
+    dim = len(
+        embeddings.select(F.col(vec_col).cast("array<double>")).first()[0]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    if method == "lowest_id":
+        rows = (
+            embeddings.select(id_col, F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
+            .limit(ksub)
+            .collect()
+        )
+        return [
+            [[float(x) for x in r[1][j * subdim : (j + 1) * subdim]] for r in rows]
+            for j in range(m)
+        ]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_src = embeddings
+    if fit_sample is not None:
+        from .curation import hash_sample
+
+        fit_src = hash_sample(embeddings, rate=fit_sample, seed=seed, id_col=id_col)
+    vd = F.col(vec_col).cast("array<double>")
+    slices = fit_src.select(
+        *[
+            array_to_vector(F.slice(vd, j * subdim + 1, subdim)).alias(f"s{j}")
+            for j in range(m)
+        ]
+    ).persist()
+    books: list[list[list[float]]] = []
+    try:
+        for j in range(m):
+            model = KMeans(
+                k=ksub, seed=seed + j, maxIter=max_iter, featuresCol=f"s{j}"
+            ).fit(slices)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        slices.unpersist()
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte codes (argmin-L2 per subspace,
+    ties to the lowest code id) — ONE map-only projection, all literal
+    codebook arrays inside whole-stage codegen. At dim=64/float32 this is
+    256 B -> 8 B per vector at rest (32x); the decode table is the
+    codebook, kilobytes, shipped as plan literals.
+
+    Returns ``(id_col, codes array<tinyint>)``. Distances are rounded to
+    9 digits before the argmin so the tie classes match the SQL oracle
+    exactly (same convention as the IVF cell assignment)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    vd = F.col(vec_col).cast("array<double>")
+
+    def _argmin_code(sub, lit_book):
+        # closure factory (a default-arg lambda would change the visible
+        # arity and break ResolveLambdaVariables)
+        scored = F.transform(
+            lit_book,
+            lambda c, i: F.struct(
+                F.round(_l2sq(sub, c), 9).alias("d"), i.alias("code")
+            ),
+        )
+        # struct min = (d asc, code asc): the tie rule for free
+        return F.array_min(scored)["code"]
+
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vd, j * subdim + 1, subdim)
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        code_cols.append(_argmin_code(sub, lit_book))
+    return embeddings.select(
+        F.col(id_col),
+        F.array(*code_cols).cast("array<tinyint>").alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k over the PQ-encoded corpus — the
+    FAISS IndexPQ search plan: per query, precompute an m x ksub lookup
+    table of squared subspace distances against the FLOAT query (driver
+    side, Q*m*ksub doubles — query-sized, same class as the centroid
+    collect), then every corpus row costs m table lookups + (m-1) adds,
+    never a dim-length loop. The scan reads ONLY the 8-byte codes — with
+    IVF cell pruning on top this is the IVF-PQ billion-scale shape; here
+    the flat variant keeps the oracle exact.
+
+    ADC is a biased estimate of the true L2 (quantization error), so
+    ``adc`` is a ranking score, not a distance to report; recall vs
+    :func:`brute_force_l2_topk` is the quality metric (pinned in
+    tests/test_pq.py, measured per-run in bench.py).
+
+    ``rerank=R`` (R > k) is the production refinement step (FAISS
+    IndexRefineFlat): ADC selects a top-R shortlist from the codes-only
+    scan, then ONLY those Q*R rows fetch their float vectors (broadcast
+    candidate join — the full-precision table is touched for a
+    query-bounded sliver) and the exact L2 re-rank emits top-k. Raw-ADC
+    recall is code-resolution-bound (m*log2(ksub) bits/vector); the
+    rerank variant recovers exact-search recall whenever the true top-k
+    survive the shortlist. With ``rerank`` the returned ``adc`` column
+    holds the exact rounded squared L2 (same schema, refined values)."""
+    m = len(codebooks)
+    spark = codes.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    subdim = books[0].shape[1]
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        luts = [
+            [
+                float(np.sum((qv[j * subdim : (j + 1) * subdim] - c) ** 2))
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(r[0]), luts))
+    q = spark.createDataFrame(
+        lut_rows, "query_id long, luts array<array<double>>"
+    )
+    joined = codes.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = F.element_at(
+        F.col("luts").getItem(0),
+        F.element_at(F.col("codes"), 1).cast("int") + F.lit(1),
+    )
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.col("luts").getItem(j),
+            F.element_at(F.col("codes"), j + 1).cast("int") + F.lit(1),
+        )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(adc, round_digits).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+    if not rerank:
+        return shortlist
+    qvecs = codes.sparkSession.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "query_id long, qvec array<double>",
+    )
+    cand = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nvec"),
+        )
+        # candidates are Q*R rows — broadcast them so the float table is
+        # probed by a map-side join, never shuffled
+        .join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_l2sq(F.col("qvec"), F.col("nvec")), round_digits).alias("adc"),
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
