@@ -1236,6 +1236,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_ann_topk"] = pq_ann_topk
 
+    # ---- IVF-PQ composed ANN: L2 coarse cells prune the scan, residual
+    # PQ codes carry the payload (the FAISS IVFPQ / billion-scale shape).
+    # Deterministic lowest-id centroids AND codebooks so DuckDB rebuilds
+    # the identical index: cells by argmin-L2 (round-9, slot-asc),
+    # residual codebooks from the 16 lowest-id residuals, per-cell query
+    # LUTs, ADC replayed exactly.
+    def ivf_pq_ann_topk(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            ivf_pq_index,
+            ivf_pq_topk,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        codes, cents, books = ivf_pq_index(
+            emb, n_cells=4, m=8, ksub=16, method="lowest_id"
+        )
+        return ivf_pq_topk(
+            codes, cents, books, emb, query_ids=[0, 1, 2], k=5, nprobe=2
+        )
+
+    q["ivf_pq_ann_topk"] = ivf_pq_ann_topk
+
     # ---- iterative graph algorithm: connected components over the
     # customer/supplier/nation star graph. The oracle recomputes components
     # with a completely different algorithm (recursive-CTE transitive
@@ -1366,6 +1391,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kcore_graph"] = kcore_graph
+
+    # ---- label-propagation communities over the customer/supplier/nation
+    # star graph — determinized sync LPA (most-frequent neighbor label,
+    # ties -> smallest), 4 fixed rounds. Oracle: the vote unrolled 4
+    # MATERIALIZED rounds in SQL, value-identical per round.
+    def label_propagation_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            label_propagation,
+        )
+
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        s = _read(spark, sf, "supplier").select(
+            (F.col("s_suppkey").cast("long") + 1_000_000).alias("s"),
+            (F.col("s_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        lp = label_propagation(c.unionByName(s), iterations=4)
+        return lp.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("label").cast("long").alias("label"),
+        )
+
+    q["label_propagation_graph"] = label_propagation_graph
 
     # ---- crawl-snapshot delta (operators/delta.py) ---------------------------
     # Deterministic old/new snapshots derived from the documents table:
@@ -2008,6 +2058,48 @@ def _kcore_oracle(k: int = 6, rounds: int = 12) -> str:
         SELECT CAST(s AS BIGINT) AS node_id,
                CAST(COUNT(*) AS BIGINT) AS degree
         FROM e{rounds} GROUP BY s"""
+    )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled label propagation: round i's label = most frequent label
+    among round-(i-1) neighbor labels, ties -> smallest label — the exact
+    vote `label_propagation` computes with max_by(label, struct(n, -label))."""
+    ctes = [
+        """e AS MATERIALIZED (
+          SELECT DISTINCT s, t FROM (
+            SELECT CAST(c_custkey AS BIGINT) AS s,
+                   CAST(2000000 + c_nationkey AS BIGINT) AS t FROM customer
+            UNION ALL
+            SELECT CAST(2000000 + c_nationkey AS BIGINT),
+                   CAST(c_custkey AS BIGINT) FROM customer
+            UNION ALL
+            SELECT CAST(1000000 + s_suppkey AS BIGINT),
+                   CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT CAST(2000000 + s_nationkey AS BIGINT),
+                   CAST(1000000 + s_suppkey AS BIGINT) FROM supplier))""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node_id, s AS label FROM e)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+              SELECT p.node_id, COALESCE(v.new_label, p.label) AS label
+              FROM l{i} p LEFT JOIN (
+                SELECT s AS node_id, label AS new_label FROM (
+                  SELECT e.s, l.label,
+                         ROW_NUMBER() OVER (PARTITION BY e.s
+                           ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+                  FROM e JOIN l{i} l ON l.node_id = e.t
+                  GROUP BY e.s, l.label)
+                WHERE rn = 1) v USING (node_id))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(node_id AS BIGINT) AS node_id,
+               CAST(label AS BIGINT) AS label
+        FROM l{rounds}"""
     )
 
 
@@ -3110,6 +3202,81 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        # IVF-PQ: rebuild the lowest-id L2 centroids, assign every vector
+        # (argmin-L2, round-9 ties, slot-asc), materialize residuals
+        # element-wise, build residual codebooks from the 16 lowest-id
+        # residuals, re-encode (same tie classes), then replay the per-cell
+        # query LUTs + ADC over only the nprobe=2 probed cells — value-
+        # identical to the Spark broadcast-join plan.
+        "ivf_pq_ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                             v AS cvec
+                      FROM e ORDER BY vec_id LIMIT 4),
+            asg AS (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(POWER(list_distance(e.v, c.cvec), 2), 9)
+                                  ASC, c.cid ASC) AS rn
+              FROM e CROSS JOIN cents c),
+            cell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+            dims AS (SELECT range + 1 AS i FROM range(64)),
+            rz AS (SELECT e.vec_id, cl.cell, d.i, e.v[d.i] - c.cvec[d.i] AS r
+                   FROM e JOIN cell cl USING (vec_id)
+                   JOIN cents c ON c.cid = cl.cell CROSS JOIN dims d),
+            resid AS (SELECT vec_id, cell, list(r ORDER BY i) AS rv
+                      FROM rz GROUP BY vec_id, cell),
+            b AS (SELECT vec_id, rv,
+                         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS slot
+                  FROM resid ORDER BY vec_id LIMIT 16),
+            js AS (SELECT range AS j FROM range(8)),
+            cb AS (SELECT js.j, b.slot AS code,
+                          list_slice(b.rv, js.j*8 + 1, js.j*8 + 8) AS cvec
+                   FROM b CROSS JOIN js),
+            enc AS (
+              SELECT r.vec_id, r.cell, cb.j, cb.code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id, cb.j
+                       ORDER BY ROUND(POWER(list_distance(
+                                  list_slice(r.rv, cb.j*8 + 1, cb.j*8 + 8),
+                                  cb.cvec), 2), 9) ASC,
+                                cb.code ASC) AS rn
+              FROM resid r CROSS JOIN cb),
+            codes AS (SELECT vec_id, cell, j, code FROM enc WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN (0, 1, 2)),
+            qasg AS (
+              SELECT q.query_id, c.cid, c.cvec,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND(POWER(list_distance(q.qv, c.cvec), 2), 9)
+                                  ASC, c.cid ASC) AS rn
+              FROM q CROSS JOIN cents c),
+            probes AS (SELECT query_id, cid AS cell, cvec FROM qasg
+                       WHERE rn <= 2),
+            qrz AS (SELECT p.query_id, p.cell, d.i, q.qv[d.i] - p.cvec[d.i] AS r
+                    FROM probes p JOIN q USING (query_id) CROSS JOIN dims d),
+            qresid AS (SELECT query_id, cell, list(r ORDER BY i) AS rq
+                       FROM qrz GROUP BY query_id, cell),
+            lut AS (SELECT qr.query_id, qr.cell, cb.j, cb.code,
+                           POWER(list_distance(
+                             list_slice(qr.rq, cb.j*8 + 1, cb.j*8 + 8),
+                             cb.cvec), 2) AS d2
+                    FROM qresid qr CROSS JOIN cb),
+            scored AS (
+              SELECT l.query_id, c.vec_id AS neighbor_id,
+                     ROUND(SUM(l.d2), 6) AS adc
+              FROM codes c
+              JOIN lut l ON c.cell = l.cell AND c.j = l.j AND c.code = l.code
+              WHERE c.vec_id != l.query_id
+              GROUP BY l.query_id, c.vec_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   adc,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
         # IVF-SQ8: rebuild the float index, quantize the corpus per-vector,
         # then run BOTH probe assignment and scoring on the integer arrays
         # (cosine is scale-invariant, so no dequantization anywhere) —
@@ -3239,6 +3406,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_graph": pagerank_sql,
         "kcore_graph": _kcore_oracle(k=6, rounds=12),
+        "label_propagation_graph": _lpa_oracle(rounds=4),
         "ppr_graph": ppr_sql,
         "relation_extract_docs": f"""
             WITH l AS (

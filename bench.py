@@ -42,7 +42,8 @@ minhash_pairs_det, simhash_pairs_native, ivf_index_build, ann_brute_32q,
 ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
 decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
 repetition_stats, kcore_graph, quantize_build, ann_quantized_32q,
-ivf_sq8_build, ann_ivf_sq8_32q, pq_build, ann_brute_l2_32q, ann_pq_32q),
+ivf_sq8_build, ann_ivf_sq8_32q, pq_build, ann_brute_l2_32q, ann_pq_32q,
+ivf_pq_build, ann_ivfpq_32q),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -447,6 +448,41 @@ def main() -> int:
         )
         extras["pq_recall_32q"] = round(len(exl2 & apq) / max(len(exl2), 1), 4)
         pcodes.unpersist()
+
+        # --- IVF-PQ composed: L2 cells prune the scan AND the payload is
+        # 8-byte residual codes — the billion-scale shape. Same 32 queries,
+        # nprobe=4/16 cells, rerank=100 exact tail; recall vs exact L2.
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            ivf_pq_index,
+            ivf_pq_topk,
+        )
+
+        def _build_ivf_pq():
+            cd, ce, bk = ivf_pq_index(
+                emb, n_cells=16, m=8, ksub=16, method="kmeans",
+                fit_sample=0.25,
+            )
+            cd = cd.persist()
+            cd.count()
+            return cd, ce, bk
+
+        (ipq_codes, ipq_cents, ipq_books), _ = timed(
+            "ivf_pq_build", _build_ivf_pq
+        )
+        aipq, _ = timed(
+            "ann_ivfpq_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_pq_topk(
+                    ipq_codes, ipq_cents, ipq_books, emb, qids,
+                    k=10, nprobe=4, rerank=100,
+                ).collect()
+            },
+        )
+        extras["ivfpq_recall_32q"] = round(
+            len(exl2 & aipq) / max(len(exl2), 1), 4
+        )
+        ipq_codes.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is

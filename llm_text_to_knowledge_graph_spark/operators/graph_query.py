@@ -210,6 +210,74 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
     )
 
 
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Community detection by DETERMINIZED synchronous label propagation
+    (Raghavan et al. 2007): every node starts as its own community and
+    each round adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label — no randomness, so the result is a pure
+    function of (graph, iterations), reproducible across runs, partition
+    layouts, and engines (the SQL oracle replays it round-for-round).
+    Returns ``(node_id, label)``.
+
+    Plan per round: ONE shuffle joining labels onto edge targets, ONE
+    partial-agg ``groupBy(s, label)`` count (bounded by degree per node),
+    and ONE ``max_by(label, struct(n, -label))`` groupBy — the (count
+    desc, label asc) vote decided inside a partial-aggregable agg instead
+    of a window sort. Labels ``localCheckpoint`` each round to truncate
+    iterative lineage (the connected_components lesson). Hub fan-out is
+    the same t-side join shape as pagerank's contribution pass — AQE
+    handles the skew; no driver actions inside the loop except the
+    convergence scalar.
+
+    Synchronous LPA can 2-cycle on bipartite structure instead of
+    converging (the known sync-update artifact), which ``iterations``
+    bounds; the early exit only fires on a true fixpoint, so a fixed-round
+    replay of >= the exit round gives identical labels.
+    """
+    und = undirected_edges(edges).distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        freq = (
+            und.join(
+                labels.select(
+                    F.col("node_id").alias("t"), F.col("label").alias("n_label")
+                ),
+                "t",
+            )
+            .groupBy("s", "n_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        vote = freq.groupBy("s").agg(
+            F.max_by(
+                "n_label", F.struct(F.col("n"), (-F.col("n_label")).alias("_t"))
+            ).alias("new_label")
+        )
+        new_labels = (
+            labels.join(vote.withColumnRenamed("s", "node_id"), "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -606,6 +606,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to ``m`` one-byte codes (argmin-L2 per subspace,
     ties to the lowest code id) — ONE map-only projection, all literal
@@ -615,7 +616,9 @@ def pq_encode(
 
     Returns ``(id_col, codes array<tinyint>)``. Distances are rounded to
     9 digits before the argmin so the tie classes match the SQL oracle
-    exactly (same convention as the IVF cell assignment)."""
+    exactly (same convention as the IVF cell assignment). ``extra_cols``
+    carries index columns (e.g. the IVF ``cell``) through unchanged —
+    see :func:`ivf_pq_index`."""
     m = len(codebooks)
     subdim = len(codebooks[0][0])
     vd = F.col(vec_col).cast("array<double>")
@@ -642,6 +645,7 @@ def pq_encode(
     return embeddings.select(
         F.col(id_col),
         F.array(*code_cols).cast("array<tinyint>").alias("codes"),
+        *extra_cols,
     )
 
 
@@ -705,19 +709,10 @@ def pq_topk(
     joined = codes.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    adc = F.element_at(
-        F.col("luts").getItem(0),
-        F.element_at(F.col("codes"), 1).cast("int") + F.lit(1),
-    )
-    for j in range(1, m):
-        adc = adc + F.element_at(
-            F.col("luts").getItem(j),
-            F.element_at(F.col("codes"), j + 1).cast("int") + F.lit(1),
-        )
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(adc, round_digits).alias("adc"),
+        F.round(_adc_sum(m), round_digits).alias("adc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     shortlist = (
@@ -727,7 +722,41 @@ def pq_topk(
     )
     if not rerank:
         return shortlist
-    qvecs = codes.sparkSession.createDataFrame(
+    return _exact_l2_rerank(
+        shortlist, embeddings, qrows, k, id_col, vec_col, round_digits
+    )
+
+
+def _adc_sum(m: int):
+    """ADC accumulator: m LUT lookups + (m-1) adds per corpus row, fixed
+    j-ascending summation order (the SQL oracle's SUM agrees to the
+    rounded digits)."""
+    adc = F.element_at(
+        F.col("luts").getItem(0),
+        F.element_at(F.col("codes"), 1).cast("int") + F.lit(1),
+    )
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.col("luts").getItem(j),
+            F.element_at(F.col("codes"), j + 1).cast("int") + F.lit(1),
+        )
+    return adc
+
+
+def _exact_l2_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    qrows,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """FAISS-IndexRefineFlat tail shared by the PQ searchers: only the Q*R
+    shortlist rows fetch their float vectors (broadcast candidate join —
+    the full-precision table is touched for a query-bounded sliver), then
+    the exact L2 re-rank emits top-k."""
+    qvecs = shortlist.sparkSession.createDataFrame(
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "query_id long, qvec array<double>",
     )
@@ -746,10 +775,235 @@ def pq_topk(
         "neighbor_id",
         F.round(_l2sq(F.col("qvec"), F.col("nvec")), round_digits).alias("adc"),
     )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     return (
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivf_pq_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample: float | None = None,
+) -> list[list[float]]:
+    """L2 coarse centroids for the IVF-PQ index, cell ids = slot 0..K-1.
+
+    Plain euclidean KMeans — deliberately NOT the spherical quantizer of
+    :func:`ivf_centroids`: IVF-PQ encodes RESIDUALS (vector − centroid)
+    and ranks by ADC squared-L2, so the cell geometry must live in the
+    same metric as the codebooks or the residuals stop being small.
+    ``method="lowest_id"`` (the ``n_cells`` lowest-id vectors, slot order)
+    is kept for the DuckDB oracle, like every other index builder here."""
+    if method == "lowest_id":
+        rows = (
+            embeddings.select(id_col, F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
+        return [[float(x) for x in r[1]] for r in rows]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_src = embeddings
+    if fit_sample is not None:
+        from .curation import hash_sample
+
+        fit_src = hash_sample(embeddings, rate=fit_sample, seed=seed, id_col=id_col)
+    feats = fit_src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_cells_l2(vec_col, cents: list[list[float]], nprobe: int):
+    """Array of the ``nprobe`` nearest L2 centroid slots (round-9 tie
+    classes, slot-asc ties) — literal centroid arrays, one transform
+    lambda compiled once, map-only JVM projection."""
+    cvecs = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    scored = F.transform(
+        cvecs,
+        lambda c, i: F.struct(
+            F.round(_l2sq(vec_col, c), 9).alias("d"), i.alias("cid")
+        ),
+    )
+    # struct sort asc = (d asc, cid asc): the tie rule for free
+    ranked = F.slice(F.sort_array(scored), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def _nearest_cells_l2_pandas(vec_col, cents: list[list[float]], nprobe: int):
+    """Arrow/BLAS L2 assignment for large K — same dispatch rationale as
+    :func:`_nearest_cells_pandas`, same round-9/slot-asc tie classes."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    slots = np.arange(len(cents), dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(vecs):
+        import pandas as _pd
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            d = np.round(((cmat - x) ** 2).sum(axis=1), 9)
+            order = np.lexsort((slots, d))[:nprobe]
+            out.append([int(i) for i in order])
+        return _pd.Series(out)
+
+    return _assign(vec_col)
+
+
+def nearest_cells_l2_col(vec_col, cents: list[list[float]], nprobe: int):
+    """Plan dispatch by K, same cutoff as the cosine assignment."""
+    if len(cents) <= _LITERAL_K_MAX:
+        return _nearest_cells_l2(vec_col, cents, nprobe)
+    return _nearest_cells_l2_pandas(vec_col, cents, nprobe)
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+    seed: int = 42,
+    fit_sample: float | None = None,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Build the composed IVF-PQ index — the FAISS IVFPQ / billion-scale
+    ANN shape: an L2 coarse quantizer prunes the scan to ~nprobe/K of the
+    corpus, and within cells each vector is stored as ``m`` one-byte PQ
+    codes of its RESIDUAL (vector − cell centroid). Residual encoding is
+    what makes the composition better than flat PQ: residuals concentrate
+    near the origin, so the same ksub codebook entries resolve much finer
+    distances than they would on the raw space.
+
+    One build pass: map-only cell assignment (literal centroids ≤64,
+    Arrow/BLAS beyond), a zip_with residual projection, then the shared
+    :func:`pq_codebooks` fit (sample-boundable) + :func:`pq_encode` — the
+    whole corpus crosses once and lands as ``(id, cell, codes)``: 8 bytes
+    of payload per vector, written PARTITIONED BY (cell) at rest so probes
+    prune at file level. Returns ``(codes_df, centroids, codebooks)``."""
+    cents = ivf_pq_centroids(
+        embeddings, n_cells, id_col, vec_col, method, seed, fit_sample=fit_sample
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    resid = embeddings.select(
+        F.col(id_col),
+        nearest_cells_l2_col(vd, cents, 1)[0].alias("cell"),
+        vd.alias("_v"),
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ).alias("resid"),
+    )
+    books = pq_codebooks(
+        resid,
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col="resid",
+        method=method if method == "lowest_id" else "kmeans",
+        seed=seed,
+        fit_sample=fit_sample,
+    )
+    codes = pq_encode(
+        resid, books, id_col=id_col, vec_col="resid", extra_cols=("cell",)
+    )
+    return codes, cents, books
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Search the IVF-PQ index: per query, pick the ``nprobe`` nearest
+    cells (driver-side numpy over the K×dim centroid matrix — same class
+    as the LUT precompute) and build one residual ADC lookup table PER
+    PROBED CELL, since the query's residual differs per cell:
+    ``ADC(q, x) = ||(q − cent_cell(x)) − decode(codes_x)||²``. The scan
+    then reads ONLY the probed cells' 8-byte codes — a broadcast join on
+    ``cell`` that prunes at partition/file level against the
+    PARTITIONED BY (cell) store — and each row costs m lookups + adds.
+
+    LUT payload is Q × nprobe × m × ksub doubles (query-sized). When a
+    neighbor's stored residual is exactly representable the ADC equals the
+    true squared L2 (pinned in tests). ``rerank=R`` adds the shared exact
+    re-rank tail; recall vs :func:`brute_force_l2_topk` is the quality
+    metric (pinned on clustered data, reported per bench run)."""
+    m = len(codebooks)
+    spark = codes.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    cmat = np.asarray(cents, dtype=np.float64)
+    bmats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    subdim = bmats[0].shape[1]
+    slots = np.arange(len(cents), dtype=np.int64)
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = np.round(((cmat - qv) ** 2).sum(axis=1), 9)
+        for c in np.lexsort((slots, d))[:nprobe]:
+            rq = qv - cmat[c]
+            luts = [
+                [
+                    float(np.sum((rq[j * subdim : (j + 1) * subdim] - cb) ** 2))
+                    for cb in bmats[j]
+                ]
+                for j in range(m)
+            ]
+            lut_rows.append((int(r[0]), int(c), luts))
+    q = spark.createDataFrame(
+        lut_rows, "query_id long, cell int, luts array<array<double>>"
+    )
+    joined = codes.join(F.broadcast(q), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(_adc_sum(m), round_digits).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+    if not rerank:
+        return shortlist
+    return _exact_l2_rerank(
+        shortlist, embeddings, qrows, k, id_col, vec_col, round_digits
     )
 
 

@@ -184,3 +184,69 @@ def test_personalized_pagerank_matches_numpy_power_iteration(spark):
     }
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, node
+
+
+def test_label_propagation_finds_cliques(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    # two 4-cliques joined by one bridge edge: majority voting keeps each
+    # clique on its own min-id label and the bridge cannot flip either side
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(df, iterations=6).collect()
+    }
+    assert len({got[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({got[i] for i in (10, 11, 12, 13)}) == 1
+    assert got[0] != got[10]
+
+
+def test_label_propagation_matches_independent_python(spark):
+    import random as _r
+
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    _r.seed(9)
+    edges = list({(min(u, v), max(u, v))
+                  for u, v in ((_r.randint(0, 14), _r.randint(0, 14))
+                               for _ in range(45))
+                  if u != v})
+    df = spark.createDataFrame(edges, "s long, t long")
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for b in nbrs:
+                counts[labels[b]] = counts.get(labels[b], 0) + 1
+            # most frequent, ties -> smallest label
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        if new == labels:
+            break
+        labels = new
+
+    got = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert got == labels
+
+    # partitioning invariance: the vote is an aggregate, not a scan order
+    got13 = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(df.repartition(13), iterations=4).collect()
+    }
+    assert got13 == labels
