@@ -442,7 +442,7 @@ def main() -> int:
             lambda: {
                 (r["query_id"], r["neighbor_id"])
                 for r in pq_topk(
-                    pcodes, books, emb, qids, k=10, rerank=100
+                    pcodes, books, emb, qids, k=10, rerank=300
                 ).collect()
             },
         )
@@ -451,7 +451,11 @@ def main() -> int:
 
         # --- IVF-PQ composed: L2 cells prune the scan AND the payload is
         # 8-byte residual codes — the billion-scale shape. Same 32 queries,
-        # nprobe=4/16 cells, rerank=100 exact tail; recall vs exact L2.
+        # nprobe=8/16 cells, rerank=300 exact tail; recall vs exact L2.
+        # The isotropic sf table is PQ's worst case (no cluster structure,
+        # near-tied top-10 distance gaps below 32-bit code resolution), so
+        # recall here is shortlist-fraction-bound by construction — the
+        # >=0.9 capability is pinned on clustered data in tests/test_ivfpq.
         from llm_text_to_knowledge_graph_spark.operators.similarity import (
             ivf_pq_index,
             ivf_pq_topk,
@@ -475,7 +479,7 @@ def main() -> int:
                 (r["query_id"], r["neighbor_id"])
                 for r in ivf_pq_topk(
                     ipq_codes, ipq_cents, ipq_books, emb, qids,
-                    k=10, nprobe=4, rerank=100,
+                    k=10, nprobe=8, rerank=300,
                 ).collect()
             },
         )
