@@ -1333,6 +1333,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_events"] = asof_events
 
+    # ---- event-time interval join: ALL purchases within 1 hour after each
+    # view/click, via the stream-stream join operator run in batch mode
+    # (withWatermark is a no-op on batch) — the SAME code path the
+    # streaming tests execute, so this green oracle pins the join
+    # semantics the stream runs.
+    def interval_join_events(spark, sf):
+        from llm_text_to_knowledge_graph_spark.streaming.joins import (
+            interval_join_streams,
+        )
+
+        ev = _read(spark, sf, "events")
+        left = ev.filter(F.col("event_type").isin("view", "click")).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts"),
+        )
+        right = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        out = interval_join_streams(
+            left, right, key="user_id", left_ts="ts", right_ts="p_ts",
+            max_delay="1 hour", watermark="2 hours",
+        )
+        return out.select(
+            "user_id",
+            "event_id",
+            F.col("p_event_id").cast("long").alias("p_event_id"),
+            F.round("value", 6).alias("p_value"),
+        )
+
+    q["interval_join_events"] = interval_join_events
+
     # ---- range join (bin-bucketed): lineitem prices against +-10% bands
     # around small-order totals — the inequality join as an equi-join
     def range_join_prices(spark, sf):
@@ -3058,6 +3093,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.value, 6) AS matched_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join_events": """
+            WITH l AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS event_id, ts
+              FROM events WHERE event_type IN ('view', 'click')),
+            r AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(event_id AS BIGINT) AS p_event_id,
+                     ts AS p_ts, value
+              FROM events WHERE event_type = 'purchase')
+            SELECT l.user_id, l.event_id, r.p_event_id,
+                   ROUND(r.value, 6) AS p_value
+            FROM l JOIN r ON l.user_id = r.user_id
+             AND r.p_ts >= l.ts AND r.p_ts <= l.ts + INTERVAL 1 HOUR
         """,
         "dedup_clusters": """
             WITH RECURSIVE grams AS (
