@@ -2030,6 +2030,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negative_samples"] = kg_negative_samples
 
+    # deterministic random-walk corpus (operators/walks.py): DeepWalk-style
+    # (walk_id, step, node) rows + skip-gram (center, context) pairs — with
+    # negatives.py and pack_sequences this completes the KG-embedding
+    # training-data path. Pure function of (graph, seed): the oracle replays
+    # the ranked adjacency and every 60-bit md5 step draw.
+    def _walk_edges(spark, sf):
+        return _read(spark, sf, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("s"),
+            (F.col("s_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+
+    def random_walk_corpus(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.walks import (
+            random_walks,
+        )
+
+        return random_walks(
+            _walk_edges(spark, sf), walk_len=3, walks_per_node=2, seed=9
+        )
+
+    q["random_walk_corpus"] = random_walk_corpus
+
+    def skipgram_pairs_walks(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.walks import (
+            random_walks,
+            skipgram_pairs,
+        )
+
+        w = random_walks(
+            _walk_edges(spark, sf), walk_len=3, walks_per_node=2, seed=9
+        )
+        return skipgram_pairs(w, window=2)
+
+    q["skipgram_pairs_walks"] = skipgram_pairs_walks
+
     return q
 
 
@@ -2381,6 +2416,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(id_b AS BIGINT) AS id_b,
                CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+    # random-walk oracle: ranked adjacency via ROW_NUMBER, then each step
+    # replays the walks.py 60-bit md5 draw (15 nibbles, exact BIGINT
+    # multipliers — same replay as kg_negative_samples) modulo degree.
+    def _h60(hx: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {i}, 1)) - 1)::BIGINT"
+            f" * {16 ** (15 - i)}"
+            for i in range(1, 16)
+        ) + ")"
+
+    _walk_steps = "\n".join(
+        f"""        s{k} AS (
+          SELECT p.walk_id, {k} AS step, a.t AS node
+          FROM (
+            SELECT w.walk_id, w.node, d.deg,
+                   md5(CAST(w.walk_id AS VARCHAR) || ':{k}:9') AS hx
+            FROM s{k - 1} w JOIN deg_tbl d ON d.s = w.node) p
+          JOIN adj a ON a.s = p.node
+           AND a.idx = ({_h60('p.hx')} % p.deg) + 1),"""
+        for k in range(1, 4)
+    )
+    _walks_cte = f"""
+        WITH e AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS s,
+                 CAST(s_nationkey AS BIGINT) + 2000000 AS t
+          FROM supplier),
+        und AS (
+          SELECT DISTINCT s, t FROM (
+            SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e)
+          WHERE s <> t),
+        adj AS (
+          SELECT s, t,
+                 ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) AS idx,
+                 COUNT(*) OVER (PARTITION BY s) AS deg
+          FROM und),
+        deg_tbl AS (SELECT s, deg FROM adj WHERE idx = 1),
+        s0 AS (
+          SELECT s * 2 + u.c AS walk_id, 0 AS step, s AS node
+          FROM deg_tbl, UNNEST([0, 1]) AS u(c)),
+{_walk_steps}
+        walks AS (
+          SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
     """
 
     mention_union = "\nUNION ALL\n".join(
@@ -3865,5 +3945,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT DISTINCT s AS ts, t AS tt FROM e) tr
               ON neg.neg_s = tr.ts AND neg.neg_t = tr.tt
             WHERE tr.ts IS NULL
+        """,
+        "random_walk_corpus": _walks_cte + """
+            SELECT CAST(walk_id AS BIGINT) AS walk_id,
+                   CAST(step AS INT) AS step,
+                   CAST(node AS BIGINT) AS node
+            FROM walks
+        """,
+        "skipgram_pairs_walks": _walks_cte + """
+            SELECT CAST(a.walk_id AS BIGINT) AS walk_id,
+                   CAST(a.step AS INT) AS step,
+                   CAST(a.node AS BIGINT) AS center,
+                   CAST(b.node AS BIGINT) AS context
+            FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+            WHERE ABS(a.step - b.step) BETWEEN 1 AND 2
+              AND a.node <> b.node
         """,
     }
