@@ -2065,6 +2065,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_pairs_walks"] = skipgram_pairs_walks
 
+    # web link-graph construction (operators/linkgraph.py): pages(url, html)
+    # -> absolute hrefs (map-only JVM regex) -> host-level edge rollup (one
+    # partial-agg groupBy). HTML is synthesized deterministically from the
+    # documents table (modular host assignment, one double-quoted absolute
+    # link + one conditional single-quoted ported link + one relative link
+    # that must be skipped) so the oracle replays synthesis AND extraction.
+    def host_link_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.linkgraph import (
+            extract_links,
+            host_graph,
+        )
+
+        d = _read(spark, sf, "documents")
+        did = F.col("doc_id").cast("long")
+        src = F.concat(
+            F.lit("http://h"),
+            (did % 11).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+        )
+        a1 = F.concat(
+            F.lit('<a href="https://h'),
+            ((did * 7) % 23).cast("string"),
+            F.lit(".example.net/x?id="),
+            did.cast("string"),
+            F.lit('#s">l1</a>'),
+        )
+        a2 = F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<a href='http://h"),
+                (did % 5).cast("string"),
+                F.lit(".sample.io:8080/y'>l2</a>"),
+            ),
+        ).otherwise(F.lit('<a href="/rel">skip</a>'))
+        html = F.concat(
+            F.lit("<html><body>"), a1, a2, F.lit("</body></html>")
+        ).cast("binary")
+        pages = d.select(src.alias("url"), html.alias("html"))
+        return host_graph(extract_links(pages))
+
+    q["host_link_graph"] = host_link_graph
+
     return q
 
 
@@ -2462,6 +2505,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT * FROM s0 UNION ALL SELECT * FROM s1
           UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
     """
+
+    # link-graph regexes: the literal patterns linkgraph.py runs, with
+    # single quotes doubled for the SQL string literal
+    from llm_text_to_knowledge_graph_spark.operators.linkgraph import (
+        HREF_PATTERN as _HREF_PY,
+        _HOST_PATTERN as _HOST_PY,
+    )
+
+    _HREF_SQL = _HREF_PY.replace("'", "''")
+    _HOST_SQL = _HOST_PY.replace("'", "''")
 
     mention_union = "\nUNION ALL\n".join(
         f"SELECT '{w.upper()}' AS entry_name, "
@@ -3960,5 +4013,39 @@ def oracle_sql() -> dict[str, str]:
             FROM walks a JOIN walks b ON a.walk_id = b.walk_id
             WHERE ABS(a.step - b.step) BETWEEN 1 AND 2
               AND a.node <> b.node
+        """,
+        # replay the deterministic html synthesis, then the SAME href regex
+        # (linkgraph.HREF_PATTERN) and host extraction as the Spark plan
+        "host_link_graph": f"""
+            WITH p AS (
+              SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body>'
+                       || '<a href="https://h' || CAST((doc_id * 7) % 23 AS VARCHAR)
+                       || '.example.net/x?id=' || CAST(doc_id AS VARCHAR)
+                       || '#s">l1</a>'
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN '<a href=''http://h' || CAST(doc_id % 5 AS VARCHAR)
+                                   || '.sample.io:8080/y''>l2</a>'
+                            ELSE '<a href="/rel">skip</a>' END
+                       || '</body></html>' AS html
+              FROM documents),
+            links AS (
+              SELECT url,
+                     UNNEST(regexp_extract_all(html,
+                       '{_HREF_SQL}', 1)) AS link
+              FROM p),
+            hosts AS (
+              SELECT lower(regexp_extract(url,
+                       '{_HOST_SQL}', 1)) AS src_host,
+                     lower(regexp_extract(link,
+                       '{_HOST_SQL}', 1)) AS dst_host
+              FROM links)
+            SELECT src_host, dst_host,
+                   CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM hosts
+            WHERE src_host <> '' AND dst_host <> ''
+              AND src_host <> dst_host
+            GROUP BY src_host, dst_host
         """,
     }
