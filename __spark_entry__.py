@@ -2108,6 +2108,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_link_graph"] = host_link_graph
 
+    # HITS hubs/authorities (graph_query.hits_scores): directed two-layer
+    # graph supplier -> nation -> region, 4 unrolled rounds in the oracle.
+    # Rounded to 6 dp like pagerank (sum-order float drift absorption).
+    def hits_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            hits_scores,
+        )
+
+        sup = _read(spark, sf, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("s"),
+            (F.col("s_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        nat = _read(spark, sf, "nation").select(
+            (F.col("n_nationkey").cast("long") + 2_000_000).alias("s"),
+            (F.col("n_regionkey").cast("long") + 3_000_000).alias("t"),
+        )
+        h = hits_scores(sup.unionByName(nat), iterations=4)
+        return h.select(
+            "node_id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    q["hits_graph"] = hits_graph
+
     return q
 
 
@@ -2504,6 +2529,50 @@ def oracle_sql() -> dict[str, str]:
         walks AS (
           SELECT * FROM s0 UNION ALL SELECT * FROM s1
           UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+    """
+
+    # HITS oracle: 4 unrolled rounds, each = auth half-step then hub
+    # half-step, L1-normalized via a window SUM() OVER () — exactly the
+    # hits_scores computation (only-nonzero rows inside the loop, full
+    # node list restored with zeros at the end)
+    _hits_rounds = ""
+    _ph = "h0"
+    for _i in range(1, 5):
+        _hits_rounds += f""",
+        a{_i} AS (
+          SELECT node_id,
+                 raw / GREATEST(SUM(raw) OVER (), 1e-300) AS authority
+          FROM (SELECT e.t AS node_id, SUM(h.hub) AS raw
+                FROM e JOIN {_ph} h ON h.node_id = e.s GROUP BY e.t)),
+        h{_i} AS (
+          SELECT node_id,
+                 raw / GREATEST(SUM(raw) OVER (), 1e-300) AS hub
+          FROM (SELECT e.s AS node_id, SUM(a.authority) AS raw
+                FROM e JOIN a{_i} a ON a.node_id = e.t GROUP BY e.s))"""
+        _ph = f"h{_i}"
+    hits_sql = f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s,
+                 CAST(s_nationkey AS BIGINT) + 2000000 AS t
+          FROM supplier
+          UNION
+          SELECT DISTINCT CAST(n_nationkey AS BIGINT) + 2000000 AS s,
+                 CAST(n_regionkey AS BIGINT) + 3000000 AS t
+          FROM nation
+        ),
+        nodes AS (SELECT DISTINCT s AS node_id FROM e
+                  UNION SELECT DISTINCT t FROM e),
+        h0 AS (
+          SELECT node_id,
+                 1.0 / (SELECT COUNT(*) FROM nodes) AS hub
+          FROM nodes)
+        {_hits_rounds}
+        SELECT nodes.node_id,
+               ROUND(COALESCE(h4.hub, 0.0), 6) AS hub,
+               ROUND(COALESCE(a4.authority, 0.0), 6) AS authority
+        FROM nodes
+        LEFT JOIN h4 ON h4.node_id = nodes.node_id
+        LEFT JOIN a4 ON a4.node_id = nodes.node_id
     """
 
     # link-graph regexes: the literal patterns linkgraph.py runs, with
@@ -4048,4 +4117,5 @@ def oracle_sql() -> dict[str, str]:
               AND src_host <> dst_host
             GROUP BY src_host, dst_host
         """,
+        "hits_graph": hits_sql,
     }

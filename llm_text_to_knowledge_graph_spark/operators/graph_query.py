@@ -564,3 +564,66 @@ def personalized_pagerank(
             )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED edge table — the
+    companion to :func:`pagerank` for the web host graph
+    (operators/linkgraph.py): authorities = pages many good hubs point
+    to, hubs = pages pointing at many good authorities. Returns
+    (node_id, hub, authority).
+
+    Per iteration: two joins + two partial-agg groupBys (one per score
+    direction) and two L1 normalizations folded in as 1-row broadcast
+    crossJoins — zero mid-loop driver actions, lineage truncated per
+    round (same discipline as pagerank/PPR). L1 (sum) normalization is
+    used instead of Kleinberg's L2: the normalized fixpoint direction is
+    identical (normalization only rescales), the ranking is unchanged,
+    and sums are exactly replayable in SQL where sqrt-of-sum-of-squares
+    ordering is not. Deterministic for a given (graph, iterations).
+
+    Inside the loop only nodes with nonzero score carry rows (zeros
+    contribute nothing to either sum); the full node list is restored
+    with explicit 0.0 scores in the final projection.
+    """
+    g = edges.select("s", "t").distinct().localCheckpoint(eager=True)
+    nodes = (
+        g.select(F.col("s").alias("node_id"))
+        .unionByName(g.select(F.col("t").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("hub", F.lit(1.0 / n))
+    auth = None
+    eps = F.lit(1e-300)  # guard a degenerate all-zero round; inert at tot~1
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_tot"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "node_id",
+            (F.col(col) / F.greatest(F.col("_tot"), eps)).alias(col),
+        )
+
+    for _ in range(iterations):
+        araw = (
+            g.join(hub.withColumnRenamed("node_id", "s"), "s")
+            .groupBy(F.col("t").alias("node_id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1(araw, "authority").localCheckpoint(eager=True)
+        hraw = (
+            g.join(auth.withColumnRenamed("node_id", "t"), "t")
+            .groupBy(F.col("s").alias("node_id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _l1(hraw, "hub").localCheckpoint(eager=True)
+    return (
+        nodes.join(hub, "node_id", "left")
+        .join(auth, "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
