@@ -2133,6 +2133,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_graph"] = hits_graph
 
+    # anchor-text alias mining (linkgraph.extract_anchors +
+    # anchor_alias_counts): synthesized pages carry case/whitespace
+    # variants of 'entity K' anchors plus a markup-only anchor that must
+    # be dropped; output is the (alias, dst_host, n_refs) dictionary feed.
+    def anchor_alias_counts_q(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.linkgraph import (
+            anchor_alias_counts,
+            extract_anchors,
+        )
+
+        d = _read(spark, sf, "documents")
+        did = F.col("doc_id").cast("long")
+        url = F.concat(
+            F.lit("http://h"),
+            (did % 11).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+        )
+        a1 = F.concat(
+            F.lit('<a href="https://h'),
+            ((did * 7) % 23).cast("string"),
+            F.lit('.example.net/x">Entity '),
+            (did % 13).cast("string"),
+            F.lit("</a>"),
+        )
+        a2 = F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<a href='http://h"),
+                (did % 5).cast("string"),
+                F.lit(".sample.io/y'>  entity   "),
+                (did % 13).cast("string"),
+                F.lit(" </a>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<a href="http://h'),
+                (did % 3).cast("string"),
+                F.lit('.other.org/z"><b>markup</b></a>'),
+            )
+        )
+        html = F.concat(
+            F.lit("<html><body>"), a1, a2, F.lit("</body></html>")
+        ).cast("binary")
+        pages = d.select(url.alias("url"), html.alias("html"))
+        return anchor_alias_counts(extract_anchors(pages))
+
+    q["anchor_alias_counts"] = anchor_alias_counts_q
+
     return q
 
 
@@ -2578,12 +2627,14 @@ def oracle_sql() -> dict[str, str]:
     # link-graph regexes: the literal patterns linkgraph.py runs, with
     # single quotes doubled for the SQL string literal
     from llm_text_to_knowledge_graph_spark.operators.linkgraph import (
+        ANCHOR_PATTERN as _ANCHOR_PY,
         HREF_PATTERN as _HREF_PY,
         _HOST_PATTERN as _HOST_PY,
     )
 
     _HREF_SQL = _HREF_PY.replace("'", "''")
     _HOST_SQL = _HOST_PY.replace("'", "''")
+    _ANCHOR_SQL = _ANCHOR_PY.replace("'", "''")
 
     mention_union = "\nUNION ALL\n".join(
         f"SELECT '{w.upper()}' AS entry_name, "
@@ -4118,4 +4169,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY src_host, dst_host
         """,
         "hits_graph": hits_sql,
+        # anchor alias mining: replay synthesis, zip the two capture groups
+        # via generate_subscripts, normalize with GLOBAL regexp_replace
+        "anchor_alias_counts": f"""
+            WITH p AS (
+              SELECT '<html><body>'
+                       || '<a href="https://h' || CAST((doc_id * 7) % 23 AS VARCHAR)
+                       || '.example.net/x">Entity ' || CAST(doc_id % 13 AS VARCHAR)
+                       || '</a>'
+                       || CASE WHEN doc_id % 4 = 0
+                            THEN '<a href=''http://h' || CAST(doc_id % 5 AS VARCHAR)
+                                   || '.sample.io/y''>  entity   '
+                                   || CAST(doc_id % 13 AS VARCHAR) || ' </a>'
+                            ELSE '<a href="http://h' || CAST(doc_id % 3 AS VARCHAR)
+                                   || '.other.org/z"><b>markup</b></a>' END
+                       || '</body></html>' AS html
+              FROM documents),
+            m AS (
+              SELECT regexp_extract_all(html, '{_ANCHOR_SQL}', 1) AS links,
+                     regexp_extract_all(html, '{_ANCHOR_SQL}', 2) AS anchors
+              FROM p),
+            z AS (
+              SELECT unnest(links) AS link, unnest(anchors) AS anchor
+              FROM m),
+            norm AS (
+              SELECT lower(trim(regexp_replace(anchor, '\\s+', ' ', 'g'))) AS alias,
+                     lower(regexp_extract(link, '{_HOST_SQL}', 1)) AS dst_host
+              FROM z WHERE trim(anchor) <> '')
+            SELECT alias, dst_host, CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM norm WHERE dst_host <> ''
+            GROUP BY alias, dst_host
+        """,
     }

@@ -82,3 +82,63 @@ def host_graph(
     return g.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+# href + anchor text in one pattern: group 1 = absolute target, group 2 =
+# the anchor's inner text up to the closing tag (no nested markup — the
+# plain-text-anchor common case; markup anchors yield '' and are dropped)
+ANCHOR_PATTERN = (
+    r"""(?i)href\s*=\s*["'](https?://[^"'#\s>]+)[^>]*>([^<>]{1,200})<"""
+)
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, link, anchor): absolute-href links WITH their anchor text.
+
+    Anchor text is the highest-precision alias signal on the web — the
+    aggregation below feeds the broadcast alias dictionary that mention
+    detection (operators/mentions.py) matches against. Map-only like
+    extract_links: two aligned regexp_extract_all passes (same pattern,
+    groups 1 and 2) zipped and exploded, all JVM-side.
+    """
+    html_str = F.col(html_col).cast("string")
+    z = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 1).alias(
+                "link"
+            ),
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 2).alias(
+                "anchor"
+            ),
+        )
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"), z.alias("_z"))
+        .select("url", F.col("_z.link").alias("link"), F.col("_z.anchor").alias("anchor"))
+        .filter(F.trim(F.col("anchor")) != "")
+    )
+
+
+def anchor_alias_counts(
+    anchors: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """(alias, dst_host, n_refs): how often each normalized anchor text
+    points at each host — the raw material for the entity-linking alias
+    dictionary (an alias that consistently hits one host is a
+    high-confidence surface form; one spread over many hosts is a
+    stop-phrase like "click here"). ONE partial-agg groupBy; alias
+    normalization (lowercase + whitespace collapse) is map-side."""
+    alias = F.lower(F.trim(F.regexp_replace(F.col("anchor"), r"\s+", " ")))
+    out = (
+        anchors.select(
+            alias.alias("alias"), host_of(F.col("link")).alias("dst_host")
+        )
+        .filter(F.col("dst_host") != "")
+        .groupBy("alias", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_refs") >= min_count)
+    return out

@@ -78,3 +78,40 @@ def test_host_graph_rollup_and_self_links(spark):
         for r in host_graph(links, drop_self=False).collect()
     }
     assert g_self[("s1.org", "s1.org")] == 1
+
+
+def test_extract_anchors_and_alias_counts(spark):
+    from llm_text_to_knowledge_graph_spark.operators.linkgraph import (
+        anchor_alias_counts,
+        extract_anchors,
+    )
+
+    pages = _pages(
+        spark,
+        [
+            (
+                "http://s1.org/a",
+                '<a href="http://t1.net/x" rel="nofollow">  Acme   Corp </a>'
+                "<a href='http://t1.net/y'>acme corp</a>"
+                '<a href="http://t2.net/z">ACME CORP</a>'
+                '<a href="http://t3.net/w"><b>markup only</b></a>'
+                '<a href="/rel">relative</a>',
+            ),
+        ],
+    )
+    anchors = {
+        (r.url, r.link, r.anchor) for r in extract_anchors(pages).collect()
+    }
+    assert anchors == {
+        ("http://s1.org/a", "http://t1.net/x", "  Acme   Corp "),
+        ("http://s1.org/a", "http://t1.net/y", "acme corp"),
+        ("http://s1.org/a", "http://t2.net/z", "ACME CORP"),
+    }
+    counts = {
+        (r.alias, r.dst_host): r.n_refs
+        for r in anchor_alias_counts(extract_anchors(pages)).collect()
+    }
+    assert counts == {
+        ("acme corp", "t1.net"): 2,
+        ("acme corp", "t2.net"): 1,
+    }
