@@ -548,14 +548,19 @@ def dup_substring_stats(
     signal, and at 100 TB most pipelines threshold on dup_fraction rather
     than rewrite text.
 
-    Scale shape: pre-winnow gram inflation is ~len(text) rows per doc in
-    the map stage (the honest cost ExactSubstr pays as ~8x suffix-array
-    memory instead), but only selected grams ever shuffle: the winnowing
-    sliding-min is a per-doc window over (doc_id, pos), i.e. ONE shuffle
-    by doc_id that immediately filters to ~1/W of its input. The
-    heavy-duplicate skew collapses map-side in both aggregations
-    (min-struct / count partial aggs, the same absorption argument as
-    ``line_dedup``).
+    Scale shape: pre-winnow gram inflation is ~len(text) entries per doc
+    (the honest cost ExactSubstr pays as ~8x suffix-array memory
+    instead), but it exists only INSIDE the scan stage: the winnowing
+    sliding-min runs in-row over the gram array with higher-order
+    functions before the explode, so only the ~1/W selected fingerprints
+    ever shuffle — zero window operators, zero per-doc sorts (plan
+    measured: 5 exchanges -> 3, 4 Window+sort passes -> 0 vs the
+    explode-then-window formulation this replaced; wall-clock at sf0.1
+    parity-to-moderate-win under local noise — the exchange-byte
+    reduction is the 100-TB claim, the eliminated exchanges carried the
+    FULL unwinnowed inflation). The heavy-duplicate skew collapses
+    map-side in both aggregations (min-struct / count partial aggs, the
+    same absorption argument as ``line_dedup``).
     """
     t = F.col(text_col)
     # sequence(1, 0) throws in Spark, so docs shorter than the window get
@@ -565,44 +570,64 @@ def dup_substring_stats(
         F.length(t) >= length,
         F.sequence(F.lit(1), F.length(t) - (length - 1)),
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(
-            F.transform(idx, lambda i: F.struct(
-                i.alias("pos"), F.md5(F.substring(t, i, length)).alias("h")
-            ))
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     if winnow > 1:
-        wdoc = Window.partitionBy("doc_id")
-        wrun = (
-            Window.partitionBy("doc_id")
-            .orderBy("pos")
-            .rowsBetween(Window.currentRow, winnow - 1)
+        # The winnowing sliding-min runs IN-ROW over the gram array with
+        # higher-order functions, BEFORE the explode: the unwinnowed gram
+        # inflation (~42x corpus bytes as rows) never leaves the scan
+        # stage — only the ~1/W selected fingerprints ever shuffle. The
+        # earlier formulation (explode all grams, then a per-doc window
+        # min) exchanged and sorted the full inflation first; at corpus
+        # scale that exchange IS the job. Cost shifts to O(W) string
+        # compares per window inside codegen — the right trade for any
+        # W << shuffle-byte-cost. Selection is bit-identical: same
+        # h||zero-padded-pos comparison key, same min-per-window rule,
+        # same truncated single window for docs with fewer than W grams
+        # (slice past the end returns the existing suffix), so the SQL
+        # oracle needs no change. In-row arrays assume chunk-bounded docs
+        # (operators/curation.py::chunk_docs upstream for 100KB+ outliers)
+        # — the pre-explode position array already had that shape.
+        karr = F.transform(
+            idx,
+            lambda i: F.concat(
+                F.md5(F.substring(t, i, length)),
+                F.lpad(i.cast("string"), 10, "0"),
+            ),
         )
-        # comparison key: hash first (32 hex chars), zero-padded position
-        # as tie-break — the window min IS the window's selected gram, and
-        # the key format is byte-identical in the SQL oracle
+        docs_k = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), karr.alias("_karr")
+        )
+        starts = F.when(
+            F.size("_karr") > 0,
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_karr") - (winnow - 1), F.lit(1)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        sel = F.array_distinct(
+            F.transform(
+                starts, lambda s: F.array_min(F.slice("_karr", s, winnow))
+            )
+        )
+        # array_distinct above already dedupes the per-doc selection, so no
+        # row-level distinct (one shuffle fewer); doc_id rows are unique by
+        # the docs-table contract shared with every operator here
         grams = (
-            grams.withColumn(
-                "k", F.concat("h", F.lpad(F.col("pos").cast("string"), 10, "0"))
-            )
-            .withColumn("_maxpos", F.max("pos").over(wdoc))
-            .withColumn("_sel", F.min("k").over(wrun))
-            # valid window starts only; a doc with fewer than W grams
-            # keeps its one truncated window (start pos 1)
-            .filter(
-                F.col("pos")
-                <= F.greatest(F.col("_maxpos") - (winnow - 1), F.lit(1))
-            )
-            .select("doc_id", F.col("_sel").alias("k"))
-            .distinct()
+            docs_k.select("doc_id", F.explode(sel).alias("k"))
             .select(
                 "doc_id",
                 F.substring("k", 33, 10).cast("int").alias("pos"),
                 F.substring("k", 1, 32).alias("h"),
             )
         )
+    else:
+        grams = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(
+                F.transform(idx, lambda i: F.struct(
+                    i.alias("pos"), F.md5(F.substring(t, i, length)).alias("h")
+                ))
+            ).alias("g"),
+        ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     keeper = grams.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("k"),
         F.count(F.lit(1)).alias("occ"),
