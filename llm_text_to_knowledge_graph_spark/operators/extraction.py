@@ -636,6 +636,34 @@ _COMPOUND_REL = {
 }
 
 
+_ASSOC_VERBS = {"implicated", "involved"}
+
+
+def _match_assoc(inter: str):
+    """-> "association" for the hedged-association idiom of review prose:
+    "X has (also) been implicated/involved in Y". The curator records a
+    non-directional association — the idiom asserts a link without a
+    direction, unlike the _ACT_* causal verbs. Lead fillers are the same
+    modal/auxiliary set as the active matcher; after "in" only articles
+    may precede the object mention (anything else is a different
+    construction — "implicated in the regulation of Y" goes through the
+    nominal rules)."""
+    toks = _tokens(inter.lower())
+    if not toks:
+        return None
+    i = 0
+    while i < len(toks) and (toks[i] in _ACT_LEAD or toks[i].endswith("ly")):
+        i += 1
+    if i >= len(toks) or toks[i] not in _ASSOC_VERBS:
+        return None
+    rest = toks[i + 1:]
+    if not rest or rest[0] != "in":
+        return None
+    if any(t not in {"the", "a", "an", "both"} for t in rest[1:]):
+        return None
+    return "association"
+
+
 def _match_compound(inter: str):
     m = re.fullmatch(r"[-−–‐]\s*([a-z\-]+)", inter.strip().lower())
     if m is None:
@@ -1290,6 +1318,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 )
             if tdeg is not None and not same_entity:
                 emit_pair(left, tdeg, right)
+                continue
+
+            # ---- hedged association idiom: "X has (also) been implicated/
+            # involved in Y (and Z)" — association over both coordination
+            # groups, like the active rule ---------------------------------
+            arel = _retry_seg(_match_assoc, low_inter, inter_seg)
+            if arel is not None and not same_entity:
+                for subj_m in l_members:
+                    for obj_m in r_members:
+                        emit_pair(subj_m, arel, obj_m)
                 continue
 
             # ---- active verb + filler ------------------------------------
