@@ -391,11 +391,27 @@ def audit_misses(pmid: str, lexicon: list | None = None) -> dict:
         ]
         text_by_key[b["key"]] = text
         mentions_by_key[b["key"]] = {m[5] for m in ms} | {m[2] for m in ms}
+    preds_by_key = {
+        b["key"]: {p.replace('"', "") for p in b["pred"]} for b in blocks
+    }
     result = score_blocks(blocks)
     misses = []
     counts: dict[str, int] = {}
     for r in result["rows"]:
         if r["match_type"] != "gold_only":
+            continue
+        # a missed gold that is string-identical (modulo BEL quoting) to
+        # one of the block's OWN predictions is not an extraction gap:
+        # the curator recorded the same statement more than once and 1:1
+        # matching consumed the single deduped prediction on the first
+        # copy — unmatchable by design, like relationless_gold
+        if r["gold_statement"].replace('"', "") in preds_by_key[r["key"]]:
+            cat = "duplicate_gold"
+            counts[cat] = counts.get(cat, 0) + 1
+            misses.append(
+                {"key": r["key"], "category": cat,
+                 "gold": r["gold_statement"]}
+            )
             continue
         cat = categorize_miss(
             r["gold_statement"],

@@ -456,12 +456,13 @@ def test_miss_audit_pinned():
     """Every unmatched gold statement in the three .bel papers carries a
     mechanically derived category (eval/real_gold_bel.py::categorize_miss —
     code, not judgment). Pinning the per-paper distributions makes the
-    recall story auditable: of 99 total misses, only 8 are pattern_gap
+    recall story auditable: of 99 total misses, only 7 are pattern_gap
     (everything needed is in the sentence and an extraction pattern could
     in principle emit it); the rest need cross-block entities (60),
     curator mechanism annotation (20), nested statements (5), relation-less
-    golds the pinned scorer cannot match by design (4), or a
-    species-context-aware grounder (2)."""
+    golds the pinned scorer cannot match by design (4), a
+    species-context-aware grounder (2), or are duplicate curations of a
+    statement the engine DID extract, unmatchable under 1:1 matching (1)."""
     from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
         audit_misses,
     )
@@ -476,10 +477,11 @@ def test_miss_audit_pinned():
 
     a = audit_misses("12928037")
     assert a["counts"] == {
+        "duplicate_gold": 1,
         "mechanism_wrapper": 2,
         "nested_statement": 2,
         "non_surface_entity": 10,
-        "pattern_gap": 2,
+        "pattern_gap": 1,
     }
 
     a = audit_misses("15350900")
