@@ -636,6 +636,61 @@ _COMPOUND_REL = {
 }
 
 
+# perturbation-prevalence idiom vocabulary: "the <loss-nominal> of X has
+# been <observed-verb> in <fraction> of <disease>" — tumor-suppressor /
+# oncogene epidemiology prose. The nominal's direction decides the
+# correlation sign: loss-of-X prevalent in the disease -> X
+# negativeCorrelation disease; overexpression-of-X -> positiveCorrelation.
+_LOSS_NOMINALS = {
+    "inactivation", "loss", "ablation", "knockout", "deletion", "depletion",
+    "silencing", "mutation", "mutations",
+} | _NOMINAL_DOWN
+_GAIN_NOMINALS = {
+    "overexpression", "amplification", "accumulation",
+} | _NOMINAL_UP
+_OBSERVED_VERBS = {
+    "demonstrated", "observed", "found", "detected", "reported",
+    "identified", "described", "seen",
+}
+_PREVALENCE_PREFIX_RE = re.compile(r"\b([a-z\-]+)\s+of\s+(?:the\s+)?$", re.I)
+_PREV_QUANT = {
+    "of", "all", "most", "many", "the", "a", "an", "approximately",
+    "about", "up", "to", "over", "nearly",
+}
+
+
+def _match_prevalence(inter: str) -> bool:
+    """True when the inter text is "(has been) <observed-verb> in
+    <quantifier/modifier tokens>" — the passive-epidemiology predicate.
+    Modifier tokens after "in" may be numbers, percents, quantifiers, or
+    plain adjectives, never verbs (a verb means a different clause)."""
+    toks = _tokens(inter.lower())
+    i = 0
+    while (
+        i < len(toks)
+        and toks[i] not in _OBSERVED_VERBS
+        and (toks[i] in _ACT_LEAD or toks[i].endswith("ly"))
+    ):
+        i += 1
+    if i >= len(toks) or toks[i] not in _OBSERVED_VERBS:
+        return False
+    rest = toks[i + 1:]
+    if not rest or rest[0] != "in":
+        return False
+    all_verbs = (
+        _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
+        | _OBSERVED_VERBS
+    )
+    for t in rest[1:]:
+        if _is_num(t) or (t.endswith("%") and t[:-1].rstrip(".")):
+            continue
+        if t in _PREV_QUANT:
+            continue
+        if t in all_verbs or not t.replace("-", "").isalpha():
+            return False
+    return True
+
+
 _ASSOC_VERBS = {"implicated", "involved"}
 
 
@@ -1319,6 +1374,26 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             if tdeg is not None and not same_entity:
                 emit_pair(left, tdeg, right)
                 continue
+
+            # ---- perturbation-prevalence: "the <loss-nominal> of X has
+            # been <observed-verb> in <fraction> of <disease>" — the
+            # tumor-suppressor epidemiology construction; nominal direction
+            # picks the correlation sign, object must be a pathology ------
+            if NS_FUNC.get(right["db"]) == "path" and not same_entity:
+                prev = _PREVALENCE_PREFIX_RE.search(text[: left["begin"]])
+                nom = prev.group(1).lower() if prev else None
+                rel = (
+                    "negativeCorrelation" if nom in _LOSS_NOMINALS
+                    else "positiveCorrelation" if nom in _GAIN_NOMINALS
+                    else None
+                )
+                if rel is not None and _match_prevalence(low_inter) and not (
+                    # negation just before the nominal flips nothing —
+                    # it kills ("no loss of X was found in ...")
+                    _NEG_RE.search(text[max(0, prev.start() - 24): prev.start()])
+                ):
+                    emit_pair(left, rel, right)
+                    continue
 
             # ---- hedged association idiom: "X has (also) been implicated/
             # involved in Y (and Z)" — association over both coordination

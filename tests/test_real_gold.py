@@ -405,10 +405,11 @@ def test_bel_paper_15350900_pinned():
     82 statements, most encoding curator biochemistry (hydroxylation-site
     pmods, deg()/cat() mechanism chains, multi-protein complexes) that is
     never stated as a surface relation in the evidence text. The honest
-    pinned floor: everything emitted is right (P=1.0), recall 0.16 marks
+    pinned floor: everything emitted is right (P=1.0), recall 0.17 marks
     where pattern extraction stops against mechanism-inference curation
     (r3: +2 matched via the general hedged-association idiom "X has been
-    implicated in Y and Z")."""
+    implicated in Y and Z", +1 via the perturbation-prevalence idiom
+    "the inactivation of X has been demonstrated in ...% of <disease>")."""
     from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
         run_bel_paper_eval,
     )
@@ -416,8 +417,8 @@ def test_bel_paper_15350900_pinned():
     r = run_bel_paper_eval("15350900")
     assert r["gold_total"] == 82
     assert r["precision"] == 1.0
-    assert r["matched"] == 13
-    assert r["recall"] >= 0.15
+    assert r["matched"] == 14
+    assert r["recall"] >= 0.17
 
 
 @needs_reference
@@ -438,7 +439,7 @@ def test_merged_lexicon_generalization():
     assert p["9813040"]["matched"] == 32  # flagship unchanged
     assert p["9813040"]["precision"] >= 0.91
     assert p["12928037"]["matched"] == 19  # held-out unchanged
-    assert p["15350900"]["matched"] == 13  # held-out unchanged
+    assert p["15350900"]["matched"] == 14  # held-out unchanged
     assert p["16962653"]["matched"] == 13  # one species-collision miss
     assert r["precision"] >= 0.94
     assert r["recall"] >= 0.41
@@ -456,7 +457,7 @@ def test_miss_audit_pinned():
     """Every unmatched gold statement in the three .bel papers carries a
     mechanically derived category (eval/real_gold_bel.py::categorize_miss —
     code, not judgment). Pinning the per-paper distributions makes the
-    recall story auditable: of 99 total misses, only 7 are pattern_gap
+    recall story auditable: of 98 total misses, only 6 are pattern_gap
     (everything needed is in the sentence and an extraction pattern could
     in principle emit it); the rest need cross-block entities (60),
     curator mechanism annotation (20), nested statements (5), relation-less
@@ -489,12 +490,13 @@ def test_miss_audit_pinned():
         "mechanism_wrapper": 13,
         "nested_statement": 3,
         "non_surface_entity": 44,
-        "pattern_gap": 6,
+        "pattern_gap": 5,
         "relationless_gold": 3,
     }
     # the remaining enumerated extractor gaps of the hardest paper, so a
     # future pattern that closes one is VISIBLE here (update both sides;
-    # r3 closed the two "implicated in" association gaps this way)
+    # r3 closed the two "implicated in" association gaps and the
+    # inactivation-prevalence negativeCorrelation gap this way)
     gaps = sorted(m["gold"] for m in a["misses"] if m["category"] == "pattern_gap")
     assert gaps == [
         'bp(GOBP:"response to hypoxia") increases r(HGNC:MET)',
@@ -502,7 +504,6 @@ def test_miss_audit_pinned():
         "g(HGNC:VHL) association r(HGNC:MET)",
         "p(HGNC:HIF1A,pmod(H,P)) directlyIncreases complex(p(HGNC:VHL),p(HGNC:HIF1A))",
         'p(HGNC:VHL) decreases r(HGNC:CXCR4)',
-        'p(HGNC:VHL) negativeCorrelation path(MESHD:"Carcinoma, Renal Cell")',
     ]
 
 
