@@ -855,8 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Mechanical per-miss audit (r3): every unmatched gold statement in the
     # three .bel papers with its code-derived category. Rows-only by nature
     # (the categorizer runs the extraction engine); exact distributions and
-    # the 8 enumerated pattern_gap statements of the hardest paper are
-    # pinned in tests/test_real_gold.py::test_miss_audit_pinned.
+    # the remaining enumerated pattern_gap statements are pinned in
+    # tests/test_real_gold.py::test_miss_audit_pinned.
     def real_gold_miss_audit(spark, sf):
         from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
             PAPER_LEXICONS,

@@ -266,7 +266,20 @@ _RESIDUE_3 = {
 _RNA_AFTER_RE = re.compile(
     r"^[\s\-]*(?:luciferase\s+)?(?:promoter|message|mrna|transcript)", re.I
 )
-_RNA_BEFORE_RE = re.compile(r"transcription\s+from\s+(?:the\s+)?$", re.I)
+_RNA_BEFORE_RE = re.compile(
+    # "transcription from the X" | "expression of (the) X" | the same
+    # expression context distributing over a short coordination
+    # ("expression of HGF and (the) Met receptor")
+    r"(?:transcription\s+from\s+(?:the\s+)?"
+    r"|expression\s+of\s+(?:the\s+)?"
+    r"|expression\s+of\s+(?:[\w\-]+\s+){1,3}and\s+(?:the\s+)?)$",
+    re.I,
+)
+# "genetic alterations of X" / "mutations of X" — the mention denotes the
+# GENE (BEL g()), the convention the curators use for genotype statements
+_GENE_BEFORE_RE = re.compile(
+    r"(?:genetic\s+)?(?:alterations?|mutations?)\s+of\s+(?:the\s+)?$", re.I
+)
 _TLOC_AFTER_RE = re.compile(r"^\s+into\s+the\s+nucleus", re.I)
 _BOTH_TOGETHER_RE = re.compile(
     r"\b(?:by\s+)?both\s+(?:hormones|agents|treatments|factors)\b"
@@ -392,13 +405,16 @@ def _coord_group(ms: list[dict], idx: int, text: str, direction: int) -> list[in
 
 
 def _term_func(m: dict, text: str) -> str | None:
-    """``r`` when the mention is a promoter/message/transcript context."""
+    """``r`` when the mention is a promoter/message/transcript/expression
+    context; ``g`` when it is a genetic-alteration context."""
     after = text[m["end"]:]
     before = text[: m["begin"]]
-    if NS_FUNC.get(m["db"], "a") == "p" and (
-        _RNA_AFTER_RE.match(after) or _RNA_BEFORE_RE.search(before)
-    ):
+    if NS_FUNC.get(m["db"], "a") != "p":
+        return None
+    if _RNA_AFTER_RE.match(after) or _RNA_BEFORE_RE.search(before):
         return "r"
+    if _GENE_BEFORE_RE.search(before):
+        return "g"
     return None
 
 
@@ -636,6 +652,23 @@ _COMPOUND_REL = {
 }
 
 
+# instrumental by-gerund: "S <verb> O1 by inducing (the expression of) O2"
+# — the by-phrase modifies the matrix clause, so its agent is the MATRIX
+# subject (the mention before the pair), not O1
+_GERUND_UP = {
+    "inducing", "increasing", "enhancing", "promoting", "stimulating",
+    "activating", "upregulating", "up-regulating", "elevating", "triggering",
+}
+_GERUND_DOWN = {
+    "inhibiting", "suppressing", "decreasing", "reducing", "downregulating",
+    "down-regulating", "repressing", "blocking", "attenuating", "preventing",
+}
+_BY_GERUND_RE = re.compile(
+    r"^by\s+([a-z\-]+)(?:\s+the)?"
+    r"(?:\s+(?:expression|levels?|transcription|production|activity)"
+    r"\s+of(?:\s+the)?)?\s*$"
+)
+
 # perturbation-prevalence idiom vocabulary: "the <loss-nominal> of X has
 # been <observed-verb> in <fraction> of <disease>" — tumor-suppressor /
 # oncogene epidemiology prose. The nominal's direction decides the
@@ -691,32 +724,56 @@ def _match_prevalence(inter: str) -> bool:
     return True
 
 
-_ASSOC_VERBS = {"implicated", "involved"}
+_SYM_RELS = ("association", "positiveCorrelation", "negativeCorrelation")
+_TERM_KEY_RE = re.compile(r"\b([A-Za-z]+):(\"[^\"]+\"|[\w.\-]+)")
+
+# hedged-association verbs and the preposition each one governs
+_ASSOC_VERBS = {
+    "implicated": "in",
+    "involved": "in",
+    "associated": "with",
+    "correlated": "with",
+    "linked": "to",
+}
 
 
 def _match_assoc(inter: str):
-    """-> "association" for the hedged-association idiom of review prose:
-    "X has (also) been implicated/involved in Y". The curator records a
-    non-directional association — the idiom asserts a link without a
-    direction, unlike the _ACT_* causal verbs. Lead fillers are the same
-    modal/auxiliary set as the active matcher; after "in" only articles
-    may precede the object mention (anything else is a different
-    construction — "implicated in the regulation of Y" goes through the
-    nominal rules)."""
+    """-> "association" for the hedged-association idioms of review prose:
+    "X has (also) been implicated/involved in Y", "X is associated with
+    (genetic alterations of) Y", "X correlates with Y". The curator
+    records a non-directional association — these idioms assert a link
+    without a direction, unlike the _ACT_* causal verbs. Lead fillers are
+    the same modal/auxiliary set as the active matcher. After the
+    preposition, articles are free and ONE short nominal-of chunk is
+    allowed ("with genetic alterations of Y", "in the pathogenesis of Y")
+    — the chunk must END in "of" so the object mention is still the
+    idiom's complement, not a different clause's."""
     toks = _tokens(inter.lower())
     if not toks:
         return None
+    leads = _ACT_LEAD | {"is", "are", "was", "were", "be", "being"}
     i = 0
-    while i < len(toks) and (toks[i] in _ACT_LEAD or toks[i].endswith("ly")):
+    sign = None
+    while i < len(toks) and (toks[i] in leads or toks[i].endswith("ly")):
+        if toks[i] in {"negatively", "inversely"}:
+            sign = "negativeCorrelation"
+        elif toks[i] in {"positively"}:
+            sign = "positiveCorrelation"
         i += 1
     if i >= len(toks) or toks[i] not in _ASSOC_VERBS:
         return None
+    prep = _ASSOC_VERBS[toks[i]]
     rest = toks[i + 1:]
-    if not rest or rest[0] != "in":
+    if not rest or rest[0] != prep:
         return None
-    if any(t not in {"the", "a", "an", "both"} for t in rest[1:]):
-        return None
-    return "association"
+    tail = [t for t in rest[1:] if t not in {"the", "a", "an", "both"}]
+    if tail:
+        if len(tail) > 3 or tail[-1] != "of":
+            return None
+        if not all(t.replace("-", "").isalpha() for t in tail):
+            return None
+    # a signed adverb turns the hedge into a signed correlation
+    return sign or "association"
 
 
 def _match_compound(inter: str):
@@ -936,6 +993,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
     out: list[tuple[str, str] | None] = []
     seen_sigs: set = set()
     seen_stmts: set = set()
+    sym_pairs: set = set()  # (frozenset{NS:NAME, NS:NAME}, rel) coverage
 
     def emit(stmt: str, sig=None) -> int | None:
         if stmt in seen_stmts or (sig is not None and sig in seen_sigs):
@@ -985,6 +1043,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         ]
         for stmt, _ev in extract_from_sentence(sent, local):
             emit(stmt)
+            # record symmetric-relation pairs the base engine already
+            # covers (order-insensitively), so the block-level association
+            # rule never re-emits the same fact flipped/undecorated
+            for srel in _SYM_RELS:
+                if f" {srel} " in stmt:
+                    names = frozenset(
+                        f"{db}:{nm.strip(chr(34))}"
+                        for db, nm in _TERM_KEY_RE.findall(stmt)
+                    )
+                    sym_pairs.add((names, srel))
 
         # ---- genetic-perturbation (knockout) inference -------------------
         ko_genes = [g for g in ms if _KO_SUFFIX_RE.match(text[g["end"]: s_end])]
@@ -1375,6 +1443,20 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 emit_pair(left, tdeg, right)
                 continue
 
+            # ---- instrumental by-gerund: the agent is the matrix subject
+            # (nearest mention left of the pair, same sentence) -------------
+            bg = _BY_GERUND_RE.match(low_inter)
+            if bg is not None and i >= 1 and ms[i - 1]["begin"] >= s_begin:
+                ger = bg.group(1)
+                grel = ("increases" if ger in _GERUND_UP
+                        else "decreases" if ger in _GERUND_DOWN else None)
+                subj_m = ms[i - 1]
+                if grel is not None and (subj_m["db"], subj_m["id"]) != (
+                    right["db"], right["id"]
+                ):
+                    emit_pair(subj_m, grel, right)
+                    continue
+
             # ---- perturbation-prevalence: "the <loss-nominal> of X has
             # been <observed-verb> in <fraction> of <disease>" — the
             # tumor-suppressor epidemiology construction; nominal direction
@@ -1402,7 +1484,26 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             if arel is not None and not same_entity:
                 for subj_m in l_members:
                     for obj_m in r_members:
-                        emit_pair(subj_m, arel, obj_m)
+                        # association / signed correlations are symmetric
+                        # in BEL — emit in canonical (sorted-term) order so
+                        # the statement is a pure function of the PAIR, not
+                        # of which operand the prose mentioned first; skip
+                        # pairs the base engine already covered in ANY
+                        # order/decoration (closed-world parity)
+                        a_m, b_m = subj_m, obj_m
+                        if _render(b_m, text) < _render(a_m, text):
+                            a_m, b_m = b_m, a_m
+                        key = (
+                            frozenset(
+                                f"{m['db']}:{m['entry_name']}"
+                                for m in (a_m, b_m)
+                            ),
+                            arel,
+                        )
+                        if key in sym_pairs:
+                            continue
+                        sym_pairs.add(key)
+                        emit_pair(a_m, arel, b_m)
                 continue
 
             # ---- active verb + filler ------------------------------------
