@@ -2182,6 +2182,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_alias_counts"] = anchor_alias_counts_q
 
+    # weighted PageRank over the synthesized host graph: the host-authority
+    # composition (linkgraph -> pagerank(weight_col="n_links")); all dst
+    # hosts are dangling in this bipartite synthesis, so the uniform
+    # dangling redistribution is genuinely exercised every round.
+    def pagerank_hosts_weighted(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            pagerank,
+        )
+
+        hg = host_link_graph(spark, sf)
+        edges = hg.select(
+            F.col("src_host").alias("s"),
+            F.col("dst_host").alias("t"),
+            "n_links",
+        )
+        pr = pagerank(edges, iterations=4, undirected=False,
+                      weight_col="n_links")
+        return pr.select(
+            F.col("node_id").alias("host"),
+            F.round("rank", 6).alias("rank"),
+        )
+
+    q["pagerank_hosts_weighted"] = pagerank_hosts_weighted
+
     return q
 
 
@@ -2635,6 +2659,67 @@ def oracle_sql() -> dict[str, str]:
     _HREF_SQL = _HREF_PY.replace("'", "''")
     _HOST_SQL = _HOST_PY.replace("'", "''")
     _ANCHOR_SQL = _ANCHOR_PY.replace("'", "''")
+
+    # shared host-graph synthesis + extraction CTE (host_link_graph AND
+    # the weighted-pagerank composition over it)
+    _hostgraph_cte = f"""
+        WITH p AS (
+          SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
+                   || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><body>'
+                   || '<a href="https://h' || CAST((doc_id * 7) % 23 AS VARCHAR)
+                   || '.example.net/x?id=' || CAST(doc_id AS VARCHAR)
+                   || '#s">l1</a>'
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN '<a href=''http://h' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.sample.io:8080/y''>l2</a>'
+                        ELSE '<a href="/rel">skip</a>' END
+                   || '</body></html>' AS html
+          FROM documents),
+        links AS (
+          SELECT url,
+                 UNNEST(regexp_extract_all(html,
+                   '{_HREF_SQL}', 1)) AS link
+          FROM p),
+        hosts AS (
+          SELECT lower(regexp_extract(url,
+                   '{_HOST_SQL}', 1)) AS src_host,
+                 lower(regexp_extract(link,
+                   '{_HOST_SQL}', 1)) AS dst_host
+          FROM links),
+        hg AS (
+          SELECT src_host, dst_host, COUNT(*) AS n_links
+          FROM hosts
+          WHERE src_host <> '' AND dst_host <> ''
+            AND src_host <> dst_host
+          GROUP BY src_host, dst_host)
+    """
+
+    # weighted pagerank rounds: teleport update, then the dangling-mass
+    # uniform correction exactly as the Spark loop's 1-row crossJoin
+    _wpr_iters = ""
+    _wprev = "r0"
+    for _i in range(1, 5):
+        _wpr_iters += f""",
+        it{_i} AS (
+          SELECT node_id,
+                 rank + (1.0 - SUM(rank) OVER ()) / (SELECT n FROM nn) AS rank
+          FROM (
+            SELECT nodes.node_id,
+                   0.15 / (SELECT n FROM nn)
+                     + 0.85 * COALESCE(c.in_rank, 0.0) AS rank
+            FROM nodes LEFT JOIN (
+              SELECT hg.dst_host AS node_id,
+                     SUM({_wprev}.rank * CAST(hg.n_links AS DOUBLE) / wout.wsum)
+                       AS in_rank
+              FROM hg
+              JOIN wout ON hg.src_host = wout.s
+              JOIN {_wprev} ON {_wprev}.node_id = hg.src_host
+              GROUP BY hg.dst_host
+            ) c ON c.node_id = nodes.node_id
+          ) t
+        )"""
+        _wprev = f"it{_i}"
 
     mention_union = "\nUNION ALL\n".join(
         f"SELECT '{w.upper()}' AS entry_name, "
@@ -4136,37 +4221,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # replay the deterministic html synthesis, then the SAME href regex
         # (linkgraph.HREF_PATTERN) and host extraction as the Spark plan
-        "host_link_graph": f"""
-            WITH p AS (
-              SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR)
-                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
-                     '<html><body>'
-                       || '<a href="https://h' || CAST((doc_id * 7) % 23 AS VARCHAR)
-                       || '.example.net/x?id=' || CAST(doc_id AS VARCHAR)
-                       || '#s">l1</a>'
-                       || CASE WHEN doc_id % 3 = 0
-                            THEN '<a href=''http://h' || CAST(doc_id % 5 AS VARCHAR)
-                                   || '.sample.io:8080/y''>l2</a>'
-                            ELSE '<a href="/rel">skip</a>' END
-                       || '</body></html>' AS html
-              FROM documents),
-            links AS (
-              SELECT url,
-                     UNNEST(regexp_extract_all(html,
-                       '{_HREF_SQL}', 1)) AS link
-              FROM p),
-            hosts AS (
-              SELECT lower(regexp_extract(url,
-                       '{_HOST_SQL}', 1)) AS src_host,
-                     lower(regexp_extract(link,
-                       '{_HOST_SQL}', 1)) AS dst_host
-              FROM links)
+        "host_link_graph": _hostgraph_cte + """
             SELECT src_host, dst_host,
-                   CAST(COUNT(*) AS BIGINT) AS n_links
-            FROM hosts
-            WHERE src_host <> '' AND dst_host <> ''
-              AND src_host <> dst_host
-            GROUP BY src_host, dst_host
+                   CAST(n_links AS BIGINT) AS n_links
+            FROM hg
+        """,
+        "pagerank_hosts_weighted": _hostgraph_cte + f"""
+            , nodes AS (SELECT DISTINCT src_host AS node_id FROM hg
+                        UNION SELECT DISTINCT dst_host FROM hg),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            wout AS (SELECT src_host AS s, SUM(CAST(n_links AS DOUBLE)) AS wsum
+                     FROM hg GROUP BY src_host),
+            r0 AS (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank
+                   FROM nodes)
+            {_wpr_iters}
+            SELECT node_id AS host, ROUND(rank, 6) AS rank FROM it4
         """,
         "hits_graph": hits_sql,
         # anchor alias mining: replay synthesis, zip the two capture groups

@@ -283,6 +283,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     undirected: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over the edge table (fixed iteration count — deterministic
     output for a given input). Returns (node_id, rank); ranks sum to ~1.
@@ -291,10 +292,37 @@ def pagerank(
     the canonical Pregel-as-DataFrame shape. Dangling mass (nodes with no
     out-edges; impossible in undirected mode) is redistributed uniformly
     so the distribution stays normalized.
+
+    ``weight_col`` (e.g. ``n_links`` from linkgraph.host_graph): each
+    out-edge carries rank proportional to its weight instead of 1/deg —
+    the host-authority weighting for the web graph. Parallel (s, t)
+    duplicates are weight-summed; the unweighted path is left exactly as
+    before (its contribution math is pinned by the SQL oracle).
     """
-    g = undirected_edges(edges).distinct() if undirected else edges.select("s", "t").distinct()
-    g = g.localCheckpoint(eager=True)
-    out_deg = g.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col is None:
+        g = (
+            undirected_edges(edges).distinct()
+            if undirected
+            else edges.select("s", "t").distinct()
+        )
+        g = g.localCheckpoint(eager=True)
+        out_deg = g.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        base = edges.select(
+            "s", "t", F.col(weight_col).cast("double").alias("_w")
+        )
+        if undirected:
+            base = base.unionByName(
+                base.select(
+                    F.col("t").alias("s"), F.col("s").alias("t"), "_w"
+                )
+            )
+        g = (
+            base.groupBy("s", "t")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint(eager=True)
+        )
+        out_deg = g.groupBy("s").agg(F.sum("_w").alias("deg"))
     nodes = (
         g.select(F.col("s").alias("node_id"))
         .unionByName(g.select(F.col("t").alias("node_id")))
@@ -305,12 +333,17 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     # lineage truncation per round (see connected_components docstring)
     g_deg = g.join(out_deg, "s").localCheckpoint(eager=True)
+    contrib_expr = (
+        (F.col("rank") / F.col("deg"))
+        if weight_col is None
+        else (F.col("rank") * F.col("_w") / F.col("deg"))
+    )
     for _ in range(iterations):
         contribs = (
             g_deg.join(
                 ranks.withColumnRenamed("node_id", "s"), "s"
             )
-            .select(F.col("t").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("t").alias("node_id"), contrib_expr.alias("c"))
             .groupBy("node_id")
             .agg(F.sum("c").alias("in_rank"))
         )
