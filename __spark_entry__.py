@@ -2206,6 +2206,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_hosts_weighted"] = pagerank_hosts_weighted
 
+    # JL random projection (similarity.random_projection): 64 -> 8 dims,
+    # map-only literal-matrix plan; pure function of (vector, seed) so the
+    # oracle regenerates the identical Gaussian matrix. The at-rest
+    # dimension-cut leg of the embedding-compression family.
+    def rp_project_embeddings(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            random_projection,
+        )
+
+        emb = _read(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return random_projection(
+            emb, out_dim=8, dim=64, seed=7, round_digits=6
+        )
+
+    q["rp_project_embeddings"] = rp_project_embeddings
+
     return q
 
 
@@ -2432,6 +2451,26 @@ def oracle_sql() -> dict[str, str]:
         )
         for i, row in enumerate(_planes)
     )
+    # JL random-projection oracle: regenerate the seeded 8x64 Gaussian
+    # matrix and replay proj_i = dot(x, g_i)/sqrt(8), per-element round-6
+    _rp_planes = _hyperplanes(64, 8, seed=7)
+    _rp_inv = 1.0 / float(8 ** 0.5)
+    rp_rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in row)
+        )
+        for i, row in enumerate(_rp_planes)
+    )
+    rp_sql = f"""
+        WITH planes(i, p) AS (
+          VALUES {rp_rows})
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               list(ROUND(list_dot_product(e.embedding::DOUBLE[], pl.p)
+                          * {_rp_inv!r}, 6) ORDER BY pl.i) AS proj
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id
+    """
+
     lsh_sql = f"""
         WITH planes(i, p) AS (
           VALUES {plane_rows}),
@@ -4238,6 +4277,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_id AS host, ROUND(rank, 6) AS rank FROM it4
         """,
         "hits_graph": hits_sql,
+        "rp_project_embeddings": rp_sql,
         # anchor alias mining: replay synthesis, zip the two capture groups
         # via generate_subscripts, normalize with GLOBAL regexp_replace
         "anchor_alias_counts": f"""

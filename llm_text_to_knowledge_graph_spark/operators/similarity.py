@@ -1186,3 +1186,44 @@ def ivf_topk(
     return ivf_topk_indexed(
         corpus, cents, query_ids, k, nprobe, id_col, vec_col
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: (id, proj array<double>
+    of ``out_dim``) with proj_i = <x, g_i> / sqrt(out_dim) against a
+    seeded Gaussian matrix.
+
+    The dimensionality-reduction leg of the embedding-compression family
+    (int8/PQ cut precision; this cuts DIMENSION — at 100 TB a 64->8
+    projection is an 8x at-rest/shuffle-byte cut with JL-bounded pairwise
+    distortion). MAP-ONLY: the matrix rides as ``out_dim`` literal plane
+    arrays inside whole-stage codegen (same plan as lsh_bucket_col), so
+    the corpus never shuffles and no model object exists — the projection
+    is a pure function of (vector, seed), engine-replayable (the oracle
+    regenerates the identical matrix) and snapshot-stable: vectors
+    projected next month land in the same space, which is what makes
+    downstream stores (SemDeDup cells, IVF assignments over projections)
+    incrementally maintainable.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    planes = _hyperplanes(dim, out_dim, seed)
+    inv = 1.0 / float(np.sqrt(out_dim))
+    comps = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        c = _dot(F.col(vec_col), lit_plane) * F.lit(inv)
+        if round_digits is not None:
+            c = F.round(c, round_digits)
+        comps.append(c)
+    return embeddings.select(
+        F.col(id_col), F.array(*comps).alias("proj")
+    )
