@@ -2225,6 +2225,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rp_project_embeddings"] = rp_project_embeddings
 
+    # session-window aggregation (streaming/sessions.py): the native
+    # session_window plan (streamable, state per OPEN session) run in
+    # batch mode, pinned against a gaps-and-islands SQL oracle; the
+    # streaming availableNow equivalence is pinned in
+    # tests/test_streaming_sessions.py.
+    def session_windows(spark, sf):
+        from llm_text_to_knowledge_graph_spark.streaming.sessions import (
+            session_stats,
+        )
+
+        ev = _read(spark, sf, "events").select(
+            F.col("user_id").cast("long").alias("user_id"), "ts"
+        )
+        s = session_stats(ev, gap="30 minutes")
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return s.select(
+            "user_id",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            "n_events",
+        )
+
+    q["session_windows"] = session_windows
+
     return q
 
 
@@ -4278,6 +4302,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_graph": hits_sql,
         "rp_project_embeddings": rp_sql,
+        # gaps-and-islands replay of session_window: break strictly-greater
+        # than the gap (exact-gap merges — Spark's semantics, pinned),
+        # session_end = last event + gap
+        "session_windows": """
+            WITH o AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         # anchor alias mining: replay synthesis, zip the two capture groups
         # via generate_subscripts, normalize with GLOBAL regexp_replace
         "anchor_alias_counts": f"""
