@@ -2249,6 +2249,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_windows"] = session_windows
 
+    # PMI co-mention scoring (operators/cooccur.py): the statistical
+    # edge-weighting pass over the co-occurrence fallback — items here are
+    # vocabulary tokens per document, the same grounding universe as
+    # mention_counts.
+    def pmi_token_pairs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.cooccur import (
+            pmi_pairs,
+        )
+
+        d = _read(spark, sf, "documents")
+        toks = d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9_-]+")
+            ).alias("item"),
+        ).filter(F.col("item").isin(VOCAB))
+        return pmi_pairs(toks)
+
+    q["pmi_token_pairs"] = pmi_token_pairs
+
     return q
 
 
@@ -4305,6 +4325,30 @@ def oracle_sql() -> dict[str, str]:
         # gaps-and-islands replay of session_window: break strictly-greater
         # than the gap (exact-gap merges — Spark's semantics, pinned),
         # session_end = last event + gap
+        "pmi_token_pairs": f"""
+            WITH t AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, tok AS item
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                  '[^a-z0-9_-]+')) AS tok
+                    FROM documents)
+              WHERE tok IN ({",".join(f"'{w}'" for w in VOCAB)})),
+            nn AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM t),
+            dfv AS (SELECT item, COUNT(*) AS df FROM t GROUP BY item),
+            p AS (SELECT a.item AS item_a, b.item AS item_b,
+                         COUNT(*) AS n_pair
+                  FROM t a JOIN t b ON a.id = b.id AND a.item < b.item
+                  GROUP BY 1, 2)
+            SELECT item_a, item_b,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(da.df AS BIGINT) AS df_a,
+                   CAST(db.df AS BIGINT) AS df_b,
+                   ROUND(ln(n_pair * (SELECT n FROM nn)
+                            / (da.df * db.df)), 6) AS pmi
+            FROM p
+            JOIN dfv da ON da.item = p.item_a
+            JOIN dfv db ON db.item = p.item_b
+        """,
         "session_windows": """
             WITH o AS (
               SELECT CAST(user_id AS BIGINT) AS user_id, ts,
