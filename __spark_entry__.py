@@ -2011,6 +2011,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ppr_graph"] = ppr_graph
 
+    # GraphRAG context selection (operators/rag.py): PPR over the entity
+    # graph -> top-8 entity cut -> per-doc graph mass -> BM25 boost. The
+    # mention map is a deterministic projection of the documents table
+    # (each doc "mentions" one customer + one nation entity), so the whole
+    # composite — 3 unrolled PPR rounds, the 6dp top-m cut, the mass fold
+    # and the Lucene BM25 — replays in ANSI SQL.
+    def rag_context_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.rag import rag_context
+
+        edges = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("s"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        docs = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        entity_docs = docs.select(
+            (F.col("doc_id") % 1500 + 1).alias("node_id"), "doc_id"
+        ).unionByName(
+            docs.select(
+                (F.lit(2_000_000) + F.col("doc_id") % 25).alias("node_id"),
+                "doc_id",
+            )
+        )
+        return rag_context(
+            edges,
+            entity_docs,
+            docs,
+            seeds=[1, 2_000_003],
+            query_terms=["spark", "stream", "vector"],
+            top_entities=8,
+            iterations=3,
+        )
+
+    q["rag_context_docs"] = rag_context_docs
+
     # deterministic negative sampling (operators/negatives.py): corrupted
     # triples for KG-embedding training — map-only md5 draws over the
     # dense entity space + ONE anti-join (the filtered protocol). Pure
@@ -2480,6 +2516,93 @@ def oracle_sql() -> dict[str, str]:
                FROM nodes)
         {ppr_iters}
         SELECT node_id, ROUND(rank, 6) AS rank FROM it5
+    """
+
+    # GraphRAG composite oracle: the same seeded teleport unroll cut to 3
+    # iterations, the rounded top-8 entity cut (rank DESC, node_id tie
+    # break — identical to the Spark orderBy/limit), the deterministic
+    # doc->entity mention projection, and the bm25_topical_docs scorer
+    # verbatim; final score = ROUND(graph_mass * (1 + bm25), 6).
+    rag_iters = ""
+    prev = "r0"
+    for i in range(1, 4):
+        rag_iters += f""",
+        it{i} AS (
+          SELECT nodes.node_id,
+                 0.15 * {ppr_p0} + 0.85 * COALESCE(c.in_rank, 0.0) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT und.t AS node_id, SUM({prev}.rank / deg.deg) AS in_rank
+            FROM und
+            JOIN deg ON und.s = deg.s
+            JOIN {prev} ON {prev}.node_id = und.s
+            GROUP BY und.t
+          ) c ON c.node_id = nodes.node_id
+        )"""
+        prev = f"it{i}"
+
+    rag_sql = f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(c_custkey AS BIGINT) AS s,
+                 CAST(c_nationkey AS BIGINT) + 2000000 AS t
+          FROM customer
+        ),
+        und AS (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e),
+        deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+        nodes AS (SELECT DISTINCT s AS node_id FROM und),
+        r0 AS (SELECT node_id,
+                      CASE WHEN node_id IN (1, 2000003) THEN 0.5 ELSE 0.0 END
+                          AS rank
+               FROM nodes)
+        {rag_iters},
+        rounded AS (SELECT node_id, ROUND(rank, 6) AS rank FROM it3),
+        top AS (
+          SELECT node_id, rank FROM rounded
+          QUALIFY ROW_NUMBER() OVER (ORDER BY rank DESC, node_id) <= 8
+        ),
+        ed AS (
+          SELECT CAST(doc_id AS BIGINT) % 1500 + 1 AS node_id,
+                 CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents
+          UNION
+          SELECT 2000000 + CAST(doc_id AS BIGINT) % 25,
+                 CAST(doc_id AS BIGINT)
+          FROM documents
+        ),
+        mass AS (
+          SELECT ed.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_entities,
+                 ROUND(SUM(top.rank), 6) AS graph_mass
+          FROM ed JOIN top USING (node_id)
+          GROUP BY ed.doc_id
+        ),
+        toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        mt AS (SELECT doc_id, term FROM toks
+               WHERE term IN ('spark', 'stream', 'vector')),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM mt GROUP BY doc_id, term),
+        dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM mt GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                 * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sterm
+          FROM tf
+          JOIN dfr USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s),
+        bm AS (SELECT doc_id, ROUND(SUM(sterm), 6) AS bm25
+               FROM sc GROUP BY doc_id)
+        SELECT mass.doc_id, mass.n_entities, mass.graph_mass,
+               COALESCE(bm.bm25, 0.0) AS bm25,
+               ROUND(mass.graph_mass * (1.0 + COALESCE(bm.bm25, 0.0)), 6)
+                   AS score
+        FROM mass LEFT JOIN bm ON bm.doc_id = mass.doc_id
     """
 
     # Hyperplane-LSH oracle: regenerate the seeded plane matrix (identical
@@ -3879,6 +4002,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_graph": _kcore_oracle(k=6, rounds=12),
         "label_propagation_graph": _lpa_oracle(rounds=4),
         "ppr_graph": ppr_sql,
+        "rag_context_docs": rag_sql,
         "relation_extract_docs": f"""
             WITH l AS (
               SELECT doc_id,
