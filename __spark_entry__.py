@@ -934,6 +934,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["relation_extract_docs"] = relation_extract_docs
 
+    # KG-quality rollups (operators/kgquality.py) over the same extracted
+    # statements: per-edge evidence support and conflicting-sign pairs —
+    # the crawl-scale aggregation the reference's per-paper graphs never
+    # need (each statement is its own edge at 4-paper scale).
+    def _doc_statements(spark, sf):
+        return relation_extract_docs(spark, sf)
+
+    def edge_evidence_rollup(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.kgquality import (
+            edge_rollup,
+        )
+
+        return edge_rollup(_doc_statements(spark, sf))
+
+    q["edge_evidence_rollup"] = edge_evidence_rollup
+
+    def edge_contradictions(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.kgquality import (
+            contradictions,
+        )
+
+        return contradictions(_doc_statements(spark, sf))
+
+    q["edge_contradictions"] = edge_contradictions
+
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2958,6 +2983,46 @@ def oracle_sql() -> dict[str, str]:
                duration_ms, n_frames, sample_rate)
     """
 
+    # mention-pair relation extraction replay — shared by the extraction
+    # query itself and the KG-quality rollups composed on top of it
+    relextract_sql = f"""
+            WITH l AS (
+              SELECT doc_id,
+                     string_split_regex(text, '[^A-Za-z0-9_-]+') AS toks
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS ord
+              FROM l
+            ),
+            m AS (SELECT doc_id, tok, ord FROM t WHERE tok IN ({vocab_in})),
+            p AS (
+              SELECT doc_id, tok AS a, ord AS oa,
+                     LEAD(tok) OVER w AS b, LEAD(ord) OVER w AS ob
+              FROM m
+              WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            cand AS (
+              SELECT p.doc_id, p.a, p.b,
+                     CASE mid.tok WHEN 'value' THEN 'increases'
+                                  WHEN 'key' THEN 'decreases'
+                                  ELSE 'association' END AS rel
+              FROM p
+              JOIN t mid ON mid.doc_id = p.doc_id AND mid.ord = p.oa + 1
+              WHERE p.ob = p.oa + 2
+                AND mid.tok IN ('value', 'key', 'fast', 'slow')
+            )
+            SELECT DISTINCT
+                   'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                   'a(VOCAB:' || UPPER(a) || ')' AS subj,
+                   rel AS pred,
+                   'a(VOCAB:' || UPPER(b) || ')' AS obj,
+                   'a(VOCAB:' || UPPER(a) || ') ' || rel ||
+                       ' a(VOCAB:' || UPPER(b) || ')' AS bel_statement
+            FROM cand
+        """
+
     return {
         "media_probe": media_probe_sql,
         "snapshot_delta_classify": """
@@ -4003,42 +4068,39 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_graph": _lpa_oracle(rounds=4),
         "ppr_graph": ppr_sql,
         "rag_context_docs": rag_sql,
-        "relation_extract_docs": f"""
-            WITH l AS (
-              SELECT doc_id,
-                     string_split_regex(text, '[^A-Za-z0-9_-]+') AS toks
-              FROM documents
-            ),
-            t AS (
-              SELECT doc_id, unnest(toks) AS tok,
-                     generate_subscripts(toks, 1) AS ord
-              FROM l
-            ),
-            m AS (SELECT doc_id, tok, ord FROM t WHERE tok IN ({vocab_in})),
-            p AS (
-              SELECT doc_id, tok AS a, ord AS oa,
-                     LEAD(tok) OVER w AS b, LEAD(ord) OVER w AS ob
-              FROM m
-              WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-            ),
-            cand AS (
-              SELECT p.doc_id, p.a, p.b,
-                     CASE mid.tok WHEN 'value' THEN 'increases'
-                                  WHEN 'key' THEN 'decreases'
-                                  ELSE 'association' END AS rel
-              FROM p
-              JOIN t mid ON mid.doc_id = p.doc_id AND mid.ord = p.oa + 1
-              WHERE p.ob = p.oa + 2
-                AND mid.tok IN ('value', 'key', 'fast', 'slow')
-            )
-            SELECT DISTINCT
-                   'doc://' || CAST(doc_id AS VARCHAR) AS url,
-                   'a(VOCAB:' || UPPER(a) || ')' AS subj,
-                   rel AS pred,
-                   'a(VOCAB:' || UPPER(b) || ')' AS obj,
-                   'a(VOCAB:' || UPPER(a) || ') ' || rel ||
-                       ' a(VOCAB:' || UPPER(b) || ')' AS bel_statement
-            FROM cand
+        "relation_extract_docs": relextract_sql,
+        # KG-quality rollups composed on the SAME extraction replay (nested
+        # CTE): per-edge support aggregation and conflicting-sign pairs
+        "edge_evidence_rollup": f"""
+            WITH stmts AS ({relextract_sql})
+            SELECT subj, pred, obj,
+                   CAST(COUNT(*) AS BIGINT) AS n_evidence,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_docs,
+                   MIN(url) AS first_url,
+                   MIN(bel_statement) AS bel_statement
+            FROM stmts GROUP BY subj, pred, obj
+        """,
+        "edge_contradictions": f"""
+            WITH stmts AS ({relextract_sql}),
+            s AS (
+              SELECT subj, obj,
+                     CASE WHEN pred IN ('increases', 'directlyIncreases',
+                                        'rateLimitingStepOf') THEN 1
+                          WHEN pred IN ('decreases', 'directlyDecreases')
+                              THEN -1
+                          ELSE 0 END AS sign
+              FROM stmts),
+            g AS (
+              SELECT subj, obj,
+                     SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS n_pos,
+                     SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS n_neg
+              FROM s WHERE sign <> 0 GROUP BY subj, obj)
+            SELECT subj, obj,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   ROUND(LEAST(n_pos, n_neg) * 1.0
+                         / GREATEST(n_pos, n_neg), 6) AS conflict_ratio
+            FROM g WHERE n_pos > 0 AND n_neg > 0
         """,
         "cooccurrence_graph": f"""
             {cooc_pairs_cte}

@@ -282,6 +282,10 @@ def main() -> int:
             # k-core peel: ~10 shrinking degree-agg + anti-join rounds —
             # the iterative-graph cost profile alongside CC/pagerank
             "kcore_graph",
+            # GraphRAG composite: 3 PPR rounds over the entity graph +
+            # broadcast top-entity mass fold + vocabulary-pruned BM25 —
+            # the consumption-layer query shape (graph x lexical)
+            "rag_context_docs",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect
