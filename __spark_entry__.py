@@ -959,6 +959,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edge_contradictions"] = edge_contradictions
 
+    # cross-document entity resolution (operators/resolution.py): alias
+    # clustering over the entity-sized distinct surface-form table —
+    # char-shingle Jaccard pairs (inverted index) -> connected components
+    # (aliases ARE the node ids) -> lexicographic-min canonical.
+    def entity_resolution_parts(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.resolution import (
+            resolve_entities,
+        )
+
+        aliases = _read(spark, sf, "part").select(
+            F.col("p_name").alias("alias")
+        )
+        return resolve_entities(aliases, threshold=0.6)
+
+    q["entity_resolution_parts"] = entity_resolution_parts
+
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
@@ -4079,6 +4095,36 @@ def oracle_sql() -> dict[str, str]:
                    MIN(url) AS first_url,
                    MIN(bel_statement) AS bel_statement
             FROM stmts GROUP BY subj, pred, obj
+        """,
+        # entity resolution: shingle inverted index + recursive closure +
+        # lexicographic-min canonical, replayed end-to-end
+        "entity_resolution_parts": """
+            WITH RECURSIVE al AS (SELECT DISTINCT p_name AS alias FROM part),
+            sh AS (
+              SELECT alias,
+                     unnest(list_distinct(list_transform(
+                       range(0, GREATEST(length(lower(alias)) - 2, 0) + 1),
+                       i -> substr(lower(alias), i + 1, 2)))) AS g
+              FROM al),
+            cnt AS (SELECT alias, COUNT(*) AS n FROM sh GROUP BY alias),
+            p AS (SELECT a.alias AS a, b.alias AS b, COUNT(*) AS common
+                  FROM sh a JOIN sh b USING (g)
+                  WHERE a.alias < b.alias GROUP BY 1, 2),
+            e AS (SELECT p.a, p.b
+                  FROM p
+                  JOIN cnt ca ON ca.alias = p.a
+                  JOIN cnt cb ON cb.alias = p.b
+                  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.6),
+            und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+            reach(node, r) AS (
+              SELECT DISTINCT s, s FROM und
+              UNION
+              SELECT u.s, reach.r FROM und u JOIN reach ON u.t = reach.node),
+            comp AS (SELECT node, MIN(r) AS component
+                     FROM reach GROUP BY node)
+            SELECT al.alias,
+                   COALESCE(comp.component, al.alias) AS canonical
+            FROM al LEFT JOIN comp ON comp.node = al.alias
         """,
         "edge_contradictions": f"""
             WITH stmts AS ({relextract_sql}),
