@@ -975,6 +975,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_resolution_parts"] = entity_resolution_parts
 
+    # URL canonicalization (operators/urls.py): deterministic messy-URL
+    # synthesis (case/port/tracking/fragment/param-order variants keyed on
+    # custkey), then the map-only normalizer + ONE groupBy dedup rollup.
+    def url_normalize_dedup(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.urls import (
+            url_dedup_groups,
+        )
+
+        k = F.col("k")
+        raw = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("k")
+        ).select(
+            F.concat(
+                F.when(k % 3 == 0, F.lit("HTTP://WWW.Site")).otherwise(
+                    F.lit("http://www.site")
+                ),
+                (k % 40).cast("string"),
+                F.lit(".COM"),
+                F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+                F.lit("/page/"),
+                (k % 100).cast("string"),
+                F.when(k % 5 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+                    F.lit("?a=1&b=2")
+                ),
+                F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            ).alias("url")
+        )
+        return url_dedup_groups(raw)
+
+    q["url_normalize_dedup"] = url_normalize_dedup
+
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
@@ -4095,6 +4126,57 @@ def oracle_sql() -> dict[str, str]:
                    MIN(url) AS first_url,
                    MIN(bel_statement) AS bel_statement
             FROM stmts GROUP BY subj, pred, obj
+        """,
+        # URL canonicalization: same synthesis, full normalizer replay
+        "url_normalize_dedup": """
+            WITH raw AS (
+              SELECT (CASE WHEN c_custkey % 3 = 0 THEN 'HTTP://WWW.Site'
+                           ELSE 'http://www.site' END)
+                     || CAST(c_custkey % 40 AS VARCHAR) || '.COM'
+                     || (CASE WHEN c_custkey % 2 = 0 THEN ':80' ELSE '' END)
+                     || '/page/' || CAST(c_custkey % 100 AS VARCHAR)
+                     || (CASE WHEN c_custkey % 5 = 0
+                              THEN '?utm_source=x&b=2&a=1'
+                              ELSE '?a=1&b=2' END)
+                     || (CASE WHEN c_custkey % 7 = 0 THEN '#frag' ELSE '' END)
+                         AS url
+              FROM customer),
+            parts AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                       '^[^:]+://([^/?#]*)', 1)) AS authority,
+                     regexp_extract(url,
+                       '^[^:]+://[^/?#]*([^?#]*)', 1) AS path0,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw),
+            n AS (
+              SELECT url,
+                     scheme || '://'
+                     || (CASE WHEN scheme = 'http' AND authority LIKE '%:80'
+                              THEN substr(authority, 1,
+                                          length(authority) - 3)
+                              WHEN scheme = 'https'
+                                   AND authority LIKE '%:443'
+                              THEN substr(authority, 1,
+                                          length(authority) - 4)
+                              ELSE authority END)
+                     || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+                         AS norm_url
+              FROM (
+                SELECT url, scheme, authority, path0,
+                       array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=')
+                       )), '&') AS qs
+                FROM parts))
+            SELECT norm_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_variants,
+                   MIN(url) AS first_url
+            FROM n GROUP BY norm_url
         """,
         # entity resolution: shingle inverted index + recursive closure +
         # lexicographic-min canonical, replayed end-to-end

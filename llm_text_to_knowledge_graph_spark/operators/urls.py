@@ -1,0 +1,83 @@
+"""URL canonicalization — the crawl-frontier / URL-dedup normalizer.
+
+Reference analog: the reference keys everything on PubMed ids
+(``pub.py``), so it never faces URL identity; a Common-Crawl-style corpus
+(the north rule's input) is keyed on ``url``, where the same page appears
+as ``HTTP://Site.com:80/a?utm_source=x&b=1#top`` and
+``http://site.com/a?b=1``. Canonicalization is the map-only projection
+every crawl dedup / frontier / revisit-join keys on.
+
+Safe (semantics-preserving) normalizations only, all JVM string/regex
+expressions — zero Python, zero shuffle:
+
+  * scheme and host lowercased (path case is preserved — it is
+    significant on most origin servers);
+  * fragment stripped (never sent to the server);
+  * default ports stripped (``:80`` for http, ``:443`` for https);
+  * empty path -> ``/``;
+  * query parameters: tracking params dropped (``utm_*``, ``fbclid``,
+    ``gclid``, ``msclkid``), the rest SORTED so parameter order stops
+    mattering; an emptied query drops its ``?``.
+
+Percent-encoding and path-dot-segment resolution are deliberately NOT
+done: both can change identity on real servers and the cost/benefit at
+crawl scale is negative (CC's own dedup does not either).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="
+
+
+def normalize_url(url) -> Column:
+    """Canonical form of a URL column (see module docstring for the rules).
+    Rows that do not look like ``scheme://authority...`` pass through
+    unchanged (relative/malformed URLs are not guessed at)."""
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    authority = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring(authority, 1, F.length(authority) - 3),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.substring(authority, 1, F.length(authority) - 4),
+    ).otherwise(authority)
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", url).otherwise(norm)
+
+
+def url_dedup_groups(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(norm_url, n_variants, first_url): one row per canonical URL with
+    how many raw spellings collapsed into it and the lexicographic-min
+    raw form — ONE partial-agg groupBy on the normalized key."""
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            normalize_url(url_col).alias("norm_url"),
+        )
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("url").alias("first_url"),
+        )
+    )
