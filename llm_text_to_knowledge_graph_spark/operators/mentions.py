@@ -284,17 +284,22 @@ def count_mentions_native(
         the boundary class, filter tokens against the dictionary inside the
         array, explode only the hits, broadcast-hash-join to entry names.
         All inside WholeStageCodegen. Speed vs the Arrow-batched Python
-        matcher: PARITY within noise — warm interleaved A/B at sf0.1
-        (6 runs each) measures median 2.05s vs 2.21s, and the two-pass
-        bench.py warm numbers agree; earlier cold single-shot benches
-        swung anywhere from 1.6x faster to 2x slower because a first call
-        pays codegen compile (tokenize side) or worker-pool spawn (Arrow
-        side), which dominated 1-3s queries (settled in round 3 —
-        bench.py's "queries" vs "queries_cold"). It is ~5x faster than the
-        alternation regex. Its real wins are structural, not wall-clock:
-        zero Python runtime on the hot path (pure-JVM deployability) and
-        per-row cost flat in dictionary size (the Arrow matcher's automaton
-        build is per-executor, the alternation regex scans per character).
+        matcher is TWO numbers, not one (settled in round 3 with busy-core
+        integrals — bench.py records them per query): warm interleaved A/B
+        at sf0.1 on an idle box measures tokenize 0.9-1.1s at ~8.5
+        busy cores vs Arrow 1.3-1.7s at ~2 busy cores. Tokenize wins
+        WALL-CLOCK (~1.4x) because its agg stage spreads across idle
+        cores; the Arrow matcher wins CPU (~3x fewer core-seconds) but is
+        serialized behind the scan partition count (1 local parquet file
+        -> 1 Python worker). On a saturated cluster — where core-seconds,
+        not idle-core latency, are the budget — the Arrow matcher is the
+        cheaper engine; earlier rounds' "1.6x faster"/"2x slower"
+        flip-flops were this core-availability dependence plus cold-start
+        noise, not a real contradiction. Tokenize is ~5x faster than the
+        alternation regex and keeps two structural wins: zero Python
+        runtime on the hot path (pure-JVM deployability) and per-row cost
+        flat in dictionary size (the Arrow matcher's automaton build is
+        per-executor, the alternation regex scans per character).
       * ``regex`` — general fallback for multi-token aliases: the same
         length-desc ordered alternation as ``AliasMatcher`` via
         ``regexp_extract_all`` with ``(?U)`` word-boundary lookarounds.
