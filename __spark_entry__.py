@@ -1006,6 +1006,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_normalize_dedup"] = url_normalize_dedup
 
+    # hybrid retrieval: RRF fusion (operators/retrieval.py::rrf_fuse) of a
+    # BM25 lexical top-10 and a dense cosine top-10 (vec_id==doc_id in the
+    # sf tables). Each leg is top-k-sized before fusion, so the fused
+    # groupBy input is O(k*legs) regardless of corpus size.
+    def hybrid_rrf_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.retrieval import (
+            bm25_scores,
+            rrf_fuse,
+        )
+        from llm_text_to_knowledge_graph_spark.operators.similarity import (
+            cosine_col,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        lex_w = Window.orderBy(F.desc("score"), "doc_id")
+        lex = (
+            bm25_scores(docs, ["spark", "stream", "vector"])
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(10)
+            .select("doc_id", F.row_number().over(lex_w).alias("rank"))
+        )
+        emb = _read(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("emb").alias("qvec")
+        )
+        den_scored = (
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != 0)
+            .select(
+                F.col("vec_id").cast("long").alias("doc_id"),
+                F.round(cosine_col(F.col("emb"), F.col("qvec")), 3).alias(
+                    "cos"
+                ),
+            )
+        )
+        den_w = Window.orderBy(F.desc("cos"), "doc_id")
+        den = (
+            den_scored.orderBy(F.desc("cos"), "doc_id")
+            .limit(10)
+            .select("doc_id", F.row_number().over(den_w).alias("rank"))
+        )
+        return rrf_fuse([lex, den], k=60)
+
+    q["hybrid_rrf_docs"] = hybrid_rrf_docs
+
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
@@ -4126,6 +4175,58 @@ def oracle_sql() -> dict[str, str]:
                    MIN(url) AS first_url,
                    MIN(bel_statement) AS bel_statement
             FROM stmts GROUP BY subj, pred, obj
+        """,
+        # hybrid RRF: BM25 leg replayed (same CTEs as bm25_topical_docs),
+        # dense leg replayed (same 3dp cosine as embedding_topk), fusion
+        # formula 1/(60+rank) summed per doc
+        "hybrid_rrf_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            m AS (SELECT doc_id, term FROM toks
+                  WHERE term IN ('spark', 'stream', 'vector')),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM m GROUP BY doc_id, term),
+            dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                    FROM m GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sterm
+              FROM tf
+              JOIN dfr USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s),
+            bmr AS (SELECT doc_id, ROUND(SUM(sterm), 6) AS score
+                    FROM sc GROUP BY doc_id),
+            lex AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM bmr
+              QUALIFY rank <= 10),
+            qv AS (SELECT embedding::DOUBLE[] AS qvec
+                   FROM embeddings WHERE vec_id = 0),
+            den0 AS (
+              SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+                     ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  qv.qvec), 3) AS cos
+              FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+            den AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+              FROM den0
+              QUALIFY rank <= 10),
+            u AS (
+              SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+              UNION ALL
+              SELECT doc_id, 1.0 / (60.0 + rank) FROM den)
+            SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY doc_id
         """,
         # URL canonicalization: same synthesis, full normalizer replay
         "url_normalize_dedup": """

@@ -97,6 +97,47 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    weights: list[float] | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    lists: ``score(d) = sum_i w_i / (k + rank_i(d))`` — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense ANN) because it needs
+    no score calibration between the legs, only ranks.
+
+    Each input is (``id_col``, ``rank_col``) with rank starting at 1.
+    Plan: tag + unionByName (no shuffle), ONE partial-agg groupBy on the
+    id — each leg is already top-k-sized, so the fusion input is
+    O(N*k*|queries|) regardless of corpus size. Scores are rounded to 6dp
+    (the per-leg terms are exact binary rationals only for k+rank a power
+    of two, so the sum is order-sensitive at the last ulp without it)."""
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("one weight per ranking")
+    tagged = None
+    for w, r in zip(weights, rankings):
+        leg = r.select(
+            F.col(id_col),
+            (F.lit(float(w)) / (F.lit(float(k)) + F.col(rank_col))).alias(
+                "contrib"
+            ),
+        )
+        tagged = leg if tagged is None else tagged.unionByName(leg)
+    fused = tagged.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    if top is not None:
+        fused = fused.orderBy(F.desc("rrf_score"), id_col).limit(top)
+    return fused
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
