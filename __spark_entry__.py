@@ -46,13 +46,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_as_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> one 'sentence' row per document (SENTENCES shape)."""
-    return _read(spark, sf_dir, "documents").select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.lit(0).alias("para_idx"),
-        F.lit(0).alias("sent_idx"),
-        F.col("text").alias("sentence"),
+    """documents -> one 'sentence' row per document (SENTENCES shape).
+
+    Repartitioned to the session parallelism: the sf documents table is ONE
+    parquet row group, so without it every downstream Arrow-UDF stage
+    (mention detection -> statements) serializes on a single task — at
+    crawl scale the scan splits come free from file layout, but a local
+    1-row-group file pins chained Python stages to one worker (measured
+    mention_counts 4.7s at 1.2 busy cores vs 0.6s repartitioned). The
+    shuffle moves only the small text column once.
+    """
+    return (
+        _read(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(0).alias("para_idx"),
+            F.lit(0).alias("sent_idx"),
+            F.col("text").alias("sentence"),
+        )
     )
 
 

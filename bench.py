@@ -43,7 +43,9 @@ ann_ivf_32q, eval_match_statements; round 3 adds kg_extract_fused_block,
 decontam_docs, line_dedup_docs, pack_sequences, gopher_quality,
 repetition_stats, kcore_graph, quantize_build, ann_quantized_32q,
 ivf_sq8_build, ann_ivf_sq8_32q, pq_build, ann_brute_l2_32q, ann_pq_32q,
-ivf_pq_build, ann_ivfpq_32q),
+ivf_pq_build, ann_ivfpq_32q, and late-r3 rag_context_docs,
+edge_evidence_rollup, hybrid_rrf_docs, url_normalize_dedup,
+entity_resolution_parts),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -286,6 +288,15 @@ def main() -> int:
             # broadcast top-entity mass fold + vocabulary-pruned BM25 —
             # the consumption-layer query shape (graph x lexical)
             "rag_context_docs",
+            # round 3 cont. 9: KG-quality rollups (single-shuffle partial
+            # aggs on the edge identity), hybrid RRF fusion (top-k-sized
+            # inputs), map-only URL canonicalization + its dedup groupBy,
+            # and alias-clustering entity resolution (shingle inverted
+            # index + CC loop over the entity-sized surface-form table)
+            "edge_evidence_rollup",
+            "hybrid_rrf_docs",
+            "url_normalize_dedup",
+            "entity_resolution_parts",
         ]
         for name in bench_queries:
             # count() forces full evaluation without driver-side collect

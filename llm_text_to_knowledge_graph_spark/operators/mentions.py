@@ -284,22 +284,25 @@ def count_mentions_native(
         the boundary class, filter tokens against the dictionary inside the
         array, explode only the hits, broadcast-hash-join to entry names.
         All inside WholeStageCodegen. Speed vs the Arrow-batched Python
-        matcher is TWO numbers, not one (settled in round 3 with busy-core
-        integrals — bench.py records them per query): warm interleaved A/B
-        at sf0.1 on an idle box measures tokenize 0.9-1.1s at ~8.5
-        busy cores vs Arrow 1.3-1.7s at ~2 busy cores. Tokenize wins
-        WALL-CLOCK (~1.4x) because its agg stage spreads across idle
-        cores; the Arrow matcher wins CPU (~3x fewer core-seconds) but is
-        serialized behind the scan partition count (1 local parquet file
-        -> 1 Python worker). On a saturated cluster — where core-seconds,
-        not idle-core latency, are the budget — the Arrow matcher is the
-        cheaper engine; earlier rounds' "1.6x faster"/"2x slower"
-        flip-flops were this core-availability dependence plus cold-start
-        noise, not a real contradiction. Tokenize is ~5x faster than the
-        alternation regex and keeps two structural wins: zero Python
-        runtime on the hot path (pure-JVM deployability) and per-row cost
-        flat in dictionary size (the Arrow matcher's automaton build is
-        per-executor, the alternation regex scans per character).
+        matcher depends on TWO things the single numbers of earlier rounds
+        hid (settled in round 3 with busy-core integrals — bench.py
+        records them per query): available cores and rows-per-partition.
+        Idle-box interleaved A/B at sf0.1: on a 1-partition input the
+        Arrow matcher runs 1.3-1.7s at ~2 busy cores (cheapest in
+        core-seconds — the per-partition automaton build amortizes over
+        5000 docs) vs tokenize 0.9-1.1s at ~8.5 cores (fastest
+        wall-clock); on the same input repartitioned 32 ways the Arrow
+        matcher's build/batch overhead re-pays per partition (~2s at ~5
+        cores, now losing BOTH axes) while tokenize drops to ~0.7s.
+        So: tokenize wins small dictionaries outright; the Arrow matcher
+        wins core-seconds only with big per-partition batches, and is the
+        only engine whose cost stays flat past ~10^4 aliases (automaton;
+        see AliasMatcher engine="ac"). The earlier "1.6x faster" /
+        "parity" / "2x slower" flip-flops were these dependences plus
+        cold-start noise, not a contradiction. Tokenize is ~5x faster
+        than the alternation regex and keeps two structural wins: zero
+        Python runtime on the hot path (pure-JVM deployability) and
+        per-row cost flat in dictionary size.
       * ``regex`` — general fallback for multi-token aliases: the same
         length-desc ordered alternation as ``AliasMatcher`` via
         ``regexp_extract_all`` with ``(?U)`` word-boundary lookarounds.
