@@ -48,17 +48,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _docs_as_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> one 'sentence' row per document (SENTENCES shape).
 
-    Repartitioned to the session parallelism: the sf documents table is ONE
+    Repartitioned past the 1-row-group floor: the sf documents table is ONE
     parquet row group, so without it every downstream Arrow-UDF stage
     (mention detection -> statements) serializes on a single task — at
-    crawl scale the scan splits come free from file layout, but a local
-    1-row-group file pins chained Python stages to one worker (measured
-    mention_counts 4.7s at 1.2 busy cores vs 0.6s repartitioned). The
-    shuffle moves only the small text column once.
+    crawl scale the scan splits come free from file layout. The fan-out is
+    cores/4 capped at 8, NOT defaultParallelism: chained Arrow stages run
+    ~2 Python workers per task, and the measured sweep (4/8/16/32 parts on
+    32 cores, warm) reads 2.3s/2.4s/2.8s/10s — tasks==cores falls off the
+    worker-oversubscription cliff the README documents. The shuffle moves
+    only the small text column once.
     """
+    par = max(2, min(8, spark.sparkContext.defaultParallelism // 4))
     return (
         _read(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(par)
         .select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
             F.lit(None).cast("timestamp").alias("warc_ts"),

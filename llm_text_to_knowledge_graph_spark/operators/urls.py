@@ -21,7 +21,11 @@ expressions — zero Python, zero shuffle:
 
 Percent-encoding and path-dot-segment resolution are deliberately NOT
 done: both can change identity on real servers and the cost/benefit at
-crawl scale is negative (CC's own dedup does not either).
+crawl scale is negative (CC's own dedup does not either). Caveat: the
+whole authority is lowercased, which also lowercases a userinfo part
+(``user:pass@host``) — case-sensitive userinfo is vanishingly rare in a
+crawl corpus and such URLs should usually be dropped upstream anyway
+(credentials in URLs), so the simpler rule wins.
 """
 
 from __future__ import annotations
