@@ -1071,6 +1071,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf_docs"] = hybrid_rrf_docs
 
+    # TransE energy scoring (operators/kge.py): the KG-embedding training
+    # signal over the customer graph with deterministic md5 pseudo-
+    # embeddings — every double replayable (same trick as negatives.py).
+    def transe_energy_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.kge import (
+            pseudo_embeddings,
+            transe_energy,
+        )
+
+        tri = _read(spark, sf, "customer").filter(
+            F.col("c_custkey") < 300
+        ).select(
+            F.col("c_custkey").cast("long").alias("s"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("rel_a"))
+            .otherwise(F.lit("rel_b"))
+            .alias("p"),
+            (F.col("c_nationkey").cast("long") + 2_000_000).alias("t"),
+        )
+        ids = tri.select(F.col("s").alias("node_id")).unionByName(
+            tri.select(F.col("t").alias("node_id"))
+        ).distinct()
+        ent = pseudo_embeddings(ids, dim=4, seed=11)
+        rels = spark.createDataFrame(
+            [("rel_a",), ("rel_b",)], ["node_id"]
+        )
+        rel = pseudo_embeddings(rels, dim=4, seed=11).withColumnRenamed(
+            "node_id", "rel"
+        )
+        return transe_energy(tri, ent, rel)
+
+    q["transe_energy_graph"] = transe_energy_graph
+
     def minhash_pairs(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
@@ -3135,7 +3167,32 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
         """
 
+    # TransE oracle: component j of entity/relation x is
+    # nibble(md5("x:j:11"))/15 - 0.5; energy = sum_j |h_j + r_j - t_j|,
+    # left-folded in the same order as the Spark aggregate
+    def _nib(key_sql: str, j: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(md5({key_sql} || ':{j}:11'), 1, 1)) - 1)"
+            f" / 15.0 - 0.5)"
+        )
+
+    transe_terms = " + ".join(
+        f"ABS({_nib('CAST(s AS VARCHAR)', j)} + {_nib('p', j)}"
+        f" - {_nib('CAST(t AS VARCHAR)', j)})"
+        for j in range(4)
+    )
+    transe_sql = f"""
+        WITH e AS (
+          SELECT CAST(c_custkey AS BIGINT) AS s,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'rel_a'
+                      ELSE 'rel_b' END AS p,
+                 CAST(c_nationkey AS BIGINT) + 2000000 AS t
+          FROM customer WHERE c_custkey < 300)
+        SELECT s, p, t, ROUND({transe_terms}, 6) AS energy FROM e
+    """
+
     return {
+        "transe_energy_graph": transe_sql,
         "media_probe": media_probe_sql,
         "snapshot_delta_classify": """
             WITH old AS (
