@@ -169,3 +169,20 @@ def test_rag_context_graph_only_doc_still_ranks(frames):
         assert got[d]["score"] == pytest.approx(
             got[d]["graph_mass"], abs=1e-9
         )
+
+
+def test_rag_plan_properties(spark):
+    """Scale claims pinned: the top-entity cut joins the mention map via
+    BROADCAST (query-sized side never shuffles the corpus-sized side's
+    rows twice) and the whole composite has zero Python eval nodes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["s", "t"])
+    ed = spark.createDataFrame([(0, 0), (1, 1)], ["node_id", "doc_id"])
+    docs = spark.createDataFrame(
+        [(0, "alpha spark"), (1, "beta")], ["doc_id", "text"]
+    )
+    out = rag_context(edges, ed, docs, seeds=[0], query_terms=["spark"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
