@@ -565,6 +565,21 @@ def main() -> int:
         **extras,
     }
     print(json.dumps(out))
+    # Persist the COMPLETE record in-repo: the driver's BENCH_r{N}.json
+    # capture truncates stdout to a ~2,000-char tail, which dropped the
+    # per-query dicts from the round-3 official record. This file is the
+    # durable copy cross-round comparisons read.
+    try:
+        os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"),
+                    exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH", "last_run.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
     return 0
 

@@ -16,6 +16,14 @@ array_sort — all JVM-codegen built-ins, no Python), so canonicalization
 rides INSIDE the page scan stage: zero extra passes, zero shuffles, and
 Catalyst folds it into whatever filter/join consumes the result.
 
+NOTE — this is the AGGRESSIVE corpus-dedup key (drops a leading
+``www.``, larger frozen tracking list): use it where over-merging
+near-identical origins is the point (dedup, snapshot delta, edge
+provenance). The CONSERVATIVE frontier/revisit key — which must NOT
+merge ``www.x.com`` with ``x.com`` because a crawler needs fetch
+identity — lives in ``operators/urls.py::normalize_url``. Both are
+frozen and tested; pick by consumer.
+
 Canonical form (documented, frozen):
   * scheme and host lower-cased; a leading ``www.`` dropped
   * default ports (http:80, https:443) dropped, explicit others kept

@@ -599,6 +599,91 @@ def personalized_pagerank(
     return ranks
 
 
+def personalized_pagerank_scaled(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    undirected: bool = True,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Engine-exact personalized PageRank: the entire fixpoint runs in
+    int64 units of ``1/scale`` — integer division for the per-neighbor
+    contribution, integer sums for the in-mass, integer damping
+    (``damping_num/damping_den``) — so every iterate is a pure function
+    of the graph with NO floating-point summation anywhere. Two engines
+    replaying the same recurrence produce bit-identical longs, which is
+    what a downstream 6dp cut needs: double PPR values are often exact
+    7-decimal numbers (uniform hub contributions), and rounding those at
+    6dp is engine-dependent (Spark rounds the shortest decimal repr
+    HALF_UP, DuckDB rounds the ``x*1e6`` double) — the one observed
+    parity break in round 3 (``rag_context_docs``, 0.3708125 boundary).
+
+    Semantics match :func:`personalized_pagerank` up to ≤ ``iterations``
+    floor-division units (1e-12) per node — far below any consumer's 6dp
+    lattice — and the floor is applied identically on both engines.
+    Returns (node_id, rank_s) with ``rank_s`` a long; ``rank_s/scale``
+    is the rank. Same plan shape as the double variant: one join + one
+    partial-agg groupBy per iteration, lineage truncated per round, no
+    mid-loop driver actions.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank_scaled needs >= 1 seed")
+    seeds = [int(s) for s in seeds]
+    g = (
+        undirected_edges(edges).distinct()
+        if undirected
+        else edges.select("s", "t").distinct()
+    )
+    g = g.localCheckpoint(eager=True)
+    out_deg = g.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        g.select(F.col("s").alias("node_id"))
+        .unionByName(g.select(F.col("t").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p0_s = int(scale) // len(seeds)  # exact integer teleport share
+    teleport = F.when(
+        F.col("node_id").isin(seeds),
+        F.lit((damping_den - damping_num) * p0_s // damping_den),
+    ).otherwise(F.lit(0))
+    ranks = nodes.withColumn(
+        "rank_s",
+        F.when(F.col("node_id").isin(seeds), F.lit(p0_s))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    g_deg = g.join(out_deg, "s").localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            g_deg.join(ranks.withColumnRenamed("node_id", "s"), "s")
+            .select(
+                F.col("t").alias("node_id"),
+                # integer floor division: exact, order-independent
+                F.expr("rank_s div deg").alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("in_s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    teleport
+                    + F.expr(
+                        f"coalesce(in_s, 0L) * {damping_num} "
+                        f"div {damping_den}"
+                    )
+                ).cast("long").alias("rank_s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """HITS hubs & authorities over the DIRECTED edge table — the
     companion to :func:`pagerank` for the web host graph
@@ -619,6 +704,8 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
     contribute nothing to either sum); the full node list is restored
     with explicit 0.0 scores in the final projection.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     g = edges.select("s", "t").distinct().localCheckpoint(eager=True)
     nodes = (
         g.select(F.col("s").alias("node_id"))

@@ -28,11 +28,16 @@ wire exactly once — the mention map collapses through a broadcast join
 tokens. No mid-plan driver actions beyond the PPR loop's
 localCheckpoints.
 
-Determinism: ranks are rounded to 6dp BEFORE the top-``m`` cut (ties
-broken by ``node_id``), every emitted double is rounded column math — so
-the whole composite replays in ANSI SQL (``rag_context_docs`` oracle in
-``__spark_entry__.py`` unrolls the PPR iterations as chained CTEs and
-re-derives the BM25 statistics).
+Determinism: the PPR fixpoint runs entirely in int64 units of 1e-12
+(:func:`~..operators.graph_query.personalized_pagerank_scaled`), the 6dp
+snap and the top-``m`` cut happen in integer space (ties broken by
+``node_id``), and the graph-mass fold is an exact long sum divided once
+— so the whole composite replays bit-identically in ANSI SQL
+(``rag_context_docs`` oracle in ``__spark_entry__.py`` unrolls the
+integer PPR iterations as chained CTEs and re-derives the BM25
+statistics). Round-3 lesson baked in: double PPR iterates are often
+exact 7-decimal values, and ``ROUND(double, 6)`` at the half boundary
+is engine-dependent — integers never are.
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .graph_query import personalized_pagerank
+from .graph_query import personalized_pagerank_scaled
 from .retrieval import bm25_scores
 
 
@@ -68,14 +73,23 @@ def rag_context(
     top-``top_entities`` entity: (``id_col``, n_entities, graph_mass,
     bm25, score), optionally cut to the global top ``k`` by score.
     """
-    ppr = personalized_pagerank(
-        entity_edges, seeds, iterations=iterations, damping=damping
+    # integer PPR: the whole fixpoint runs in int64 units of 1e-12, so
+    # the ranks below are exact longs, never engine-dependent double sums
+    # (round-3 lesson: PPR hub values are exact 7-decimal numbers, and
+    # ROUND(double, 6) at the x.xxx_xxx5 boundary disagrees between
+    # Spark's shortest-repr HALF_UP and DuckDB's scaled-double round)
+    damping_num = int(round(damping * 100))
+    ppr = personalized_pagerank_scaled(
+        entity_edges, seeds, iterations=iterations, damping_num=damping_num
     )
-    # round BEFORE the cut: the cut order is then a pure function of the
-    # 6dp lattice + node_id, not of last-ulp summation order
+    # snap to the 6dp lattice IN INTEGER SPACE (half-up on longs), then
+    # cut: order is a pure function of the lattice + node_id
     top = (
-        ppr.select("node_id", F.round("rank", 6).alias("rank"))
-        .orderBy(F.desc("rank"), "node_id")
+        ppr.select(
+            "node_id",
+            F.expr("(rank_s + 500000) div 1000000").alias("rank6"),
+        )
+        .orderBy(F.desc("rank6"), "node_id")
         .limit(top_entities)
     )
     mass = (
@@ -85,7 +99,9 @@ def rag_context(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_entities"),
-            F.round(F.sum("rank"), 6).alias("graph_mass"),
+            # exact long sum; ONE division to double at the end — both
+            # engines divide the same long by the same constant
+            (F.sum("rank6") / F.lit(1e6)).alias("graph_mass"),
         )
     )
     bm = bm25_scores(

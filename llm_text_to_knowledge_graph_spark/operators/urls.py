@@ -21,7 +21,17 @@ expressions — zero Python, zero shuffle:
 
 Percent-encoding and path-dot-segment resolution are deliberately NOT
 done: both can change identity on real servers and the cost/benefit at
-crawl scale is negative (CC's own dedup does not either). Caveat: the
+crawl scale is negative (CC's own dedup does not either).
+
+Two normalizers, two keys — BY DESIGN, both frozen and tested:
+this module is the CONSERVATIVE frontier/revisit key (a crawler must
+not merge ``www.x.com`` with ``x.com`` — they can serve different
+content, and a frontier that conflates them never fetches one of
+them); ``functions/urls.py::normalize_url_col`` is the AGGRESSIVE
+corpus-dedup key (drops a leading ``www.``, larger frozen tracking
+list) for dedup/delta/provenance where over-merging near-identical
+origins is the point. Pick by consumer: frontier/fetch identity ->
+here; corpus identity -> functions/urls.py. Caveat: the
 whole authority is lowercased, which also lowercases a userinfo part
 (``user:pass@host``) — case-sensitive userinfo is vanishingly rare in a
 crawl corpus and such URLs should usually be dropped upstream anyway
@@ -52,7 +62,12 @@ def normalize_url(url) -> Column:
     ).otherwise(authority)
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment (http://a.com/p#sec?x=1) is fragment content, not a query,
+    # and must not be resurrected as one
+    query = F.regexp_extract(
+        F.regexp_extract(url, r"^([^#]*)", 1), r"\?(.*)$", 1
+    )
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_RE),

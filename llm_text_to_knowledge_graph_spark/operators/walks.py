@@ -99,11 +99,30 @@ def random_walks(
     ``walk_id = start_node * walks_per_node + copy`` (unique because
     copy < walks_per_node). Deterministic: a pure function of
     (edge set, walk_len, walks_per_node, seed).
+
+    Node ids must be NUMERIC (the walk_id arithmetic and the md5 draw
+    replayed by the oracle are integer functions of the start node;
+    string keys would silently null out every walk_id). String-keyed
+    graphs — e.g. the alias graphs from operators/resolution.py — must
+    first be densified through plans/ids.py, exactly as the KG build
+    itself does before any graph algorithm runs.
     """
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
     if walks_per_node < 1:
         raise ValueError("walks_per_node must be >= 1")
+    from pyspark.sql import types as T
+
+    for c in ("s", "t"):
+        if not isinstance(
+            edges.schema[c].dataType, (T.ByteType, T.ShortType,
+                                       T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"random_walks needs integer node ids; column {c!r} is "
+                f"{edges.schema[c].dataType.simpleString()} — densify "
+                "string keys via plans/ids.py first"
+            )
     adj0 = ranked_adjacency(edges, directed=directed)
     # distinct column names per join input: deg_tbl derives from adj, so a
     # shared-lineage join would trip Spark's ambiguous-self-join check

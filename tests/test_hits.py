@@ -2,6 +2,7 @@
 numpy power iteration with the same L1 normalization."""
 
 import numpy as np
+import pytest
 
 from llm_text_to_knowledge_graph_spark.operators.graph_query import hits_scores
 
@@ -53,3 +54,9 @@ def test_hits_star_graph_structure(spark):
     for i in range(1, 6):
         assert abs(rows[i].hub - 0.2) < 1e-12
         assert rows[i].authority == 0.0
+
+
+def test_hits_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], ["s", "t"])
+    with pytest.raises(ValueError, match="iterations must be >= 1"):
+        hits_scores(df, iterations=0)

@@ -20,6 +20,8 @@ CASES = [
     ("http://site.com/?fbclid=abc&gclid=d", "http://site.com/"),  # emptied query drops ?
     ("http://site.com/CaseKept/Path", "http://site.com/CaseKept/Path"),
     ("http://site.com/a?z=1&y=2&z=0", "http://site.com/a?y=2&z=0&z=1"),  # stable sort incl. dups
+    ("http://a.com/p#sec?x=1", "http://a.com/p"),             # '?' inside fragment is not a query
+    ("http://a.com/p?a=1#sec?x=2", "http://a.com/p?a=1"),     # real query kept, fragment-? dropped
     ("not a url at all", "not a url at all"),                 # pass-through
     ("/relative/path?a=1", "/relative/path?a=1"),             # pass-through
 ]

@@ -130,3 +130,11 @@ def test_skipgram_pairs_window(spark):
                 if 1 <= abs(sa - sb) <= 2 and center != context:
                     want.add((wid, sa, center, context))
     assert pairs == want
+
+
+def test_walks_reject_string_node_ids(spark):
+    """String-keyed graphs (e.g. resolution.py alias graphs) must fail
+    fast: walk_id arithmetic on strings silently nulls every key."""
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["s", "t"])
+    with pytest.raises(TypeError, match="integer node ids"):
+        random_walks(df, walk_len=2)
