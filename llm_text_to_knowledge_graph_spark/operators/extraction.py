@@ -175,7 +175,8 @@ _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
 # them is positively regulated by G and an event that RISES is negatively
 # regulated (the same curator reasoning as papers/pmid16962653.bel)
 _KO_SUFFIX_RE = re.compile(
-    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|\s*[-−]deficient\b)"
+    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|\s*[-−]deficient\b"
+    r"|\s+[-−–—]null\b)"  # post-_COMPOUND_SPLIT_RE form of "<G>-null"
 )
 # species-specific gene namespaces: a knockout statement whose subject and
 # object ground to two DIFFERENT ones is a species mixup of the flat
@@ -225,7 +226,7 @@ _PHOSPHO_OF_RE = re.compile(r"(?:^|[^a-z])phosphorylation\s+of\b")
 # BEFORE matcher.find so mention offsets and pattern text agree.
 _COMPOUND_SPLIT_RE = re.compile(
     r"(?<=\w)(?=[-−–](?:induced|mediated|triggered|stimulated|activated|"
-    r"suppressed|inhibited|dependent|deficient)\b)"
+    r"suppressed|inhibited|dependent|deficient|null)\b)"
 )
 
 
@@ -315,6 +316,47 @@ _MEDIATED_RE = re.compile(
 )
 _FOLD_CONT_RE = re.compile(
     r"^(?:and\s+)?[\d.,–—-]+\s*-?fold\s+by$"
+)
+
+# ---- round-4 idioms (the last three pattern_gap misses of the audit) ------
+# protective-agent correlation: "<B> ... protect(s) ... from <A>-induced
+# <process>" — the insult agent negatively correlates with the protector;
+# curators write the insult as the statement subject
+_PROTECT_FROM_RE = re.compile(r"\bprotects?\b[^.;]*\bfrom$", re.I)
+_INDUCED_AFTER_RE = re.compile(r"^\s*[-−–—]induced\b", re.I)
+# site-modification mediates a binary interaction: "<Mod> at ... <residue>
+# residue(s) on (the) <A> ... mediates interaction(s) between ... <B> ...
+# and <A>" -> p(A, pmod) directlyIncreases complex(p(B), p(A))
+_MEDIATES_BETWEEN_RE = re.compile(
+    r"\bmediates\s+(?:the\s+)?interactions?\s+between\b", re.I
+)
+_MOD_RESIDUES_ON_RE = re.compile(
+    r"\b(hydroxylation|phosphorylation|methylation|acetylation|"
+    r"ubiquitination|sumoylation)\s+(?:at|of)\s+[\w\s,-]{0,40}?"
+    r"(proline|serine|threonine|tyrosine|lysine|arginine)\s+residues?\s+"
+    r"on\s+(?:the\s+)?",
+    re.I,
+)
+_MOD_NOMINAL_CODE = {
+    "hydroxylation": "H",  # the gold corpus uses the BEL-1 code for Hyx
+    "phosphorylation": "Ph", "methylation": "Me", "acetylation": "Ac",
+    "ubiquitination": "Ub", "sumoylation": "Sumo",
+}
+_RESIDUE_NAME_CODE = {
+    # proline keeps the gold's single-letter form (no 1->3 normalization
+    # rule exists for P, so 3-letter "Pro" would never match a gold)
+    "proline": "P", "serine": "Ser", "threonine": "Thr",
+    "tyrosine": "Tyr", "lysine": "Lys", "arginine": "Arg",
+}
+# knockout-comparison target discovery: "(the) gene encoding ... <B> ...
+# discovered/identified as ... based on ... <A>-null ... wild-type <A>"
+# -> the gene surfaced BECAUSE it is derepressed in the null: A decreases
+# r(B) (the same curator reasoning as the knockout-inference rules)
+_GENE_ENCODING_RE = re.compile(
+    r"\bgene\s+encoding\s+(?:the\s+)?(?:[\w\-]+\s+){0,4}$", re.I
+)
+_DISCOVERED_AS_RE = re.compile(
+    r"\b(?:discovered|identified)\s+as\b", re.I
 )
 
 
@@ -1143,6 +1185,78 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                                  tag="ko"),
                         )
 
+        # ---- site-modification mediates a binary interaction -------------
+        # "<Mod> at ... <residue> residues on (the) <A> ... mediates
+        # interaction(s) between ... <B> ... and <A>": the modified A is
+        # what recruits B, so p(A, pmod) directlyIncreases complex(B, A)
+        # (complex members in between-clause mention order)
+        med = _MEDIATES_BETWEEN_RE.search(text, s_begin, s_end)
+        if med is not None:
+            for hm in _MOD_RESIDUES_ON_RE.finditer(text, s_begin, med.start()):
+                a_m = next((m for m in ms if m["begin"] == hm.end()), None)
+                if a_m is None:
+                    continue
+                b_m = next((m for m in ms if m["begin"] >= med.end()), None)
+                if b_m is None or (b_m["db"], b_m["id"]) == (
+                    a_m["db"], a_m["id"]
+                ):
+                    continue
+                a2 = next(
+                    (m for m in ms
+                     if m["begin"] > b_m["end"]
+                     and (m["db"], m["id"]) == (a_m["db"], a_m["id"])
+                     and re.fullmatch(r"[\s)]*and[\s(]*",
+                                      text[b_m["end"]: m["begin"]])),
+                    None,
+                )
+                if a2 is None:
+                    continue
+                pmod = (_MOD_NOMINAL_CODE[hm.group(1).lower()],
+                        _RESIDUE_NAME_CODE[hm.group(2).lower()], None)
+                subj = make_term(a_m["db"], a_m["entry_name"], pmod=pmod,
+                                 func=_term_func(a_m, text))
+                obj = f"complex({_render(b_m, text)},{_render(a2, text)})"
+                emit(f"{subj} directlyIncreases {obj}",
+                     _sig(a_m, "directlyIncreases", b_m, "complex",
+                          pmod, None))
+                break
+
+        # ---- knockout-comparison target discovery -------------------------
+        # "(the) gene encoding ... <B> ... discovered/identified as ...
+        # based on ... <A>-null ... wild-type <A>": B surfaced in the
+        # comparison BECAUSE it is derepressed in the null, so A decreases
+        # r(B) — the nominal-discovery form of the knockout inference above
+        disc = _DISCOVERED_AS_RE.search(text, s_begin, s_end)
+        if disc is not None:
+            gene_b = next(
+                (m for m in ms
+                 if m["end"] <= disc.start()
+                 and _GENE_ENCODING_RE.search(text[s_begin: m["begin"]])),
+                None,
+            )
+            if gene_b is not None:
+                for a_m in ms:
+                    if (
+                        a_m["begin"] < disc.end()
+                        or (a_m["db"], a_m["id"])
+                        == (gene_b["db"], gene_b["id"])
+                        or not _KO_SUFFIX_RE.match(text[a_m["end"]: s_end])
+                        or (a_m["db"] != gene_b["db"]
+                            and a_m["db"] in _GENE_NS
+                            and gene_b["db"] in _GENE_NS)
+                    ):
+                        continue
+                    alias = re.escape(text[a_m["begin"]: a_m["end"]])
+                    if not re.search(r"wild-?\s?type\s+" + alias,
+                                     text[a_m["end"]: s_end], re.I):
+                        continue
+                    emit(
+                        f"{_render(a_m, text)} decreases "
+                        + make_term(gene_b["db"], gene_b["entry_name"],
+                                    func="r"),
+                        _sig(a_m, "decreases", gene_b, None, None, None),
+                    )
+
         # pre-scan: "X enhances the ability of Y to ..." composite subjects
         ability_subject: dict[int, tuple[dict, str]] = {}
         for k in range(len(ms) - 1):
@@ -1237,6 +1351,18 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 continue
 
             if _NEG_RE.search(inter):
+                continue
+
+            # ---- protective-agent correlation: "<B> ... protect(s) ...
+            # from <A>-induced <process>" — the insult agent negatively
+            # correlates with the protector; curators write the insult as
+            # the statement subject (papers/pmid12928037.bel idiom)
+            if (
+                not same_entity
+                and _PROTECT_FROM_RE.search(low_inter)
+                and _INDUCED_AFTER_RE.match(after_right)
+            ):
+                emit_pair(right, "negativeCorrelation", left)
                 continue
 
             # ---- fold-continuation: ", 2.4-fold by B" --------------------
