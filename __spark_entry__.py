@@ -890,6 +890,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["real_gold_miss_audit"] = real_gold_miss_audit
 
+    # Round 4: the FULL Selventa small corpus (papers/small_corpus.bel,
+    # ~2,000 curated statements from 57 PubMeds — 14x more gold than the
+    # four single papers) end-to-end under ONE mechanically-derived
+    # lexicon. One summary row + one row per mechanical miss category.
+    # Rows-only by nature (runs the extraction engine); exact numbers
+    # pinned in tests/test_real_gold.py::test_selventa_corpus_pinned.
+    def real_gold_selventa_pr(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+            run_selventa_corpus_eval,
+        )
+
+        r = run_selventa_corpus_eval()
+        rows = [
+            (
+                "ALL",
+                r["matched"],
+                r["pred_total"],
+                r["gold_total"],
+                round(r["precision"], 4),
+                round(r["recall"], 4),
+            )
+        ] + [
+            (f"miss:{cat}", n, 0, 0, 0.0, 0.0)
+            for cat, n in sorted(r["audit"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "section string, matched long, pred_total long, "
+            "gold_total long, precision double, recall double",
+        )
+
+    q["real_gold_selventa_pr"] = real_gold_selventa_pr
+
     # C1 (vocab matcher) + C2-cooccurrence + P6/P7 graph build, resolved
     # back to entity names so the single-token VOCAB makes the whole chain
     # DuckDB-checkable (round-2: was rows-only).
@@ -2503,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROWS_ONLY_BY_DESIGN = frozenset([
     "minhash_pairs", "simhash_pairs", "multimodal_features",
     "fuzzy_linking_synthetic", "snapshot_delta_merge", "bpe_token_count",
+    "real_gold_selventa_pr",
 ])
 
 

@@ -426,3 +426,106 @@ def audit_misses(pmid: str, lexicon: list | None = None) -> dict:
     return {"counts": counts, "misses": misses, **{
         k: result[k] for k in ("matched", "pred_total", "gold_total")
     }}
+
+
+# ---------------------------------------------------------------------------
+# round 4: the FULL Selventa small corpus (papers/small_corpus.bel —
+# "Approximately 2000 hand curated statements drawn from 57 PubMeds",
+# small_corpus.bel:5) — 14x more gold than the four single papers, and the
+# reference's largest unused gold asset. P1 already round-trips all 2,067
+# statements byte-exact (tests/test_selventa_corpus_parity.py); this is the
+# END-TO-END number: block engine vs every evidence sentence.
+# ---------------------------------------------------------------------------
+
+SELVENTA_CORPUS = os.path.join(GOLD_BEL_DIR, "small_corpus.bel")
+
+_TERM_NAME_RE = re.compile(r'\b([A-Z]+):("([^"]+)"|[\w\-./]+)')
+
+
+def selventa_lexicon() -> list:
+    """ONE grounding dictionary for the whole 57-paper corpus, built
+    mechanically from the corpus's own term vocabulary (alias = entry
+    name, namespace = corpus-majority pick per surface form, prior =
+    corpus frequency) plus the four curated paper lexicons from
+    :func:`merged_lexicon` (which carry real surface aliases like
+    "SDF-1" -> CXCL12 for the papers that overlap the corpus).
+
+    This is the dependency-free stand-in for a production entity
+    dictionary: a real deployment derives aliases from the knowledge
+    base itself (HGNC/CHEBI/GO alias tables), which this sandbox cannot
+    ship. Name-only aliases put a hard ceiling on mention recall —
+    measured 24% of gold entity occurrences appear verbatim in their
+    evidence text — and that ceiling, not the extractor, dominates the
+    corpus-level recall number (see run_selventa_corpus_eval's audit:
+    ~71% of misses are non_surface_entity). Deterministic: majority
+    count desc, then namespace asc; aliases shorter than 3 chars or
+    purely numeric are dropped (boundary-valid spurious hits)."""
+    blocks = parse_bel_file(SELVENTA_CORPUS)
+    vocab: dict[tuple[str, str], int] = {}
+    for b in blocks:
+        for s in b["gold"]:
+            for m in _TERM_NAME_RE.finditer(s):
+                name = m.group(3) if m.group(3) is not None else m.group(2)
+                key = (m.group(1), name)
+                vocab[key] = vocab.get(key, 0) + 1
+    by_name: dict[str, tuple[str, str, int]] = {}
+    for (ns, name), c in vocab.items():
+        cur = by_name.get(name.lower())
+        if cur is None or c > cur[2] or (c == cur[2] and ns < cur[0]):
+            by_name[name.lower()] = (ns, name, c)
+    lex = [
+        (name, ns, name, name, float(c))
+        for ns, name, c in by_name.values()
+        if len(name) >= 3 and not name.isdigit()
+    ]
+    return lex + merged_lexicon()
+
+
+def run_selventa_corpus_eval() -> dict:
+    """End-to-end block-engine P/R over all 796 evidence blocks / 2,067
+    gold statements of the Selventa small corpus under ONE lexicon
+    (:func:`selventa_lexicon`), plus the mechanical per-miss audit.
+    Exact numbers pinned in tests/test_real_gold.py — honest and low by
+    design: the corpus encodes curator background knowledge (71% of
+    misses name an entity that never appears in the evidence text),
+    nested statements, and relation-less golds the pinned scorer cannot
+    match. Returns the score_blocks summary + ``audit`` counts."""
+    from ..operators.extraction import extract_from_block, normalize_block_text
+    from ..operators.mentions import AliasMatcher
+    from .real_gold import score_blocks
+
+    lex = selventa_lexicon()
+    matcher = AliasMatcher(lex)
+    blocks = parse_bel_file(SELVENTA_CORPUS)
+    text_by_key: dict[str, str] = {}
+    mentions_by_key: dict[str, set[str]] = {}
+    for b in blocks:
+        text = normalize_block_text(b["text"])
+        ms = matcher.find(text)
+        b["pred"] = [
+            stmt
+            for stmt, _ in extract_from_block(
+                text,
+                [
+                    {"begin": s, "end": e, "alias": a, "db": db, "id": i,
+                     "entry_name": n, "score": p}
+                    for (s, e, a, db, i, n, p) in ms
+                ],
+            )
+        ]
+        text_by_key[b["key"]] = text
+        mentions_by_key[b["key"]] = {m[5] for m in ms} | {m[2] for m in ms}
+    result = score_blocks(blocks)
+    counts: dict[str, int] = {}
+    for r in result["rows"]:
+        if r["match_type"] != "gold_only":
+            continue
+        cat = categorize_miss(
+            r["gold_statement"],
+            text_by_key[r["key"]],
+            mentions_by_key[r["key"]],
+            lexicon=lex,
+        )
+        counts[cat] = counts.get(cat, 0) + 1
+    result["audit"] = counts
+    return result
