@@ -45,7 +45,12 @@ repetition_stats, kcore_graph, quantize_build, ann_quantized_32q,
 ivf_sq8_build, ann_ivf_sq8_32q, pq_build, ann_brute_l2_32q, ann_pq_32q,
 ivf_pq_build, ann_ivfpq_32q, and late-r3 rag_context_docs,
 edge_evidence_rollup, hybrid_rrf_docs, url_normalize_dedup,
-entity_resolution_parts),
+entity_resolution_parts; round 4 adds the clustered-corpus ANN rows
+ann_brute_clustered_32q, ann_ivf_clustered_32q,
+ann_ivf_sq8_clustered_32q, ann_brute_l2_clustered_32q,
+ann_pq_clustered_32q, ann_ivfpq_clustered_32q with their
+*_recall_clustered_32q extras — recall on a 32-cluster gaussian mixture
+at the sf table's row count/dim, next to the isotropic floor),
 so compare per-query timings across rounds, not the total — and compare
 r1/r2 numbers against "queries_cold", not the warm headline.
 """
@@ -502,6 +507,112 @@ def main() -> int:
             len(exl2 & aipq) / max(len(exl2), 1), 4
         )
         ipq_codes.unpersist()
+
+        # --- CLUSTERED-corpus ANN rows (VERDICT r3 #6): the sf table is
+        # isotropic by construction (same-label mean cosine 0.03), which is
+        # every quantizer's worst case — recall there is scan-fraction-bound
+        # for ANY index. Production embedding tables are clustered by topic,
+        # so BENCH also reports each family's recall on a deterministic
+        # 32-cluster gaussian mixture at the SAME row count and dim as the
+        # sf table. These are the numbers a real deployment would see; the
+        # isotropic rows above stay as the adversarial floor.
+        import numpy as _np
+
+        _dim = len(emb.select("embedding").first()[0])
+        _n = int(emb.count())
+        _rng = _np.random.RandomState(20240819)
+        _centers = _rng.randn(32, _dim) * 4.0
+        _mat = _centers[_np.arange(_n) % 32] + _rng.randn(_n, _dim) * 0.5
+        cemb = spark.createDataFrame(
+            [(i, [float(x) for x in _mat[i]]) for i in range(_n)],
+            "vec_id long, embedding array<double>",
+        ).persist()
+        cemb.count()
+
+        exc, _ = timed(
+            "ann_brute_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_topk(cemb, qids, k=10).collect()
+            },
+        )
+        c_corpus, c_cents = ivf_index(cemb, n_centroids=8, method="kmeans")
+        c_corpus = c_corpus.persist()
+        c_corpus.count()
+        apc, _ = timed(
+            "ann_ivf_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk_indexed(
+                    c_corpus, c_cents, qids, k=10, nprobe=4
+                ).collect()
+            },
+        )
+        extras["ivf_recall_clustered_32q"] = round(
+            len(exc & apc) / max(len(exc), 1), 4
+        )
+        ccq = quantize_int8(c_corpus, extra_cols=("cell",)).persist()
+        ccq.count()
+        asqc, _ = timed(
+            "ann_ivf_sq8_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk_quantized(
+                    ccq, c_cents, qids, k=10, nprobe=4
+                ).collect()
+            },
+        )
+        extras["ivf_sq8_recall_clustered_32q"] = round(
+            len(exc & asqc) / max(len(exc), 1), 4
+        )
+        ccq.unpersist()
+        c_corpus.unpersist()
+
+        exl2c, _ = timed(
+            "ann_brute_l2_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_l2_topk(cemb, qids, k=10).collect()
+            },
+        )
+        c_books = pq_codebooks(cemb, m=8, ksub=16, method="kmeans",
+                               fit_sample=0.25)
+        c_pcodes = pq_encode(cemb, c_books).persist()
+        c_pcodes.count()
+        apqc, _ = timed(
+            "ann_pq_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in pq_topk(
+                    c_pcodes, c_books, cemb, qids, k=10, rerank=300
+                ).collect()
+            },
+        )
+        extras["pq_recall_clustered_32q"] = round(
+            len(exl2c & apqc) / max(len(exl2c), 1), 4
+        )
+        c_pcodes.unpersist()
+
+        ci_codes, ci_cents, ci_books = ivf_pq_index(
+            cemb, n_cells=16, m=8, ksub=16, method="kmeans", fit_sample=0.25
+        )
+        ci_codes = ci_codes.persist()
+        ci_codes.count()
+        aipqc, _ = timed(
+            "ann_ivfpq_clustered_32q",
+            lambda: {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_pq_topk(
+                    ci_codes, ci_cents, ci_books, cemb, qids,
+                    k=10, nprobe=8, rerank=300,
+                ).collect()
+            },
+        )
+        extras["ivfpq_recall_clustered_32q"] = round(
+            len(exl2c & aipqc) / max(len(exl2c), 1), 4
+        )
+        ci_codes.unpersist()
+        cemb.unpersist()
 
         # --- eval harness at bench scale: grouped bipartite matching (E4) over
         # the synthetic pipeline's predictions vs planted gold. Shuffle key is
