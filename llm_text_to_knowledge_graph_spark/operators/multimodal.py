@@ -5,7 +5,7 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over mapInPandas.
 
 Codec status (round 3): PNG (8-bit gray/RGB/RGBA, all five scanline
-filters), baseline JPEG (sequential DCT, Huffman, gray + YCbCr with
+filters), JPEG — baseline AND progressive SOF2 (DCT, Huffman, gray + YCbCr with
 4:4:4/4:2:2/4:2:0 subsampling, restart markers) and PCM WAV decode for
 REAL, dependency-free (zlib + struct + numpy; PNG/WAV golden-file
 tested, JPEG verified against a spec-independent test encoder plus
@@ -154,7 +154,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(height, width, ch)
 
 
-# --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) --------------------
+# --- JPEG (ITU-T T.81: baseline + progressive DCT, Huffman) ----------------
 
 _ZIGZAG = np.array(
     [
@@ -254,13 +254,210 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
+def _comp_block_grid(frame, cid):
+    """MCU-padded and non-interleaved block-grid dims for one component.
+
+    Interleaved scans address blocks MCU-wise (mcu_y*v, mcu_x*h incl.
+    padding); a non-interleaved (single-component) scan addresses only
+    ceil(comp_samples/8) rows/cols of blocks (T.81 A.2.2: no MCU padding).
+    """
+    height, width, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c, h, v, _tq in comps:
+        if c == cid:
+            samples_x = -(-(width * h) // hmax)
+            samples_y = -(-(height * v) // vmax)
+            return mcux * h, mcuy * v, -(-samples_x // 8), -(-samples_y // 8)
+    raise ValueError(f"unknown JPEG component id {cid}")
+
+
+def _reconstruct_jpeg(frame, coefs, qt) -> np.ndarray:
+    """Shared finish for baseline and progressive: per-component raw
+    zigzag coefficient grids (BY, BX, 64) -> dequantize -> batched IDCT
+    (one einsum per plane, not per block) -> upsample/crop -> gray or
+    BT.601 RGB. Identical math to the former per-block loop."""
+    height, width, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    out_planes = []
+    for cid, h, v, tq in comps:
+        grid = coefs[cid]
+        by, bx = grid.shape[:2]
+        nat = np.zeros((by * bx, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = grid.reshape(by * bx, 64) * qt[tq]
+        spatial = np.einsum(
+            "ij,njk,kl->nil", _DCT_C.T, nat.reshape(-1, 8, 8), _DCT_C
+        )
+        plane = (
+            spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        ) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+        )
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        gray = np.clip(out_planes[0], 0, 255)
+        return gray.astype(np.uint8)[..., None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    reader, frame, scan, coefs, huff_dc, huff_ac, restart_interval, eobrun
+) -> int:
+    """One SOF2 scan (T.81 G.2): DC-first / DC-refine (interleaved or
+    single-component) and AC-first / AC-refine (single-component by spec)
+    accumulated into the raw zigzag coefficient grids. Returns the EOB
+    run left over (always 0 at a spec-conformant scan end; threaded for
+    symmetry with the per-scan reset)."""
+    ns, scan_tables, ss, se, ah, al = scan
+    height, width, comps = frame
+    scomps = [c for c in comps if c[0] in scan_tables]
+    if ss == 0:  # DC scan (Se must be 0)
+        pred = {cid: 0 for cid, *_ in scomps}
+        if len(scomps) > 1:  # interleaved MCU order
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_i
+                        and mcu_i % restart_interval == 0
+                    ):
+                        reader.restart()
+                        pred = {cid: 0 for cid, *_ in scomps}
+                    mcu_i += 1
+                    for cid, h, v, _tq in scomps:
+                        td = scan_tables[cid][0]
+                        for by in range(v):
+                            for bx in range(h):
+                                blk = coefs[cid][my * v + by, mx * h + bx]
+                                if ah == 0:
+                                    s = _huff_decode(reader, huff_dc[td])
+                                    pred[cid] += _extend(reader.receive(s), s)
+                                    blk[0] = pred[cid] << al
+                                elif reader.read_bit():
+                                    blk[0] |= 1 << al
+        else:
+            cid = scomps[0][0]
+            td = scan_tables[cid][0]
+            _bw, _bh, nbx, nby = _comp_block_grid(frame, cid)
+            blk_i = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and blk_i
+                        and blk_i % restart_interval == 0
+                    ):
+                        reader.restart()
+                        pred[cid] = 0
+                    blk_i += 1
+                    blk = coefs[cid][by, bx]
+                    if ah == 0:
+                        s = _huff_decode(reader, huff_dc[td])
+                        pred[cid] += _extend(reader.receive(s), s)
+                        blk[0] = pred[cid] << al
+                    elif reader.read_bit():
+                        blk[0] |= 1 << al
+        return 0
+
+    # AC scan: exactly one component (T.81 B.2.3)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid = scomps[0][0]
+    ta = scan_tables[cid][1]
+    table = huff_ac[ta]
+    _bw, _bh, nbx, nby = _comp_block_grid(frame, cid)
+    p1, m1 = 1 << al, -(1 << al)
+    blk_i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            blk_i += 1
+            blk = coefs[cid][by, bx]
+            if ah == 0:  # -------- AC first ------------------------------
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + (
+                            reader.receive(r) if r else 0
+                        )
+                        break
+                    k += r
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # -------------- AC refine (G.1.2.3 correction bits) ---
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, table)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (
+                                    reader.receive(r) if r else 0
+                                )
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:  # s == 1: a newly-nonzero +-1 at this bit
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.read_bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # refine the rest of the band
+                        c = int(blk[k])
+                        if c != 0 and reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Minimal real baseline JPEG decoder (ITU-T T.81 sequential DCT):
-    8-bit samples, Huffman entropy coding, grayscale or YCbCr with any
-    h/v sampling factors <= 2 (4:4:4, 4:2:2, 4:2:0), restart markers,
-    multi-table DQT/DHT segments. Progressive (SOF2) and arithmetic
-    coding raise NotImplementedError. Returns (H, W, C) uint8 — C=1
-    grayscale, C=3 RGB (BT.601 YCbCr, chroma upsampled by replication).
+    """Minimal real JPEG decoder (ITU-T T.81): baseline/extended
+    sequential DCT (SOF0/1) AND progressive DCT (SOF2 — spectral
+    selection, successive approximation, interleaved or per-component DC
+    scans, EOB runs), 8-bit samples, Huffman entropy coding, grayscale
+    or YCbCr with any h/v sampling factors <= 2 (4:4:4, 4:2:2, 4:2:0),
+    restart markers, multi-table DQT/DHT segments. Lossless and
+    arithmetic-coded variants raise NotImplementedError. Returns
+    (H, W, C) uint8 — C=1 grayscale, C=3 RGB (BT.601 YCbCr, chroma
+    upsampled by replication).
 
     Pure python+numpy entropy loop: this is the capability-parity codec
     for the multimodal plumbing, not a throughput path — at 100 TB image
@@ -274,6 +471,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (height, width, comps) ; comps: (cid, h, v, tq)
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) zigzag int32
     restart_interval = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -297,16 +496,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body[b: b + 64], dtype=np.uint8).astype(np.int32)
                     b += 64
                 qt[tid] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive SOF
+            progressive = marker == 0xC2
             _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             comps = []
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                for cid, h, v, _tq in comps:
+                    bw, bh, _, _ = _comp_block_grid(frame, cid)
+                    coefs[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic) not supported"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic) not supported"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             b = 0
@@ -328,14 +532,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, td_ta = body[1 + 2 * i: 3 + 2 * i]
                 scan_tables[cs] = (td_ta >> 4, td_ta & 0x0F)
             height, width, comps = frame
+            if progressive:
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                reader = _JpegBitReader(d, pos + 2 + seglen)
+                _decode_progressive_scan(
+                    reader, frame, (ns, scan_tables, ss, se, a >> 4, a & 0x0F),
+                    coefs, huff_dc, huff_ac, restart_interval, 0,
+                )
+                # resync to the next marker past the entropy data
+                pos = reader.pos
+                while pos + 1 < len(d) and not (
+                    d[pos] == 0xFF
+                    and d[pos + 1] != 0x00
+                    and not (0xD0 <= d[pos + 1] <= 0xD7)
+                ):
+                    pos += 1
+                continue
             if ns != len(comps):
                 raise NotImplementedError("non-interleaved JPEG scan not supported")
             hmax = max(h for _, h, _, _ in comps)
             vmax = max(v for _, _, v, _ in comps)
             mcux = -(-width // (8 * hmax))
             mcuy = -(-height // (8 * vmax))
-            planes = {
-                cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+            bcoefs = {
+                cid: np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
                 for cid, h, v, _ in comps
             }
             pred = {cid: 0 for cid, *_ in comps}
@@ -368,29 +590,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     k += r
                                     coef[k] = _extend(reader.receive(s), s)
                                     k += 1
-                                block = np.zeros(64, dtype=np.float64)
-                                block[_ZIGZAG] = coef * qt[tq]
-                                spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
-                                y0 = (my * v + by) * 8
-                                x0 = (mx * h + bx) * 8
-                                planes[cid][y0: y0 + 8, x0: x0 + 8] = spatial
-            out_planes = []
-            for cid, h, v, _ in comps:
-                p = planes[cid] + 128.0
-                p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
-                out_planes.append(p[:height, :width])
-            if len(out_planes) == 1:
-                gray = np.clip(out_planes[0], 0, 255)
-                return gray.astype(np.uint8)[..., None]
-            y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
-            rgb = np.stack(
-                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-                axis=2,
-            )
-            return np.clip(rgb, 0, 255).astype(np.uint8)
+                                bcoefs[cid][my * v + by, mx * h + bx] = coef
+            return _reconstruct_jpeg(frame, bcoefs, qt)
         elif marker == 0xD9:  # EOI
+            if progressive and coefs:
+                return _reconstruct_jpeg(frame, coefs, qt)
             break
         pos += 2 + seglen
+    if progressive and coefs:  # EOI-less truncated stream: best effort
+        return _reconstruct_jpeg(frame, coefs, qt)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -462,7 +670,7 @@ def _feature_from_audio(samples: np.ndarray) -> np.ndarray:
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """payload -> FEATURE_DIM unit-norm feature vector.
 
-    Real paths (sniffed by magic bytes): PNG / baseline JPEG ->
+    Real paths (sniffed by magic bytes): PNG / JPEG (baseline + progressive) ->
     grid-of-block-means feature; PCM WAV -> segment-energy feature. Other
     formats raise NotImplementedError (MP3/MP4 codecs need external
     libraries this container lacks). ``fake=True`` keeps the digest stub
@@ -478,7 +686,8 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
         samples, _rate = decode_wav(p)
         return _feature_from_audio(samples)
     raise NotImplementedError(
-        "real decoding implemented for PNG, baseline JPEG and PCM WAV; "
+        "real decoding implemented for PNG, JPEG (baseline + progressive) "
+        "and PCM WAV; "
         "other codecs require libraries not present in this container "
         "(pass fake=True for the deterministic stub)"
     )

@@ -390,14 +390,250 @@ def test_real_world_jpeg(path, h, w):
     assert 1 < dec.mean() < 254
 
 
-def test_progressive_rejected():
-    # minimal SOF2 header must raise NotImplementedError, not garbage-decode
-    body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    payload = (
-        b"\xff\xd8"
-        + bytes([0xFF, 0xC2])
-        + struct.pack(">H", len(body) + 2)
-        + body
-    )
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(payload)
+# --- progressive (SOF2) — spec-direct test encoder + real-world files ------
+#
+# The progressive encoder below is built from T.81 G.1.2 independently of
+# the decoder (same separation as the baseline encoder above): its own
+# point transforms (sign-magnitude AC, arithmetic DC), EOB/ZRL run logic,
+# and the correction-bit buffering of refinement scans. Progressive
+# encoding is a lossless reorganization of the SAME quantized
+# coefficients, so decode(progressive) must equal decode(baseline)
+# PIXEL-FOR-PIXEL on the same raster — the strongest available oracle.
+
+
+def _quantized_blocks(img):
+    """(H, W[,3]) raster -> per-component zigzag-quantized block grids
+    {cid: (BY, BX, 64) int32} at 4:4:4/grayscale, plus the comps list."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    comps = [(1, 1, 1, 0)] if gray else [
+        (1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)
+    ]
+    if gray:
+        planes = {1: img}
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = {
+            1: 0.299 * r + 0.587 * g + 0.114 * b,
+            2: 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            3: 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        }
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    qts = {0: K1_LUMA_QT, 1: K2_CHROMA_QT}
+    grids = {}
+    for cid, _ch, _cv, tq in comps:
+        p = np.pad(
+            planes[cid],
+            ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+            mode="edge",
+        )
+        grid = np.zeros((mcuy, mcux, 64), dtype=np.int32)
+        qnat = np.array(qts[tq], dtype=np.float64)
+        for by in range(mcuy):
+            for bx in range(mcux):
+                coef = _fdct(p[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] - 128.0)
+                flat = coef.flatten()
+                for k in range(64):
+                    grid[by, bx, k] = int(np.round(flat[ZIGZAG[k]] / qnat[k]))
+        grids[cid] = grid
+    return comps, grids, h, w, mcux, mcuy
+
+
+def _enc_ac_first_block(writer, qz, ac_codes, ss, se, al):
+    """AC first scan, one block: sign-magnitude point transform by Al,
+    ZRL runs, explicit per-block EOB (an EOB run of exactly 1)."""
+    vp = []
+    for k in range(ss, se + 1):
+        v = int(qz[k])
+        a = abs(v) >> al
+        vp.append(a if v >= 0 else -a)
+    last = max((i for i, v in enumerate(vp) if v), default=-1)
+    r = 0
+    for i, v in enumerate(vp):
+        if i > last:
+            break
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            writer.write(c, ln)
+            r -= 16
+        s, bits = _magnitude(v)
+        c, ln = ac_codes[(r << 4) | s]
+        writer.write(c, ln)
+        writer.write(bits, s)
+        r = 0
+    if last < len(vp) - 1:
+        c, ln = ac_codes[0x00]
+        writer.write(c, ln)
+
+
+def _enc_ac_refine_block(writer, qz, ac_codes, ss, se, al):
+    """AC refinement scan, one block (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine shape): correction bits for history-nonzero
+    coefficients are BUFFERED and flushed with the next emitted symbol,
+    so the decoder reads them while walking that symbol's span."""
+    absv = [abs(int(qz[k])) >> al for k in range(64)]
+    newly = [k for k in range(ss, se + 1) if absv[k] == 1]
+    eob = max(newly, default=ss - 1)
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            c, ln = ac_codes[0xF0]
+            writer.write(c, ln)
+            r -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if temp > 1:  # history-nonzero: correction bit rides the next symbol
+            pending.append(temp & 1)
+            continue
+        c, ln = ac_codes[(r << 4) | 1]
+        writer.write(c, ln)
+        writer.write(1 if int(qz[k]) > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        c, ln = ac_codes[0x00]  # EOB run of 1, then the tail's bits
+        writer.write(c, ln)
+        for b in pending:
+            writer.write(b, 1)
+
+
+def encode_jpeg_progressive(img):
+    """Spec-direct progressive (SOF2) test encoder at 4:4:4/grayscale:
+    interleaved DC first scan (Al=1), DC refinement (raw bits), two AC
+    spectral-selection first scans per component (Ss 1-5 and 6-63, Al=1),
+    one AC refinement scan per component (Ss 1-63, Ah=1, Al=0) — the
+    same scan-script shape real encoders emit (cf. the container's
+    grayscale.jpg: split first bands + one full-band refine)."""
+    comps, grids, h, w, mcux, mcuy = _quantized_blocks(img)
+    gray = len(comps) == 1
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(K1_LUMA_QT))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(K2_CHROMA_QT))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_body(0, 0, DC_LUMA) + _dht_body(1, 0, AC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, DC_CHROMA) + _dht_body(1, 1, AC_CHROMA))
+    dc_tabs = {1: _codes(*DC_LUMA), 2: _codes(*DC_CHROMA), 3: _codes(*DC_CHROMA)}
+    ac_tabs = {1: _codes(*AC_LUMA), 2: _codes(*AC_CHROMA), 3: _codes(*AC_CHROMA)}
+
+    def sos(scan_comps, ss, se, ah, al, tc_ac):
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            td_ta = (0x00 if cid == 1 else 0x11) if not tc_ac else (
+                0x00 if cid == 1 else 0x01
+            )
+            body += bytes([cid, td_ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic point transform)
+    out += sos([c[0] for c in comps], 0, 0, 0, 1, tc_ac=False)
+    writer = _BitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for cid, *_ in comps:
+                dc = int(grids[cid][by, bx, 0]) >> 1
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                s, bits = _magnitude(diff)
+                c, ln = dc_tabs[cid][s]
+                writer.write(c, ln)
+                if s:
+                    writer.write(bits, s)
+    writer.flush()
+    out += writer.out
+
+    # scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits, no huffman)
+    out += sos([c[0] for c in comps], 0, 0, 1, 0, tc_ac=False)
+    writer = _BitWriter()
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for cid, *_ in comps:
+                writer.write(int(grids[cid][by, bx, 0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # per component: AC first scans in two bands, then one refine scan
+    for cid, *_ in comps:
+        ac = ac_tabs[cid]
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([cid], ss, se, 0, 1, tc_ac=True)
+            writer = _BitWriter()
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    _enc_ac_first_block(writer, grids[cid][by, bx], ac, ss, se, 1)
+            writer.flush()
+            out += writer.out
+        out += sos([cid], 1, 63, 1, 0, tc_ac=True)
+        writer = _BitWriter()
+        for by in range(mcuy):
+            for bx in range(mcux):
+                _enc_ac_refine_block(writer, grids[cid][by, bx], ac, 1, 63, 0)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_equals_baseline_gray():
+    img = _smooth_image(24, 40, channels=1, seed=11)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert base.shape == prog.shape
+    assert np.array_equal(base, prog)  # same coefficients, same pixels
+
+
+def test_progressive_equals_baseline_color():
+    img = _smooth_image(21, 19, channels=3, seed=12)  # non-multiple-of-8
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert base.shape == prog.shape
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_high_contrast_exercises_zrl_and_eobrun():
+    # sparse spikes on flat background: long zero runs (ZRL), early EOBs,
+    # and sign flips in the refinement pass
+    rng = np.random.RandomState(5)
+    img = np.full((32, 48), 128, dtype=np.uint8)
+    ys, xs = rng.randint(0, 32, 60), rng.randint(0, 48, 60)
+    img[ys, xs] = rng.choice([0, 255], 60)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+_REAL_PROGRESSIVE = [
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",       # spectral-only, color
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",       # spectral-only, color
+    # full successive approximation: DC Al=1, AC first Al=2 (two bands),
+    # AC refine 2->1, DC refine, AC refine 1->0
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+]
+
+
+@pytest.mark.parametrize("path", _REAL_PROGRESSIVE)
+def test_real_world_progressive_jpeg(path):
+    if not os.path.exists(path):
+        pytest.skip(f"fixture not present: {path}")
+    dec = decode_jpeg(open(path, "rb").read())
+    assert dec.ndim == 3 and dec.shape[2] in (1, 3)
+    assert dec.shape[0] > 0 and dec.shape[1] > 0
+    assert 1 < dec.mean() < 254  # plausible content
