@@ -2507,6 +2507,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pmi_token_pairs"] = pmi_token_pairs
 
+    # E7 reviewer consensus (reference comp_reviews.py:28-63): a
+    # deterministic md5-drawn review campaign over the documents table,
+    # aggregated to the reference's per-statement summary by partial-agg
+    # groupBys (eval/reviews.py).
+    def review_consensus_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.reviews import (
+            review_consensus,
+            synth_reviews,
+        )
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+        return review_consensus(synth_reviews(docs, seed=11))
+
+    q["review_consensus_docs"] = review_consensus_docs
+
+    # Fleiss' kappa over the same campaign: the inter-rater statistic the
+    # reference's review CSV implies but never computes; exact integer
+    # sufficient statistics + one 6dp-rounded double.
+    def review_fleiss_kappa(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.reviews import (
+            fleiss_kappa,
+            synth_reviews,
+        )
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+        return fleiss_kappa(synth_reviews(docs, seed=11))
+
+    q["review_fleiss_kappa"] = review_fleiss_kappa
+
     # ------------------------------------------------------------------
     # Driver-window ordering. The driver's correctness run checks the
     # FIRST ~50 entries of this dict, so registration order decides which
@@ -2675,8 +2704,38 @@ def _lpa_oracle(rounds: int = 4) -> str:
     )
 
 
+def _review_long_cte() -> str:
+    """Shared CTE: the deterministic review campaign, replayed in DuckDB.
+
+    Must mirror eval/reviews.py::synth_reviews exactly — same md5 input
+    string 'idx:reviewer:criterion:11', same first-4-hex-chars thresholds
+    ('9000' for all_correct, '3000' otherwise).
+    """
+    from llm_text_to_knowledge_graph_spark.eval.reviews import (
+        CRITERIA,
+        REVIEWERS,
+    )
+
+    revs = ", ".join(f"('{r}')" for r in REVIEWERS)
+    crits = ", ".join(f"('{c}')" for c in CRITERIA)
+    return f"""
+        WITH revs(reviewer) AS (VALUES {revs}),
+        crits(criterion) AS (VALUES {crits}),
+        long AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS idx, r.reviewer, c.criterion,
+                 substr(md5(CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)
+                            || ':' || r.reviewer || ':' || c.criterion
+                            || ':11'), 1, 4)
+                   < CASE WHEN c.criterion = 'all_correct'
+                          THEN '9000' ELSE '3000' END AS marked
+          FROM documents d CROSS JOIN revs r CROSS JOIN crits c)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from llm_text_to_knowledge_graph_spark.operators.sketches import _HLL_NUMER
+
+    _REVIEW_LONG_CTE = _review_long_cte()
 
     stop_en = "['the','a','an','and','of','to','in','is','was','for','on','with','that','this']"
     stop_de = "['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','fuer']"
@@ -4946,6 +5005,90 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN dfv da ON da.item = p.item_a
             JOIN dfv db ON db.item = p.item_b
+        """,
+        # E7 reviewer consensus: replay the md5-drawn campaign verbatim
+        # (same concat key, same hex thresholds), then the reference's
+        # per-statement summary — fingerprint = sorted '|'-join of marked
+        # criteria, mode with ties to the smallest string, Counter-style
+        # error summary omitting zero counts.
+        "review_consensus_docs": _REVIEW_LONG_CTE + """,
+            fp AS (
+              SELECT idx, reviewer,
+                     coalesce(string_agg(CASE WHEN marked
+                                              AND criterion <> 'comments'
+                                         THEN criterion END,
+                                         '|' ORDER BY criterion),
+                              '') AS fingerprint,
+                     max(CASE WHEN criterion = 'all_correct'
+                              THEN marked ELSE FALSE END) AS all_correct
+              FROM long GROUP BY idx, reviewer),
+            fpc AS (SELECT idx, fingerprint, COUNT(*) AS n
+                    FROM fp GROUP BY idx, fingerprint),
+            best AS (
+              SELECT idx, CAST(n AS BIGINT) AS consensus_count,
+                     fingerprint AS agreed_criteria
+              FROM (SELECT idx, n, fingerprint,
+                           row_number() OVER (PARTITION BY idx
+                                              ORDER BY n DESC,
+                                                       fingerprint ASC) AS rk
+                    FROM fpc)
+              WHERE rk = 1),
+            acc AS (
+              SELECT idx,
+                     CAST(sum(CASE WHEN all_correct THEN 1 ELSE 0 END)
+                          AS BIGINT) AS all_correct_count,
+                     CAST(COUNT(*) AS BIGINT) AS total_reviewers
+              FROM fp GROUP BY idx),
+            errc AS (
+              SELECT idx, criterion,
+                     sum(CASE WHEN marked THEN 1 ELSE 0 END) AS cnt
+              FROM long
+              WHERE criterion NOT IN ('comments', 'all_correct')
+              GROUP BY idx, criterion
+              HAVING sum(CASE WHEN marked THEN 1 ELSE 0 END) > 0),
+            errs AS (
+              SELECT idx,
+                     string_agg(criterion || ':' || CAST(cnt AS VARCHAR),
+                                ',' ORDER BY criterion) AS error_summary
+              FROM errc GROUP BY idx)
+            SELECT acc.idx, acc.total_reviewers, acc.all_correct_count,
+                   best.consensus_count, best.agreed_criteria,
+                   coalesce(errs.error_summary, '') AS error_summary
+            FROM acc
+            JOIN best USING (idx)
+            LEFT JOIN errs USING (idx)
+        """,
+        # Fleiss' kappa over the same campaign: integer sufficient
+        # statistics, then the two divisions mirrored op-for-op against
+        # eval/reviews.py::fleiss_kappa so the doubles agree bitwise.
+        "review_fleiss_kappa": _REVIEW_LONG_CTE + """,
+            cell AS (
+              SELECT idx, criterion,
+                     sum(CASE WHEN marked THEN 1 ELSE 0 END) AS a,
+                     COUNT(*) AS n
+              FROM long WHERE criterion <> 'comments'
+              GROUP BY idx, criterion),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                     CAST(max(n) AS BIGINT) AS n_raters,
+                     CAST(sum(a) AS BIGINT) AS sum_marked,
+                     CAST(sum(a * a) AS BIGINT) AS sum_sq
+              FROM cell),
+            d AS (
+              SELECT n_subjects, n_raters, sum_marked, sum_sq,
+                     CAST(sum_sq + n_subjects * n_raters * n_raters
+                          - 2 * n_raters * sum_marked + sum_sq
+                          - n_subjects * n_raters AS DOUBLE)
+                       / CAST(n_subjects * n_raters * (n_raters - 1)
+                              AS DOUBLE) AS p_bar,
+                     CAST(sum_marked AS DOUBLE)
+                       / CAST(n_subjects * n_raters AS DOUBLE) AS p1
+              FROM stats)
+            SELECT n_subjects, n_raters, sum_marked, sum_sq,
+                   ROUND((p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))
+                         / (1 - (p1 * p1 + (1 - p1) * (1 - p1))),
+                         6) AS kappa
+            FROM d
         """,
         "session_windows": """
             WITH o AS (
