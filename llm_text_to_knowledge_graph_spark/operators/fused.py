@@ -26,7 +26,7 @@ from ..functions.bel import split_statement
 from ..schemas import MENTION, SENTENCES, TRIPLES
 from ..sources.html_extract import extract_paragraphs_text, split_sentences
 from .mentions import AliasMatcher
-from .statements import extract_from_sentence
+from .statements import extract_parts_from_sentence
 
 # keyed by per-call uuid token, never id() (address reuse serves stale dicts)
 _MATCHER_CACHE: dict[str, AliasMatcher] = {}
@@ -58,10 +58,11 @@ def extract_triples_fused(pages: DataFrame, alias_rows: list) -> DataFrame:
                             {"begin": b, "end": e, "db": db, "entry_name": n}
                             for (b, e, _a, db, _i, n, _p) in matcher.find(sentence)
                         ]
-                        for stmt, evidence in extract_from_sentence(sentence, mentions):
-                            subj, pred, obj = split_statement(stmt)
-                            if not (subj and pred and obj):
-                                continue
+                        # parts come pre-split (split_statement(stmt) would
+                        # return exactly these — pinned by property test)
+                        for subj, pred, obj, stmt, evidence in (
+                            extract_parts_from_sentence(sentence, mentions)
+                        ):
                             out["url"].append(url)
                             out["warc_ts"].append(warc_ts)
                             out["para_idx"].append(para_idx)
@@ -216,10 +217,9 @@ def extract_sentence_level_fused(
                             for (b, e, a, db, i, n, p) in matcher.find(sentence)
                         ]
                         results = []
-                        for stmt, evidence in extract_from_sentence(
-                            sentence, mentions
+                        for subj, pred, obj, stmt, evidence in (
+                            extract_parts_from_sentence(sentence, mentions)
                         ):
-                            subj, pred, obj = split_statement(stmt)
                             results.append(
                                 {
                                     "subj": subj, "pred": pred, "obj": obj,

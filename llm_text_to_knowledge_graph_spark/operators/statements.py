@@ -37,6 +37,9 @@ from ..schemas import STATEMENT
 import re
 
 _PHRASE_TO_REL = {p: r for p, r in RELATION_PHRASES}
+# str.startswith takes a tuple — one C call replaces a per-cue genexpr that
+# profiled at ~12% of the extraction hot loop
+_NEGATION_CUES_T = tuple(NEGATION_CUES)
 _PMOD_BY_VERB = {v: (rel, mod) for v, rel, mod in PMOD_VERBS}
 # passive voice reverses the roles: "B is phosphorylated by A" ->
 # A directlyIncreases p(B, pmod(Ph)); participle = verb stem + "d"
@@ -57,12 +60,20 @@ _NOMINAL_PREFIX = {
 }
 
 
-def extract_from_sentence(
+def extract_parts_from_sentence(
     sentence: str,
     mentions: list,
     relation_phrases: list[tuple[str, str]] | None = None,
-) -> list[tuple[str, str]]:
-    """Pure per-sentence extraction -> [(bel_statement, evidence)].
+) -> list[tuple[str, str, str, str, str]]:
+    """Pure per-sentence extraction -> [(subj, rel, obj, bel_statement,
+    evidence)].
+
+    The parts ARE the statement's split: every emitted statement is
+    ``f"{subj} {rel} {obj}"`` with subj/obj balanced term expressions, so
+    ``bel.split_statement(bel_statement) == (subj, rel, obj)`` by
+    construction (pinned by tests/test_bel_properties.py) — the fused
+    operators consume the parts directly instead of re-parsing the string
+    they just serialized (profiled at 22% of the fused hot loop).
 
     ``mentions``: sequence of dict-like rows with begin/end/db/entry_name.
 
@@ -84,7 +95,7 @@ def extract_from_sentence(
         phrase_map = dict(relation_phrases)
         pmod_map, passive_map, nominal_map, wrappers = {}, {}, {}, False
     ms = sorted(mentions, key=lambda m: (m["begin"], -(m["end"] - m["begin"])))
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, str, str, str]] = []
     seen: set[str] = set()
 
     # complex pattern over three consecutive mentions:
@@ -102,19 +113,21 @@ def extract_from_sentence(
             f"complex({make_term(a['db'], a['entry_name'])}, "
             f"{make_term(b['db'], b['entry_name'])})"
         )
-        stmt = f"{subj} {phrase_map[phrase]} {make_term(c['db'], c['entry_name'])}"
+        rel = phrase_map[phrase]
+        obj = make_term(c["db"], c["entry_name"])
+        stmt = f"{subj} {rel} {obj}"
         if stmt not in seen:
             seen.add(stmt)
-            out.append((stmt, sentence))
+            out.append((subj, rel, obj, stmt, sentence))
 
     for left, right in zip(ms, ms[1:]):
         inter = sentence[left["end"] : right["begin"]].strip()
         if not inter:
             continue
         low = inter + " "
-        if any(low.startswith(cue) for cue in NEGATION_CUES):
+        if low.startswith(_NEGATION_CUES_T):
             continue
-        stmt = None
+        parts = None
         subj = make_term(left["db"], left["entry_name"])
         # subject wrappers cued by the text immediately before the subject
         # (prompt BEL-function list: act(), pmod() as term arguments)
@@ -128,7 +141,7 @@ def extract_from_sentence(
             site = _PMOD_SITE_RE.match(sentence[right["end"] :])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             obj = make_term(right["db"], right["entry_name"], pmod=pmod)
-            stmt = f"{subj} {rel} {obj}"
+            parts = (subj, rel, obj)
         elif inter in passive_map:
             # roles reversed: the agent is the RIGHT mention, the modified
             # protein the LEFT one; the site phrase still follows the agent
@@ -137,22 +150,40 @@ def extract_from_sentence(
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             agent = make_term(right["db"], right["entry_name"])
             target = make_term(left["db"], left["entry_name"], pmod=pmod)
-            stmt = f"{agent} {rel} {target}"
+            parts = (agent, rel, target)
         elif inter in phrase_map:
             rel = phrase_map[inter]
             obj = make_term(right["db"], right["entry_name"])
-            stmt = f"{subj} {rel} {obj}"
+            parts = (subj, rel, obj)
         elif inter == "by":
             for nominal, rel in nominal_map.items():
                 if prefix.endswith(nominal):
                     agent = make_term(right["db"], right["entry_name"])
                     target = make_term(left["db"], left["entry_name"])
-                    stmt = f"{agent} {rel} {target}"
+                    parts = (agent, rel, target)
                     break
-        if stmt is not None and stmt not in seen:
-            seen.add(stmt)
-            out.append((stmt, sentence))
+        if parts is not None:
+            stmt = f"{parts[0]} {parts[1]} {parts[2]}"
+            if stmt not in seen:
+                seen.add(stmt)
+                out.append((*parts, stmt, sentence))
     return out
+
+
+def extract_from_sentence(
+    sentence: str,
+    mentions: list,
+    relation_phrases: list[tuple[str, str]] | None = None,
+) -> list[tuple[str, str]]:
+    """Pure per-sentence extraction -> [(bel_statement, evidence)] — the
+    string-level view of ``extract_parts_from_sentence`` (same semantics,
+    same order)."""
+    return [
+        (stmt, ev)
+        for _s, _r, _o, stmt, ev in extract_parts_from_sentence(
+            sentence, mentions, relation_phrases
+        )
+    ]
 
 
 def extract_cooccurrence(mentions_df: DataFrame) -> DataFrame:

@@ -45,7 +45,7 @@ def main() -> None:
     from llm_text_to_knowledge_graph_spark.functions.bel import split_statement
     from llm_text_to_knowledge_graph_spark.operators.mentions import AliasMatcher
     from llm_text_to_knowledge_graph_spark.operators.statements import (
-        extract_from_sentence,
+        extract_parts_from_sentence,
     )
     from llm_text_to_knowledge_graph_spark.sources.html_extract import (
         extract_paragraphs_text,
@@ -82,9 +82,12 @@ def main() -> None:
                             {"begin": b, "end": e, "db": db, "entry_name": n}
                             for (b, e, _a, db, _i, n, _p) in matcher.find(sentence)
                         ]
-                        for stmt, _ev in extract_from_sentence(sentence, mentions):
-                            if all(split_statement(stmt)):
-                                n_triples += 1
+                        # mirrors fused.extract_triples_fused: parts come
+                        # pre-split, no split_statement re-parse
+                        for _parts in extract_parts_from_sentence(
+                            sentence, mentions
+                        ):
+                            n_triples += 1
 
     t0 = time.perf_counter()
     prof = cProfile.Profile()

@@ -48,7 +48,8 @@ def _pairs(m, texts):
 def test_engines_agree_on_tricky_corpus():
     rx = AliasMatcher(ROWS, engine="regex")
     ac = AliasMatcher(ROWS, engine="ac")
-    assert _pairs(rx, TRICKY) == _pairs(ac, TRICKY)
+    tok = AliasMatcher(ROWS, engine="tok")
+    assert _pairs(rx, TRICKY) == _pairs(ac, TRICKY) == _pairs(tok, TRICKY)
     # and they actually match things
     assert any(any(f) for f in _pairs(ac, TRICKY))
 
@@ -69,7 +70,28 @@ def test_top1_disambiguation_identical():
 def test_engines_agree_property(text):
     rx = AliasMatcher(ROWS, engine="regex")
     ac = AliasMatcher(ROWS, engine="ac")
-    assert rx.find(text) == ac.find(text)
+    tok = AliasMatcher(ROWS, engine="tok")
+    assert rx.find(text) == ac.find(text) == tok.find(text)
+
+
+WEIRD_ROWS = ROWS + [
+    ("(+)-cat", "V", "11", "PCAT", 1.0),  # starts with a non-[\w-] char
+    ("+b", "V", "12", "PLUSB", 1.0),
+    ("(ab", "V", "13", "PAB", 1.0),
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet=" abcdeé+-_,.()t", min_size=0, max_size=60),
+)
+def test_engines_agree_weird_alias_property(text):
+    """Aliases that start with a non-word char exercise the token-index
+    engine's lookahead sweep + merged greedy tail."""
+    rx = AliasMatcher(WEIRD_ROWS, engine="regex")
+    ac = AliasMatcher(WEIRD_ROWS, engine="ac")
+    tok = AliasMatcher(WEIRD_ROWS, engine="tok")
+    assert rx.find(text) == ac.find(text) == tok.find(text)
 
 
 def test_engines_agree_random_dictionary():
@@ -82,17 +104,35 @@ def test_engines_agree_random_dictionary():
             rows.append((alias, "R", str(i), alias.upper(), rng.random()))
     rx = AliasMatcher(rows, engine="regex")
     ac = AliasMatcher(rows, engine="ac")
+    tok = AliasMatcher(rows, engine="tok")
     for _ in range(300):
         text = "".join(rng.choice(alphabet + "xyz,.") for _ in range(rng.randint(0, 80)))
-        assert rx.find(text) == ac.find(text), text
+        assert rx.find(text) == ac.find(text) == tok.find(text), text
 
 
-def test_auto_threshold_selects_ac():
+def test_auto_threshold_selects_tok():
     rows = [(f"alias{i}", "V", str(i), f"A{i}", 1.0) for i in range(_AC_THRESHOLD)]
-    assert AliasMatcher(rows).engine == "ac"
+    assert AliasMatcher(rows).engine == "tok"
     assert AliasMatcher(rows[:10]).engine == "regex"
-    # identical results either way
+    # identical results any way
     text = "alias7 and alias1999 and alias2048x"
-    assert AliasMatcher(rows, engine="ac").find(text) == AliasMatcher(
-        rows, engine="regex"
-    ).find(text)
+    assert (
+        AliasMatcher(rows, engine="ac").find(text)
+        == AliasMatcher(rows, engine="regex").find(text)
+        == AliasMatcher(rows, engine="tok").find(text)
+    )
+
+
+def test_auto_falls_back_to_ac_on_pathological_sharing():
+    # > _TOK_MAX_CANDIDATES aliases share the first token "tnf": a text
+    # repeating "tnf" would probe the whole candidate list per token, so
+    # auto must keep the dictionary-invariant automaton
+    rows = [
+        (f"tnf {'x' * (i % 7)} v{i}", "V", str(i), f"A{i}", 1.0)
+        for i in range(_AC_THRESHOLD + 300)
+    ]
+    m = AliasMatcher(rows)
+    assert m.engine == "ac"
+    # explicit tok still works and agrees
+    text = "tnf x v3 and tnf v0 and tnf xx v9001"
+    assert AliasMatcher(rows, engine="tok").find(text) == m.find(text)

@@ -58,3 +58,57 @@ def test_self_match_score_is_max(ns1, n1, rel, ns2, n2, pm):
 def test_unary_statements_never_split(n1):
     term = make_term("HGNC", n1)
     assert split_statement(term) == (term, None, None)
+
+
+# names with spaces / dots exercise the quoted-name path of make_term
+_messy_name = st.text(
+    alphabet=string.ascii_letters + string.digits + " .-", min_size=2, max_size=16
+).filter(lambda s: s.strip() == s and s[0].isalpha())
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ns1=_ns, n1=_messy_name, ns2=_ns, n2=_messy_name, ns3=_ns, n3=_messy_name,
+    pm=_pmod,
+)
+def test_extract_parts_equal_split_statement(ns1, n1, ns2, n2, ns3, n3, pm):
+    """The fused operators consume extract_parts_from_sentence's (subj, rel,
+    obj) WITHOUT re-parsing; this pins that split_statement(stmt) would have
+    produced exactly those parts — including complex() subjects, act()
+    wrappers, pmod objects with sites, and quoted entity names."""
+    from llm_text_to_knowledge_graph_spark.operators.statements import (
+        extract_parts_from_sentence,
+    )
+
+    def ment(begin, text, ns, name):
+        return {"begin": begin, "end": begin + len(text), "db": ns,
+                "entry_name": name, "alias": text, "id": "1", "score": 1.0}
+
+    cases = [
+        # phrase relation + activity wrapper
+        ("The catalytic activity of AAA activates BBB today.",
+         [ment(26, "AAA", ns1, n1), ment(40, "BBB", ns2, n2)]),
+        # pmod verb with a site phrase
+        ("AAA phosphorylates BBB at Ser 9 in cells.",
+         [ment(0, "AAA", ns1, n1), ment(19, "BBB", ns2, n2)]),
+        # passive pmod (roles reversed)
+        ("BBB is phosphorylated by AAA at Thr 308.",
+         [ment(0, "BBB", ns2, n2), ment(26, "AAA", ns1, n1)]),
+        # nominalization (roles reversed)
+        ("Strong inhibition of BBB by AAA was seen.",
+         [ment(21, "BBB", ns2, n2), ment(28, "AAA", ns1, n1)]),
+        # complex subject over three mentions
+        ("AAA/BBB complex increases CCC here.",
+         [ment(0, "AAA", ns1, n1), ment(4, "BBB", ns2, n2),
+          ment(27, "CCC", ns3, n3)]),
+        # Phosphorylated-subject wrapper
+        ("Phosphorylated AAA inhibits BBB.",
+         [ment(15, "AAA", ns1, n1), ment(28, "BBB", ns2, n2)]),
+    ]
+    for sentence, mentions in cases:
+        for subj, rel, obj, stmt, ev in extract_parts_from_sentence(
+            sentence, mentions
+        ):
+            assert stmt == f"{subj} {rel} {obj}"
+            assert split_statement(stmt) == (subj, rel, obj), stmt
+            assert ev == sentence
