@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import re
 import uuid
+from functools import lru_cache
 
 import pandas as pd
 
@@ -362,13 +363,54 @@ _DISCOVERED_AS_RE = re.compile(
 
 _CITE_RE = re.compile(r"\[[^\]]*\]")
 
+# hot-loop patterns, precompiled: the re module's function wrappers cost a
+# cache-dict lookup per call, which profiled at ~10% of extract_from_block
+_OPEN_PAREN_SEP_RE = re.compile(r"\s*\(\s*")
+_NON_LETTER_RE = re.compile(r"[^A-Za-z\- ]+")
+_AGENTLESS_PASSIVE_RE = re.compile(
+    r"^\s*(?:is|are|was|were)\s+(?:\w+ly\s+)?([a-z\-]+)[\s.,;]*$"
+)
+_COMPOUND_SUFFIX_RE = re.compile(r"[-−–‐]\s*([a-z\-]+)")
+_ACTIVITY_OF_RE = re.compile(r"\b[a-z]+ activity of $")
+_OF_SEP_RE = re.compile(r"\s*of\s+")
+_AND_SEP_RE = re.compile(r"[\s)]*and[\s(]*")
+_WILDTYPE_RE = re.compile(r"wild-?\s?type\s+")
+_TREATMENT_ABILITY_RE = re.compile(
+    r"(?:pre)?treatment\s+(?:of\s+(?:\w+\s+){0,3})?"
+    r"enhance[sd]?\s+the\s+ability\s+of"
+)
+_ABILITY_RE = re.compile(r"enhance[sd]?\s+the\s+ability\s+of")
+_ON_DET_RE = re.compile(r"on\s+(?:a|an|the)?")
+_REQUIRES_RE = re.compile(r"requires\s+(?:the\s+presence\s+of)?")
+_TSCRIPT_EFFECTS_RE = re.compile(
+    r"transcription(?:al)?\s+effects\s+of\s+\S*\s*$"
+)
+_NOMINAL_BY_RE = re.compile(r"([a-z\-]+)\s+by")
+_FACTOR_AFTER_RE = re.compile(r"^\s*(?:factor|inducer|agent)\b")
+_AND_OR_SEARCH_RE = re.compile(r"\s(?:and|or)\s")
+_AND_OR_SPLIT_RE = re.compile(r"\s+(?:and|or)\s+")
+_GROUP_ASSOC_RE = re.compile(r"^\s*(?:are|were)\s+(?:\w+ly\s+)?associated\b")
+_MEDIATED_SITE_RE = re.compile(r"^\s*[-−]mediated\s+site\b")
+_DEPENDENCE_RE = re.compile(r"^[\s\-]*dependence\s+of\s+this\s+effect")
+_PHOSPHO_AFTER_RE = re.compile(r"^\s+phosphorylation\b")
+
+
+@lru_cache(maxsize=8192)
+def _tokens_cached(s: str) -> tuple[str, ...]:
+    if "(" in s:  # skip the allocating sub on the common aside-free segment
+        s = _PAREN_RE.sub(" ", s)
+    if "[" in s:
+        s = _CITE_RE.sub(" ", s)
+    return tuple(t for t in _TOKEN_SPLIT_RE.split(s.strip()) if t)
+
 
 def _tokens(s: str) -> list[str]:
     """Lowercased tokens with parenthesized asides and [citation] brackets
-    removed."""
-    s = _PAREN_RE.sub(" ", s)
-    s = _CITE_RE.sub(" ", s)
-    return [t for t in _TOKEN_SPLIT_RE.split(s.strip()) if t]
+    removed. Cached: every matcher re-tokenizes the same inter-mention
+    segment (profiled 403k calls / block run), so the split runs once per
+    distinct segment; the list() copy keeps callers' slice-vs-list
+    comparisons working."""
+    return list(_tokens_cached(s))
 
 
 def _is_num(tok: str) -> bool:
@@ -391,7 +433,7 @@ def _merge_abbrev(ms: list[dict], text: str) -> list[dict]:
             i + 1 < len(ms)
             and ms[i + 1]["db"] == m["db"]
             and ms[i + 1]["id"] == m["id"]
-            and re.fullmatch(r"\s*\(\s*", text[m["end"]: ms[i + 1]["begin"]])
+            and _OPEN_PAREN_SEP_RE.fullmatch(text[m["end"]: ms[i + 1]["begin"]])
         ):
             end = ms[i + 1]["end"]
             if end < len(text) and text[end] == ")":
@@ -404,12 +446,15 @@ def _merge_abbrev(ms: list[dict], text: str) -> list[dict]:
     return out
 
 
+@lru_cache(maxsize=8192)
 def _is_coord_sep(sep: str) -> bool:
     """True when the text between two mentions reads as list coordination:
     pure punctuation, or an and/or with at most 3 non-verbish filler tokens
-    (parenthesized asides like "(92 kDa)" or "(30,38)" are ignored)."""
-    stripped = _PAREN_RE.sub(" ", sep)
-    letters = re.sub(r"[^A-Za-z\- ]+", " ", stripped).strip().lower()
+    (parenthesized asides like "(92 kDa)" or "(30,38)" are ignored).
+    Cached: _coord_group probes the same separator from both directions and
+    from every member of a run."""
+    stripped = _PAREN_RE.sub(" ", sep) if "(" in sep else sep
+    letters = _NON_LETTER_RE.sub(" ", stripped).strip().lower()
     if not letters:
         return True  # appositive / list comma
     toks = letters.split()
@@ -643,9 +688,8 @@ def _match_passive(inter: str):
 def _match_agentless_passive(tail: str):
     """Trailing text after a mention with no following agent: ", Y is
     slightly down-regulated." -> rel, for carryover-agent attachment."""
-    m = re.match(
-        r"^\s*(?:is|are|was|were)\s+(?:\w+ly\s+)?([a-z\-]+)[\s.,;]*$",
-        tail.strip() if len(tail) < 80 else tail[:80],
+    m = _AGENTLESS_PASSIVE_RE.match(
+        tail.strip() if len(tail) < 80 else tail[:80]
     )
     if not m:
         return None
@@ -819,7 +863,7 @@ def _match_assoc(inter: str):
 
 
 def _match_compound(inter: str):
-    m = re.fullmatch(r"[-−–‐]\s*([a-z\-]+)", inter.strip().lower())
+    m = _COMPOUND_SUFFIX_RE.fullmatch(inter.strip().lower())
     if m is None:
         return None
     return _COMPOUND_REL.get(m.group(1))
@@ -1054,7 +1098,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             prefix = text[: subj_m["begin"]]
             if prefix.endswith("Phosphorylated "):
                 subj_pmod = ("Ph", None, None)
-            elif re.search(r"\b[a-z]+ activity of $", prefix):
+            elif _ACTIVITY_OF_RE.search(prefix):
                 subj_override = f"act({_render(subj_m, text)})"
         if subj_pmod is not None and subj_override is None:
             subj_override = make_term(
@@ -1107,7 +1151,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 )
                 tail_pos = ev.end()
                 target = None
-                mof = re.match(r"\s*of\s+", text[ev.end(): s_end])
+                mof = _OF_SEP_RE.match(text[ev.end(): s_end])
                 if mof:
                     pos = ev.end() + mof.end()
                     target = next((m for m in ms if m["begin"] == pos), None)
@@ -1205,8 +1249,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     (m for m in ms
                      if m["begin"] > b_m["end"]
                      and (m["db"], m["id"]) == (a_m["db"], a_m["id"])
-                     and re.fullmatch(r"[\s)]*and[\s(]*",
-                                      text[b_m["end"]: m["begin"]])),
+                     and _AND_SEP_RE.fullmatch(
+                         text[b_m["end"]: m["begin"]])),
                     None,
                 )
                 if a2 is None:
@@ -1246,9 +1290,15 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             and gene_b["db"] in _GENE_NS)
                     ):
                         continue
-                    alias = re.escape(text[a_m["begin"]: a_m["end"]])
-                    if not re.search(r"wild-?\s?type\s+" + alias,
-                                     text[a_m["end"]: s_end], re.I):
+                    # "wild-?\s?type\s+<alias>" case-insensitive, without a
+                    # per-alias regex compile: scan the precompiled prefix
+                    # over the lowercased segment and literal-compare the tail
+                    low_alias = text[a_m["begin"]: a_m["end"]].lower()
+                    low_seg = text[a_m["end"]: s_end].lower()
+                    if not any(
+                        low_seg.startswith(low_alias, w.end())
+                        for w in _WILDTYPE_RE.finditer(low_seg)
+                    ):
                         continue
                     emit(
                         f"{_render(a_m, text)} decreases "
@@ -1261,10 +1311,9 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         ability_subject: dict[int, tuple[dict, str]] = {}
         for k in range(len(ms) - 1):
             inter_k = text[ms[k]["end"]: ms[k + 1]["begin"]].strip().lower()
-            if re.fullmatch(
-                r"(?:pre)?treatment\s+(?:of\s+(?:\w+\s+){0,3})?"
-                r"enhance[sd]?\s+the\s+ability\s+of", inter_k,
-            ) or re.fullmatch(r"enhance[sd]?\s+the\s+ability\s+of", inter_k):
+            if _TREATMENT_ABILITY_RE.fullmatch(
+                inter_k
+            ) or _ABILITY_RE.fullmatch(inter_k):
                 comp = (
                     f"composite({_render(ms[k], text)},"
                     f"{_render(ms[k + 1], text)})"
@@ -1304,7 +1353,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 state.last_idx is not None
                 and out[state.last_idx] is not None
                 and state.last_object_m is left
-                and re.fullmatch(r"on\s+(?:a|an|the)?", low_inter)
+                and _ON_DET_RE.fullmatch(low_inter)
                 and _RNA_AFTER_RE.match(after_right)
             ):
                 stmt, ev = out[state.last_idx]
@@ -1325,9 +1374,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 continue
 
             # ---- requires-composite: rewrite the last statement's subject --
-            if low_inter == "requires" or re.fullmatch(
-                r"requires\s+(?:the\s+presence\s+of)?", low_inter
-            ):
+            if low_inter == "requires" or _REQUIRES_RE.fullmatch(low_inter):
                 if (
                     out
                     and state.last_subject_m is left
@@ -1393,8 +1440,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             if _MEDIATED_RE.fullmatch(low_inter):
                 wrap = (
                     "tscript"
-                    if re.search(r"transcription(?:al)?\s+effects\s+of\s+\S*\s*$",
-                                 text[: left["begin"]].lower())
+                    if _TSCRIPT_EFFECTS_RE.search(text[: left["begin"]].lower())
                     else "act"
                 )
                 emit_pair(left, "increases", right, wrap=wrap)
@@ -1464,7 +1510,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
             # ---- nominal postfix: "X phosphorylation by Y",
             # "X inhibition by Y" -> Y rel X (reversed) ---------------------
-            mpost = re.fullmatch(r"([a-z\-]+)\s+by", low_inter)
+            mpost = _NOMINAL_BY_RE.fullmatch(low_inter)
             if mpost is not None and mpost.group(1) in _NOMINAL_PMOD:
                 rel, mod = _NOMINAL_PMOD[mpost.group(1)]
                 site = _SITE_RE.match(after_right)
@@ -1534,8 +1580,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             if (is_prefixed or is_bare_process_adj) and not same_entity:
                 # the agent noun may follow the adjective mention itself
                 # ("... is a potent angiogenic FACTOR")
-                need_factor = is_bare_process_adj and not re.match(
-                    r"^\s*(?:factor|inducer|agent)\b", after_right
+                need_factor = is_bare_process_adj and not _FACTOR_AFTER_RE.match(
+                    after_right
                 )
                 if _match_adj_predicate(low_inter, need_factor) or (
                     inter_seg and inter_seg.strip()
@@ -1561,9 +1607,9 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
             # ---- targets-for-degradation: "X targets Y for proteolysis" --
             tdeg = _match_target_for_deg(low_inter, after_right)
-            if tdeg is None and re.search(r"\s(?:and|or)\s", low_inter):
+            if tdeg is None and _AND_OR_SEARCH_RE.search(low_inter):
                 tdeg = _match_target_for_deg(
-                    re.split(r"\s+(?:and|or)\s+", low_inter)[-1], after_right
+                    _AND_OR_SPLIT_RE.split(low_inter)[-1], after_right
                 )
             if tdeg is not None and not same_entity:
                 emit_pair(left, tdeg, right)
@@ -1634,13 +1680,13 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
             # ---- active verb + filler ------------------------------------
             act = _retry_seg(_match_active, low_inter, inter_seg)
-            if act is None and re.search(r"\s(?:and|or)\s", low_inter):
+            if act is None and _AND_OR_SEARCH_RE.search(low_inter):
                 # VP coordination: "has been shown to co-localize with ...
                 # and to promote <Y>" — the final conjunct's verb phrase
                 # governs the object (no coord budget: the segment must be
                 # lead-fillers + verb only)
                 act = _match_active(
-                    re.split(r"\s+(?:and|or)\s+", low_inter)[-1]
+                    _AND_OR_SPLIT_RE.split(low_inter)[-1]
                 )
             if act is not None:
                 rel, trail = act
@@ -1731,9 +1777,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             tail = text[m["end"]: nxt_begin]
             # group association on the final member of a coordination
             grp = _coord_group(ms, i, text, -1)
-            if len(grp) >= 2 and grp[-1] == i and re.match(
-                r"^\s*(?:are|were)\s+(?:\w+ly\s+)?associated\b", tail
-            ):
+            if len(grp) >= 2 and grp[-1] == i and _GROUP_ASSOC_RE.match(tail):
                 members = [ms[j] for j in grp]
                 for a_m, b_m in zip(members, members[1:]):
                     if (a_m["db"], a_m["id"]) == (b_m["db"], b_m["id"]):
@@ -1769,7 +1813,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # "phosphorylation of <Y> at <site>, which is the <X>-mediated
             # site" -> X directlyIncreases p(Y, pmod(Ph, site)): the
             # "-mediated site" apposition names the kinase of that site
-            med_site = re.match(r"^\s*[-−]mediated\s+site\b", tail)
+            med_site = _MEDIATED_SITE_RE.match(tail)
             if med_site is not None:
                 pm = None
                 for prior in _PHOSPHO_OF_RE.finditer(text[s_begin: m["begin"]]):
@@ -1799,7 +1843,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # the last passive's target: X increases target
             if (
                 state.target is not None
-                and re.match(r"^[\s\-]*dependence\s+of\s+this\s+effect", tail)
+                and _DEPENDENCE_RE.match(tail)
                 and (m["db"], m["id"]) != (state.target_sig["db"],
                                            state.target_sig["id"])
             ):
@@ -1849,9 +1893,7 @@ def _active_flags(trail: list[str], after_right: str):
         wrap = "tscript"
     elif "activity" in trail:
         wrap = "act"
-    if "phosphorylation" in trail or re.match(
-        r"^\s+phosphorylation\b", after_right
-    ):
+    if "phosphorylation" in trail or _PHOSPHO_AFTER_RE.match(after_right):
         obj_pmod = ("Ph", None, None)
     return wrap, obj_pmod
 
