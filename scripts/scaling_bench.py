@@ -21,6 +21,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAGES_DIR = "/tmp/kg_scaling_pages"
+# per-level subprocess timeout; scaled with corpus size in main() — the
+# 900 s default fits 80k pages at local[2] with margin, a 320k run needs 4x
+TIMEOUT_S = 900
 
 
 def gen_corpus(n_docs: int) -> None:
@@ -69,7 +72,7 @@ def run_level(cores: int, zip_path: str) -> dict:
             "--pages", PAGES_DIR,
             "--trials", "2",
         ],
-        capture_output=True, text=True, check=True, timeout=900,
+        capture_output=True, text=True, check=True, timeout=TIMEOUT_S,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
@@ -98,6 +101,8 @@ def main() -> int:
     # rather than dominating the wall time. The 100-TB jobs the criterion
     # models run for hours, where those constants are ~0%.
     n_docs = int(os.environ.get("SCALING_N_DOCS", "80000"))
+    global TIMEOUT_S
+    TIMEOUT_S = int(900 * max(1.0, n_docs / 80000))
     # 2-vs-8, NOT 4-vs-16: the report's method note is measured fact — at
     # local[16] this shared 32-core box ceilings at ~137-168k fused
     # triples/s regardless of corpus size (memory bandwidth + neighbor
