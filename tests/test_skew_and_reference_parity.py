@@ -74,7 +74,51 @@ def test_dense_ids_dedup_fold_matches_distinct_path(spark):
     )
     n = via_fold.count()
     assert sorted(r.id for r in via_fold.collect()) == list(range(n))
-    # the fold saves the distinct's exchange: strictly fewer shuffles overall
-    plan_fold = via_fold._jdf.queryExecution().executedPlan().toString()
-    plan_dist = via_distinct._jdf.queryExecution().executedPlan().toString()
+    # the fold saves the distinct's exchange: strictly fewer shuffles overall.
+    # Compare with checkpoint=False — the compute-once localCheckpoint cuts
+    # the executed plan at an ExistingRDD scan, hiding the upstream
+    # exchanges this assertion is about.
+    lazy_fold = dense_ids(
+        df, ["a", "b"], out_col="id", buckets=8, dedup=True, checkpoint=False
+    )
+    lazy_dist = dense_ids(
+        df.distinct(), ["a", "b"], out_col="id", buckets=8, checkpoint=False
+    )
+    lazy_fold.collect()
+    lazy_dist.collect()
+    plan_fold = lazy_fold._jdf.queryExecution().executedPlan().toString()
+    plan_dist = lazy_dist._jdf.queryExecution().executedPlan().toString()
     assert plan_fold.count("Exchange") < plan_dist.count("Exchange")
+
+
+def test_dense_ids_executes_upstream_once(spark):
+    """The offsets broadcast-build job must NOT re-execute the upstream plan.
+
+    Join-key not-null inference rewrites the probe side's pushed filters, so
+    the ranked subtree and the offsets subtree stop being structurally
+    identical and ReuseExchange misses — before the compute-once
+    localCheckpoint, an expensive upstream (build_nodes's union+distinct,
+    build_edges's endpoint joins) ran once per consumer. Pin exactly-once
+    with an accumulator-counting upstream stage."""
+    import pandas as pd
+
+    from llm_text_to_knowledge_graph_spark.plans.ids import dense_ids
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(400)], "name string"
+    ).repartition(4)
+    upstream = df.mapInPandas(counting, schema="name string")
+    out = dense_ids(upstream, ["name"], out_col="id", buckets=8)
+    n = out.count()
+    assert n == 400
+    assert sorted(r.id for r in out.collect()) == list(range(400))
+    # every downstream action re-reads the checkpointed blocks, never the
+    # Python stage: the accumulator saw each row exactly once
+    assert acc.value == 400
