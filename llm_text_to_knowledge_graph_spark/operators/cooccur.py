@@ -48,6 +48,12 @@ def pmi_pairs(
             .filter(F.col("_rn") <= max_items_per_id)
             .drop("_rn")
         )
+    # compute-once: `it` (the distinct + optional cap window) fans out to
+    # FOUR consumers — n_ids, df_i, and both self-join sides. Without the
+    # lazy checkpoint each consumer's job re-executes the distinct (and
+    # the broadcast build of n_ids is its own job — see plans/ids.py on
+    # why ReuseExchange cannot be relied on across these subtrees).
+    it = it.localCheckpoint(eager=False)
     n_ids = it.select("_id").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )

@@ -361,7 +361,12 @@ def pagerank(
             # redistribute dangling mass uniformly to keep sum(rank) = 1 —
             # as a 1-row DataFrame crossJoined into the update, NOT a
             # per-iteration driver action: the loop body stays one lazy
-            # plan per iteration, no mid-loop job/serialization point
+            # plan per iteration, no mid-loop job/serialization point.
+            # Lazy-checkpoint first: the total's broadcast-build job would
+            # otherwise RE-EXECUTE this round's join+agg (the two subtrees
+            # stop being identical after filter inference, so
+            # ReuseExchange misses — same pathology as plans/ids.py)
+            new_ranks = new_ranks.localCheckpoint(eager=False)
             total = new_ranks.agg(F.sum("rank").alias("_total"))
             new_ranks = new_ranks.crossJoin(F.broadcast(total)).select(
                 "node_id",
@@ -586,7 +591,9 @@ def personalized_pagerank(
         )
         if not undirected:
             # dangling mass re-teleports to the seeds (1-row crossJoin,
-            # no driver action — same discipline as pagerank)
+            # no driver action — same discipline as pagerank, including
+            # the compute-once lazy checkpoint before the 1-row agg)
+            new_ranks = new_ranks.localCheckpoint(eager=False)
             total = new_ranks.agg(F.sum("rank").alias("_total"))
             new_ranks = new_ranks.crossJoin(F.broadcast(total)).select(
                 "node_id",
@@ -719,6 +726,10 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
     eps = F.lit(1e-300)  # guard a degenerate all-zero round; inert at tot~1
 
     def _l1(df: DataFrame, col: str) -> DataFrame:
+        # compute-once: without the lazy checkpoint, the 1-row total's
+        # broadcast-build job re-executes the round's join+agg (see
+        # plans/ids.py on why ReuseExchange misses here)
+        df = df.localCheckpoint(eager=False)
         total = df.agg(F.sum(col).alias("_tot"))
         return df.crossJoin(F.broadcast(total)).select(
             "node_id",

@@ -9,20 +9,31 @@ second stage.
 
 Spark-first plan (Robertson/Sparck-Jones BM25, Lucene idf variant):
 
-  * tokenize once (same whitespace-split contract as textstats) and
-    filter to the query vocabulary IMMEDIATELY — the per-doc explode is
-    pruned to query terms inside the scan stage, so the shuffled volume
-    is O(matching tokens), not O(corpus tokens);
-  * document frequencies of the query terms: one partial-agg groupBy over
-    the (doc, term) distinct pairs — at most |terms| rows out;
-  * avgdl: a 1-row aggregate crossJoined in (broadcast), never collected;
-  * tf: one partial-agg groupBy(doc, term);
+  * the corpus is SCANNED exactly twice, both passes map-only over the
+    split-token array (no explode of corpus tokens ever happens):
+    pass 1 computes (n_docs, avgdl) from ``size(tokens)`` — counting the
+    array is the same number explode-then-count would shuffle for;
+    pass 2 filters the token array to the query vocabulary in-row
+    (``filter(tokens, t -> t IN terms)``), drops non-matching documents
+    BEFORE any explode, and carries ``dl`` alongside — so the only
+    exploded rows are matching tokens of matching documents;
+  * tf: one partial-agg groupBy(doc, term) over those pruned rows, with
+    dl riding along (functionally dependent on doc);
+  * document frequencies derive FROM tf (df = tf rows per term — same
+    number the (doc, term)-distinct of the raw tokens would give), over a
+    lazy localCheckpoint so the broadcast-build job cannot re-execute the
+    corpus pass (the ReuseExchange miss documented in plans/ids.py);
+  * avgdl/n_docs: a 1-row aggregate crossJoined in (broadcast), never
+    collected;
   * score: idf and the saturation term are pure column math; the per-doc
     sum over matched terms is ONE final partial-agg groupBy(doc).
 
-Everything is JVM column expressions — no Python in the plan. The idf
-table and avgdl row are broadcast; the corpus crosses the wire once, as
-(doc, term, tf) rows pruned to the query vocabulary.
+Everything is JVM column expressions — no Python in the plan. The corpus
+crosses the wire once, as (doc, dl, term, tf) rows pruned to the query
+vocabulary. (The first version of this operator tokenize+exploded the
+corpus FOUR times — once each for tf, df, dl, and the avgdl broadcast
+build; at 10^12 documents those are three redundant full-corpus token
+explodes.)
 """
 
 from __future__ import annotations
@@ -31,15 +42,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
-
-
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
-        ).alias("term"),
-    )
 
 
 def bm25_scores(
@@ -59,27 +61,41 @@ def bm25_scores(
     oracle reproduces every double.
     """
     terms = sorted(set(t.lower() for t in query_terms))
-    toks = _tokens(docs, id_col, text_col)
+    # null-text documents produce no tokens under explode, so the original
+    # plan excluded them from n_docs/avgdl — keep that contract explicit
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT).alias("_toks"),
+    )
 
-    # per-doc length BEFORE pruning (dl counts all tokens, not matches)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    n_docs_avgdl = dl.agg(
+    # pass 1 — corpus stats, map-only: size(tokens) == the count explode
+    # would produce (explode emits every element, including empty strings)
+    n_docs_avgdl = base.select(F.size("_toks").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    matched = toks.filter(F.col("term").isin(terms))
-    tf = matched.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = (
-        matched.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # pass 2 — prune to the query vocabulary IN-ROW, then explode only the
+    # matches of matching documents; dl rides along (per-doc constant)
+    matched = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.filter("_toks", lambda t: t.isin(*terms)).alias("_m"),
+        )
+        .filter(F.size("_m") > 0)
+        .select(id_col, "dl", F.explode("_m").alias("term"))
     )
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # compute-once: df derives from tf (one row per (doc, term), so rows
+    # per term == document frequency); without the checkpoint the df
+    # broadcast-build job re-executes the corpus pass (plans/ids.py)
+    tf = tf.localCheckpoint(eager=False)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(n_docs_avgdl))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(
+        F.broadcast(n_docs_avgdl)
     )
     idf = F.log(
         F.lit(1.0)
