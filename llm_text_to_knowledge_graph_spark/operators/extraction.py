@@ -176,7 +176,9 @@ _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
 # them is positively regulated by G and an event that RISES is negatively
 # regulated (the same curator reasoning as papers/pmid16962653.bel)
 _KO_SUFFIX_RE = re.compile(
-    r"^(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|\s*[-−]deficient\b"
+    # no ^: applied via Pattern.match(text, pos, endpos), which anchors at
+    # pos (an explicit ^ would only match at the true string start)
+    r"(?:\s*[-−–—]/[-−–—]|\s+knockouts?\b|\s+null\b|\s*[-−]deficient\b"
     r"|\s+[-−–—]null\b)"  # post-_COMPOUND_SPLIT_RE form of "<G>-null"
 )
 # species-specific gene namespaces: a knockout statement whose subject and
@@ -266,7 +268,9 @@ _RESIDUE_3 = {
 }
 
 _RNA_AFTER_RE = re.compile(
-    r"^[\s\-]*(?:luciferase\s+)?(?:promoter|message|mrna|transcript)", re.I
+    # no ^: applied via Pattern.match(text, pos), which anchors at pos
+    # (an explicit ^ would only match at the true string start)
+    r"[\s\-]*(?:luciferase\s+)?(?:promoter|message|mrna|transcript)", re.I
 )
 _RNA_BEFORE_RE = re.compile(
     # "transcription from the X" | "expression of (the) X" | the same
@@ -494,13 +498,19 @@ def _coord_group(ms: list[dict], idx: int, text: str, direction: int) -> list[in
 def _term_func(m: dict, text: str) -> str | None:
     """``r`` when the mention is a promoter/message/transcript/expression
     context; ``g`` when it is a genetic-alteration context."""
-    after = text[m["end"]:]
-    before = text[: m["begin"]]
     if NS_FUNC.get(m["db"], "a") != "p":
         return None
-    if _RNA_AFTER_RE.match(after) or _RNA_BEFORE_RE.search(before):
+    # pos/endpos forms instead of slicing: no O(len) prefix/suffix copies,
+    # and the $-anchored before-cues scan only a window that already covers
+    # the longest possible match ("expression of <w> <w> <w> and the " and
+    # kin), instead of the whole prefix from block start. Unlike slicing,
+    # pos keeps \b/lookbehind semantics at the window edge.
+    b, e = m["begin"], m["end"]
+    if _RNA_AFTER_RE.match(text, e) or _RNA_BEFORE_RE.search(
+        text, b - 160 if b > 160 else 0, b
+    ):
         return "r"
-    if _GENE_BEFORE_RE.search(before):
+    if _GENE_BEFORE_RE.search(text, b - 64 if b > 64 else 0, b):
         return "g"
     return None
 
@@ -1095,10 +1105,10 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         if subj_override is None and subj_pmod is None:
             # subject-context cues before the subject mention (same cues as
             # the base engine: "Phosphorylated X ...", "the ... activity of X")
-            prefix = text[: subj_m["begin"]]
-            if prefix.endswith("Phosphorylated "):
+            b = subj_m["begin"]
+            if text.endswith("Phosphorylated ", 0, b):
                 subj_pmod = ("Ph", None, None)
-            elif _ACTIVITY_OF_RE.search(prefix):
+            elif _ACTIVITY_OF_RE.search(text, b - 64 if b > 64 else 0, b):
                 subj_override = f"act({_render(subj_m, text)})"
         if subj_pmod is not None and subj_override is None:
             subj_override = make_term(
@@ -1120,6 +1130,10 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
     for s_begin, s_end in spans:
         sent = text[s_begin:s_end]
+        # one lowered copy per sentence: the rare rule families below are
+        # gated on a literal substring probe (~100ns) instead of paying
+        # their full regex scan on every sentence
+        sent_lo = sent.lower()
         ms = [m for m in ms_all if m["begin"] >= s_begin and m["end"] <= s_end]
 
         # ---- base (round-1) exact-phrase engine on the sentence slice ----
@@ -1141,7 +1155,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     sym_pairs.add((names, srel))
 
         # ---- genetic-perturbation (knockout) inference -------------------
-        ko_genes = [g for g in ms if _KO_SUFFIX_RE.match(text[g["end"]: s_end])]
+        ko_genes = [g for g in ms
+                    if _KO_SUFFIX_RE.match(text, g["end"], s_end)]
         if ko_genes:
             ko_lost_seen = False
             for ev in _KO_PHOS_RE.finditer(text, s_begin, s_end):
@@ -1234,7 +1249,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         # interaction(s) between ... <B> ... and <A>": the modified A is
         # what recruits B, so p(A, pmod) directlyIncreases complex(B, A)
         # (complex members in between-clause mention order)
-        med = _MEDIATES_BETWEEN_RE.search(text, s_begin, s_end)
+        med = (_MEDIATES_BETWEEN_RE.search(text, s_begin, s_end)
+               if "mediates" in sent_lo else None)
         if med is not None:
             for hm in _MOD_RESIDUES_ON_RE.finditer(text, s_begin, med.start()):
                 a_m = next((m for m in ms if m["begin"] == hm.end()), None)
@@ -1270,7 +1286,9 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         # based on ... <A>-null ... wild-type <A>": B surfaced in the
         # comparison BECAUSE it is derepressed in the null, so A decreases
         # r(B) — the nominal-discovery form of the knockout inference above
-        disc = _DISCOVERED_AS_RE.search(text, s_begin, s_end)
+        disc = (_DISCOVERED_AS_RE.search(text, s_begin, s_end)
+                if "discovered" in sent_lo or "identified" in sent_lo
+                else None)
         if disc is not None:
             gene_b = next(
                 (m for m in ms
@@ -1284,7 +1302,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         a_m["begin"] < disc.end()
                         or (a_m["db"], a_m["id"])
                         == (gene_b["db"], gene_b["id"])
-                        or not _KO_SUFFIX_RE.match(text[a_m["end"]: s_end])
+                        or not _KO_SUFFIX_RE.match(text, a_m["end"], s_end)
                         or (a_m["db"] != gene_b["db"]
                             and a_m["db"] in _GENE_NS
                             and gene_b["db"] in _GENE_NS)
@@ -1483,7 +1501,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 continue
 
             # ---- nominal prefix: "induction of X ... following Y" --------
-            prefix = text[: left["begin"]].lower()
+            # lower only a tail window: the $-anchored cue is at most
+            # "<nominal> of the " long, and no nominal in the vocab comes
+            # near 80 chars, so a 96-char window cannot truncate a match
+            lb = left["begin"]
+            prefix = text[lb - 96 if lb > 96 else 0: lb].lower()
             npm = _NOMINAL_PREFIX_RE.search(prefix)
             if npm is not None:
                 nom = npm.group(1)
@@ -1634,7 +1656,10 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # tumor-suppressor epidemiology construction; nominal direction
             # picks the correlation sign, object must be a pathology ------
             if NS_FUNC.get(right["db"]) == "path" and not same_entity:
-                prev = _PREVALENCE_PREFIX_RE.search(text[: left["begin"]])
+                lb = left["begin"]
+                prev = _PREVALENCE_PREFIX_RE.search(
+                    text, lb - 96 if lb > 96 else 0, lb
+                )
                 nom = prev.group(1).lower() if prev else None
                 rel = (
                     "negativeCorrelation" if nom in _LOSS_NOMINALS
@@ -1693,7 +1718,10 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 # "ablation/loss/knockout of <X> abolished <Y>" — the
                 # subject is the ABLATED gene, so the observed direction
                 # flips: X positively regulates Y
-                if _ABLATION_PREFIX_RE.search(text[: left["begin"]]):
+                if _ABLATION_PREFIX_RE.search(
+                    text, left["begin"] - 72 if left["begin"] > 72 else 0,
+                    left["begin"],
+                ):
                     rel = _FLIP.get(rel, rel)
                 wrap, obj_pmod = _active_flags(trail, after_right)
                 site = _SITE_RE.match(after_right) if obj_pmod else None
@@ -1746,8 +1774,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
         # ---- anaphoric plural subject: "These two proteins are
         # up-regulated during X" — resolve to the last N protein mentions
-        for m in ms:
-            am = _ANAPHOR_DURING_RE.search(text[s_begin: m["begin"]])
+        for m in (ms if "during" in sent_lo else ()):
+            am = _ANAPHOR_DURING_RE.search(text, s_begin, m["begin"])
             if am is None:
                 continue
             n = _N_WORD.get((am.group(1) or "two").lower(), 2)
@@ -1868,9 +1896,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
         # ---- both-hormones composite trigger -----------------------------
         if (
-            _BOTH_TOGETHER_RE.search(sent)
-            and state.target is not None
+            state.target is not None
             and len(state.agents) >= 2
+            and ("both" in sent_lo or "together" in sent_lo
+                 or "the two" in sent_lo)
+            and _BOTH_TOGETHER_RE.search(sent)
         ):
             comp = "composite(" + ",".join(reversed(state.agents[-2:])) + ")"
             emit(f"{comp} {state.rel} {state.target}",
