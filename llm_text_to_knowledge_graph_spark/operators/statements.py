@@ -45,7 +45,8 @@ _PMOD_BY_VERB = {v: (rel, mod) for v, rel, mod in PMOD_VERBS}
 # A directlyIncreases p(B, pmod(Ph)); participle = verb stem + "d"
 _PASSIVE_PMOD = {f"is {v[:-1]}d by": (rel, mod) for v, rel, mod in PMOD_VERBS}
 _PMOD_SITE_RE = re.compile(
-    rf"^\s*at\s+({'|'.join(PMOD_RESIDUES)})\s+(\d+)\b"
+    # no ^: applied via Pattern.match(sentence, pos), which anchors at pos
+    rf"\s*at\s+({'|'.join(PMOD_RESIDUES)})\s+(\d+)\b"
 )
 # "...The catalytic activity of <SUBJ> ..." -> act(subj)
 _ACTIVITY_PREFIX_RE = re.compile(r"\b[a-z]+ activity of $")
@@ -130,15 +131,20 @@ def extract_parts_from_sentence(
         parts = None
         subj = make_term(left["db"], left["entry_name"])
         # subject wrappers cued by the text immediately before the subject
-        # (prompt BEL-function list: act(), pmod() as term arguments)
-        prefix = sentence[: left["begin"]]
-        if wrappers and _ACTIVITY_PREFIX_RE.search(prefix):
+        # (prompt BEL-function list: act(), pmod() as term arguments).
+        # endswith(.., 0, b) / search(.., pos, b) instead of slicing: no
+        # O(prefix) copy per pair, and the $-anchored cue scans only the
+        # tail window that can contain it
+        lb = left["begin"]
+        if wrappers and _ACTIVITY_PREFIX_RE.search(
+            sentence, lb - 64 if lb > 64 else 0, lb
+        ):
             subj = f"act({subj})"
-        elif wrappers and prefix.endswith("Phosphorylated "):
+        elif wrappers and sentence.endswith("Phosphorylated ", 0, lb):
             subj = make_term(left["db"], left["entry_name"], pmod=("Ph", None, None))
         if inter in pmod_map:
             rel, mod = pmod_map[inter]
-            site = _PMOD_SITE_RE.match(sentence[right["end"] :])
+            site = _PMOD_SITE_RE.match(sentence, right["end"])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             obj = make_term(right["db"], right["entry_name"], pmod=pmod)
             parts = (subj, rel, obj)
@@ -146,7 +152,7 @@ def extract_parts_from_sentence(
             # roles reversed: the agent is the RIGHT mention, the modified
             # protein the LEFT one; the site phrase still follows the agent
             rel, mod = passive_map[inter]
-            site = _PMOD_SITE_RE.match(sentence[right["end"] :])
+            site = _PMOD_SITE_RE.match(sentence, right["end"])
             pmod = (mod, site.group(1), int(site.group(2))) if site else (mod, None, None)
             agent = make_term(right["db"], right["entry_name"])
             target = make_term(left["db"], left["entry_name"], pmod=pmod)
@@ -157,7 +163,7 @@ def extract_parts_from_sentence(
             parts = (subj, rel, obj)
         elif inter == "by":
             for nominal, rel in nominal_map.items():
-                if prefix.endswith(nominal):
+                if sentence.endswith(nominal, 0, lb):
                     agent = make_term(right["db"], right["entry_name"])
                     target = make_term(left["db"], left["entry_name"])
                     parts = (agent, rel, target)
