@@ -96,9 +96,20 @@ _PASSIVE_DOWN = {
     "decreased", "repressed", "impaired", "attenuated",
 }
 _PASSIVE_REG = {"regulated", "modulated", "controlled"}
+# every causal verb form, active and passive — idioms whose trigger is a
+# suffix/prefix cue (not a verb) use this to refuse inter text that
+# contains a competing predicate
+_ALL_CAUSAL_VERBS = (
+    _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
+    | _PASSIVE_REG
+)
+# nominal subject qualifiers the active matcher skips before the verb:
+# "X function negatively regulates Y", "X expression enhances Y"
+_SUBJ_QUALIFIERS = {"function", "activity", "expression", "protein"}
 
 _NOMINAL_UP = {"induction", "activation", "up-regulation", "upregulation",
-               "stimulation", "increase", "elevation", "enhancement"}
+               "stimulation", "increase", "elevation", "enhancement",
+               "overproduction", "overexpression"}
 _NOMINAL_DOWN = {"inhibition", "suppression", "down-regulation",
                  "downregulation", "decrease", "reduction", "repression"}
 # nominals that imply a modification on the target
@@ -365,6 +376,106 @@ _DISCOVERED_AS_RE = re.compile(
 )
 
 
+# ---- round-4b idioms (the audit's mechanism-wrapper golds) ----------------
+# Each emits the BEL-1 mechanism wrapper the text itself names (function/
+# activity -> act(), transcriptional activity -> tscript(), enzymatic/
+# catalytic -> cat(), kinase -> kin(), degradation/turnover -> deg()).
+# self-activation by site phosphorylation: "Phosphorylation at Ser473,
+# along with Thr308 ..., is (deemed) necessary for <X> function" — each
+# named site's phospho-form activates X itself
+_PHOS_NECESSARY_RE = re.compile(
+    r"\bphosphorylation\s+at\s+([^.;]{0,80}?),?\s+(?:is|are)\s+"
+    r"(?:deemed\s+|considered\s+|thought\s+to\s+be\s+)?"
+    r"(?:necessary|required|essential|critical)\s+for\s+(?:the\s+)?$",
+    re.I,
+)
+_FUNC_AFTER_RE = re.compile(r"\s+(function|activity|activation)\b", re.I)
+# "<X>-<Site> phosphorylation is (also) required for <Y> phosphorylation
+# (at <sites>)": the site phospho-form activates X (self-statement), and
+# active X drives Y's phosphorylation at the named site
+_SITEPHOS_REQUIRED_RE = re.compile(
+    r"^[\s,;:−–—-]*(Ser|Thr|Tyr|Lys|Arg)(\d+)(?:/\d+)*\s+phosphorylation\s+"
+    r"(?:is|was|are|were)\s+(?:\w+ly\s+|also\s+)*required\s+for$",
+    re.I,
+)
+_PHOS_AT_AFTER_RE = re.compile(
+    r"\s+phosphorylation(?:\s+at\s+((?:Ser|Thr|Tyr|Lys|Arg)?\s*\d+"
+    r"(?:\s*(?:/|,|and)\s*(?:Ser|Thr|Tyr|Lys|Arg)?\s*\d+)*))?",
+    re.I,
+)
+# modification events as regulators of an activity: "... acetylation (Ac)
+# event at lysine 532 ... act as negative regulators of the transcriptional
+# activity of <X>" -> p(X, pmod) directlyDecreases tscript(p(X))
+_MOD_EVENT_RE = re.compile(
+    r"(?:\b(proline|serine|threonine|tyrosine|lysine|arginine|asparagine)"
+    r"\s+)?\b(hydroxylation|phosphorylation|methylation|acetylation|"
+    r"ubiquitination|sumoylation)\s*(?:\([^)]*\)\s*)?(?:event\s+)?"
+    r"(?:at\s+(?:(proline|serine|threonine|tyrosine|lysine|arginine|"
+    r"asparagine)\s+)?(?:position\s+)?(\d+))?",
+    re.I,
+)
+_REGULATORS_OF_ACTIVITY_RE = re.compile(
+    r"\bact(?:s|ing)?\s+as\s+(?:a\s+)?(negative|positive)\s+"
+    r"regulators?\s+of\s+the\s+(\w+\s+)?activity\s+of\s+(?:the\s+)?$",
+    re.I,
+)
+_ACTIVITY_WRAP = {"transcriptional": "tscript", "enzymatic": "cat",
+                  "catalytic": "cat", "kinase": "kin"}
+# the modification itself as degradation signal: "(Proline) hydroxylation
+# marks <X> for degradation" -> p(X, pmod) directlyIncreases deg(p(X))
+_MOD_MARKS_RE = re.compile(
+    r"(?:\b(proline|serine|threonine|tyrosine|lysine|arginine|asparagine)"
+    r"\s+)?\b(hydroxylation|phosphorylation|methylation|acetylation|"
+    r"ubiquitination|sumoylation)\s+marks?\s+(?:the\s+)?$",
+    re.I,
+)
+# reversed turnover attribution: "<Y>, mediates its turnover ... of <X>"
+# (the agent X follows) -> X directlyIncreases deg(Y)
+_MEDIATES_TURNOVER_RE = re.compile(
+    r"^,?\s*mediates\s+its\s+turnover\b[^.;]*?\bof$", re.I
+)
+# "-dependent" attribution: "<nominal> of <B> ... is ... <X>-dependent"
+# -> X <nominal-direction> B (the compound splitter has already exposed
+# the mention, so the suffix starts with whitespace + dash)
+_DEPENDENT_AFTER_RE = re.compile(r"^\s*[−–—-]\s?dependent\b", re.I)
+# anaphoric activity attribution after an active pair: "<A> ... <B> and
+# further stimulates its enzymatic activity" -> A rel act(B)
+_ITS_ACTIVITY_AFTER_RE = re.compile(
+    r"^[\s),.]*(?:and\s+)?(?:further\s+|also\s+)?"
+    r"(stimulates|enhances|increases|activates|inhibits|suppresses|"
+    r"decreases|reduces)\s+its\s+(?:(\w+)\s+)?activity\b",
+    re.I,
+)
+_ITS_ACTIVITY_UP = {"stimulates", "enhances", "increases", "activates"}
+# production consequence: "..., leading to ... concentrations/levels of
+# <B>" -> left increases B (an explicit reduced/decreased adjective flips)
+_LEADING_TO_OF_RE = re.compile(
+    r"\bleading\s+to\s+((?:[\w-]+\s+){0,4}?)"
+    r"(?:concentrations?|levels?|amounts?|production|generation|"
+    r"accumulation)\s+of$",
+    re.I,
+)
+_LEADING_DOWN = {"reduced", "decreased", "diminished", "lower", "lowered"}
+# consequence chain: "<A> rel <B>, (thereby) resulting in the <nominal>
+# of <C>" — the nominal gives C's direction in the narrated scenario;
+# sign(B -> C) = scenario(B) * scenario(C), where scenario(B) is the
+# PRE-flip sign of the pair that just emitted (ablation flips the emitted
+# statement, not the narrated direction)
+_RESULTING_IN_RE = re.compile(
+    r"^[),.\s]*(?:thereby\s+|thus\s+)?resulting\s+in\s+"
+    r"(?:the\s+|a\s+|an\s+)?([a-z\-]+)\s+of$"
+)
+_REL_SIGN = {"increases": 1, "directlyIncreases": 1,
+             "positiveCorrelation": 1, "decreases": -1,
+             "directlyDecreases": -1, "negativeCorrelation": -1}
+# adjectival KO rise: "In a <G>-null tumour, <Y> is constitutively
+# active" -> G decreases act(Y)
+_CONST_ACTIVE_RE = re.compile(
+    r"\b(?:is|are|was|were|remains?)\s+constitutively\s+"
+    r"(?:active|activated|expressed|stabili[sz]ed)\b",
+    re.I,
+)
+
 _CITE_RE = re.compile(r"\[[^\]]*\]")
 
 # hot-loop patterns, precompiled: the re module's function wrappers cost a
@@ -564,14 +675,20 @@ def _match_active(inter: str):
     all_verbs = _ACT_UP | _ACT_DOWN | _ACT_REG
     i = 0
     directly = False
+    neg_adv = pos_adv = False
     coord_budget = 0
     if toks[0] in {"and", "or"}:
         coord_budget = 3
         i = 1
+    leads = _ACT_LEAD | _SUBJ_QUALIFIERS
     while i < len(toks):
         t = toks[i]
-        if t in _ACT_LEAD or t.endswith("ly"):
+        if t in leads or t.endswith("ly"):
             directly = t == "directly"
+            # a signed adverb composes with a direction-neutral reg verb:
+            # "negatively regulates" == decreases
+            neg_adv = neg_adv or t in {"negatively", "inversely"}
+            pos_adv = pos_adv or t == "positively"
             i += 1
         elif coord_budget > 0 and t not in all_verbs:
             coord_budget -= 1
@@ -586,7 +703,8 @@ def _match_active(inter: str):
     elif v in _ACT_DOWN:
         rel = "directlyDecreases" if directly else "decreases"
     elif v in _ACT_REG:
-        rel = "regulates"
+        rel = ("decreases" if neg_adv
+               else "increases" if pos_adv else "regulates")
     else:
         return None
     trail = toks[i + 1:]
@@ -911,16 +1029,23 @@ def _match_adj_predicate(inter: str, need_factor: bool = False):
 
 
 _SUCH_AS_NOMINAL_RE = re.compile(
-    r"^such\s+as\s+(?:the\s+)?([a-z\-]+)\s+of$"
+    r"(?:^|\s)such\s+as\s+(?:the\s+)?([a-z\-]+)\s+of$"
 )
 
 
 def _match_such_as_nominal(inter: str):
     """Appositive exemplification: "<X> ..., such as the activation of <Y>"
     — Y's activation is an instance of what X engages -> X rel Y by the
-    nominal's direction."""
-    m = _SUCH_AS_NOMINAL_RE.fullmatch(" ".join(_tokens(inter.lower())))
+    nominal's direction. Prepositional filler before "such as" is allowed
+    ("<X> as part of the adaptive response ..., such as the activation of
+    <Y>") as long as it carries no predicate of its own and no negation."""
+    toks = _tokens(inter.lower())
+    joined = " ".join(toks)
+    m = _SUCH_AS_NOMINAL_RE.search(joined)
     if m is None:
+        return None
+    head = joined[: m.start()].split()
+    if any(t in _ALL_CAUSAL_VERBS for t in head) or _NEG_RE.search(joined):
         return None
     nom = m.group(1)
     if nom in _NOMINAL_UP:
@@ -1039,7 +1164,7 @@ def _match_pretreat_nominal(inter: str):
 class _BlockState:
     __slots__ = ("target", "target_sig", "rel", "agents", "agent_sigs",
                  "last_subject", "last_subject_m", "cnc", "protein_history",
-                 "last_idx", "last_object_m", "last_rel")
+                 "last_idx", "last_object_m", "last_rel", "last_scn_dir")
 
     def __init__(self):
         self.target = None          # rendered target term of the last passive
@@ -1054,6 +1179,7 @@ class _BlockState:
         self.last_idx = None        # index in `out` of the last statement
         self.last_object_m = None   # its object mention
         self.last_rel = None
+        self.last_scn_dir = 0       # narrated direction of last object
 
 
 # ---------------------------------------------------------------------------
@@ -1126,6 +1252,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             state.last_idx = idx
             state.last_object_m = obj_m
             state.last_rel = rel
+            state.last_scn_dir = 0  # emit paths that know it set it after
         return idx
 
     for s_begin, s_end in spans:
@@ -1243,6 +1370,135 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             _sig(g, direction, target, None, None, None,
                                  tag="ko"),
                         )
+            # adjectival rise: "In a <G>-null tumour, <Y> is constitutively
+            # active" — Y's activity is UP without G, so G decreases act(Y)
+            ca = (_CONST_ACTIVE_RE.search(text, s_begin, s_end)
+                  if "constitutively" in sent_lo else None)
+            if ca is not None:
+                target = next(
+                    (m for m in reversed(ms)
+                     if m["end"] <= ca.start() and m not in ko_genes),
+                    None,
+                )
+                if target is not None:
+                    for g in ko_genes:
+                        if (g["db"] != target["db"] and g["db"] in _GENE_NS
+                                and target["db"] in _GENE_NS):
+                            continue
+                        emit(
+                            f"{_render(g, text)} decreases "
+                            f"act({_render(target, text)})",
+                            _sig(g, "decreases", target, "act", None, None,
+                                 tag="ko"),
+                        )
+
+        # ---- modification-event self-statements ---------------------------
+        # "Phosphorylation at <sites> ... is (deemed) necessary for <X>
+        # function/activity" -> per site: p(X, pmod) directlyIncreases
+        # act(p(X)) (the wrapper the text names)
+        if "phosphorylation" in sent_lo and "for" in sent_lo:
+            for m in ms:
+                fa = _FUNC_AFTER_RE.match(text, m["end"], s_end)
+                if fa is None:
+                    continue
+                pn = _PHOS_NECESSARY_RE.search(text, s_begin, m["begin"])
+                if pn is None:
+                    continue
+                wrap_f = _ACTIVITY_WRAP.get(fa.group(1).lower(), "act")
+                for res, num in _parse_site_list(pn.group(1)):
+                    pmod = ("Ph", res, num)
+                    subj = make_term(m["db"], m["entry_name"], pmod=pmod,
+                                     func=_term_func(m, text))
+                    emit(
+                        f"{subj} directlyIncreases "
+                        f"{wrap_f}({_render(m, text)})",
+                        _sig(m, "directlyIncreases", m, wrap_f, pmod, None),
+                    )
+        # "<mod> event at <residue> <pos> ... act as negative regulators of
+        # the <adj> activity of <X>" -> p(X, pmod) directlyDecreases
+        # tscript/cat/kin/act(p(X)), one statement per coordinated event
+        if "regulator" in sent_lo:
+            for m in ms:
+                ra = _REGULATORS_OF_ACTIVITY_RE.search(
+                    text, s_begin, m["begin"]
+                )
+                if ra is None:
+                    continue
+                rel = ("directlyDecreases"
+                       if ra.group(1).lower() == "negative"
+                       else "directlyIncreases")
+                wrap_f = _ACTIVITY_WRAP.get(
+                    (ra.group(2) or "").strip().lower(), "act"
+                )
+                for em in _MOD_EVENT_RE.finditer(text, s_begin, ra.start()):
+                    if em.group(4) is None:
+                        continue  # a bare nominal with no site position
+                    res = (em.group(1) or em.group(3) or "").lower()
+                    pmod = (
+                        _MOD_NOMINAL_CODE[em.group(2).lower()],
+                        _RESIDUE_NAME_CODE.get(res),
+                        int(em.group(4)),
+                    )
+                    subj = make_term(m["db"], m["entry_name"], pmod=pmod,
+                                     func=_term_func(m, text))
+                    emit(
+                        f"{subj} {rel} {wrap_f}({_render(m, text)})",
+                        _sig(m, rel, m, wrap_f, pmod, None),
+                    )
+        # "(Proline) hydroxylation marks <X> for degradation" -> the
+        # modified form recruits the degradation machinery:
+        # p(X, pmod) directlyIncreases deg(p(X))
+        if "marks" in sent_lo or "marked" in sent_lo:
+            for m in ms:
+                if not _FOR_DEG_RE.match(text[m["end"]: s_end]):
+                    continue
+                mm = _MOD_MARKS_RE.search(text, s_begin, m["begin"])
+                if mm is None:
+                    continue
+                pmod = (
+                    _MOD_NOMINAL_CODE[mm.group(2).lower()],
+                    _RESIDUE_NAME_CODE.get((mm.group(1) or "").lower()),
+                    None,
+                )
+                subj = make_term(m["db"], m["entry_name"], pmod=pmod,
+                                 func=_term_func(m, text))
+                emit(
+                    f"{subj} directlyIncreases deg({_render(m, text)})",
+                    _sig(m, "directlyIncreases", m, "deg", pmod, None),
+                )
+        # "-dependent" attribution: "<nominal> of <B> ... <X>-dependent"
+        # -> X <nominal-direction> B; intervening text may carry location/
+        # hedging phrases but no predicate of its own and no negation
+        if "dependent" in sent_lo:
+            for m in ms:
+                if not _DEPENDENT_AFTER_RE.match(text[m["end"]: s_end]):
+                    continue
+                for b_m in ms:
+                    if b_m is m or b_m["end"] > m["begin"]:
+                        continue
+                    if (b_m["db"], b_m["id"]) == (m["db"], m["id"]):
+                        continue
+                    lb2 = b_m["begin"]
+                    npd = _NOMINAL_PREFIX_RE.search(
+                        text[lb2 - 96 if lb2 > 96 else 0: lb2].lower()
+                    )
+                    if npd is None:
+                        continue
+                    nom = npd.group(1)
+                    rel = ("increases" if nom in _NOMINAL_UP
+                           else "decreases" if nom in _NOMINAL_DOWN
+                           else None)
+                    if rel is None:
+                        continue
+                    seg = text[b_m["end"]: m["begin"]].lower()
+                    if _NEG_RE.search(seg) or any(
+                        t in _ALL_CAUSAL_VERBS for t in _tokens(seg)
+                    ):
+                        continue
+                    emit(
+                        f"{_render(m, text)} {rel} {_render(b_m, text)}",
+                        _sig(m, rel, b_m, None, None, None, tag="dep"),
+                    )
 
         # ---- site-modification mediates a binary interaction -------------
         # "<Mod> at ... <residue> residues on (the) <A> ... mediates
@@ -1470,6 +1726,79 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 for subj_m in l_members:
                     for obj_m in r_members:
                         emit_pair(subj_m, req, obj_m)
+                continue
+
+            # ---- "<X>-<Site> phosphorylation is required for <Y>
+            # phosphorylation (at <sites>)": the site phospho-form
+            # activates X itself, and active X drives Y's phosphorylation -
+            sp = (_SITEPHOS_REQUIRED_RE.fullmatch(inter)
+                  if "required" in low_inter else None)
+            if sp is not None and not same_entity:
+                pmod_l = ("Ph", sp.group(1).capitalize(), int(sp.group(2)))
+                selfsubj = make_term(left["db"], left["entry_name"],
+                                     pmod=pmod_l,
+                                     func=_term_func(left, text))
+                emit(
+                    f"{selfsubj} directlyIncreases "
+                    f"act({_render(left, text)})",
+                    _sig(left, "directlyIncreases", left, "act",
+                         pmod_l, None),
+                )
+                pa = _PHOS_AT_AFTER_RE.match(after_right)
+                if pa is not None:
+                    sites = (_parse_site_list(pa.group(1))
+                             if pa.group(1) else [])
+                    pmod_r = (("Ph", sites[0][0], sites[0][1]) if sites
+                              else ("Ph", None, None))
+                    emit(
+                        f"act({_render(left, text)}) directlyIncreases "
+                        f"{_render(right, text, pmod=pmod_r)}",
+                        _sig(left, "directlyIncreases", right, "act",
+                             None, pmod_r),
+                    )
+                continue
+
+            # ---- reversed turnover attribution: "<Y>, mediates its
+            # turnover ... of <X>" (agent follows) -> X dI deg(Y) ---------
+            if (not same_entity and "turnover" in low_inter
+                    and _MEDIATES_TURNOVER_RE.match(inter)):
+                emit(
+                    f"{_render(right, text)} directlyIncreases "
+                    f"deg({_render(left, text)})",
+                    _sig(right, "directlyIncreases", left, "deg",
+                         None, None),
+                )
+                continue
+
+            # ---- anaphoric activity attribution: "<A> ... <B> and
+            # further stimulates its <adj> activity" -> A rel act(B);
+            # the pair's own inter relation may additionally hold, so no
+            # continue ----------------------------------------------------
+            ia = (_ITS_ACTIVITY_AFTER_RE.match(after_right)
+                  if " its " in sent_lo else None)
+            if (ia is not None and not same_entity
+                    and "by" not in _tokens(low_inter)
+                    and not _NEG_RE.search(low_inter)):
+                verb = ia.group(1).lower()
+                arel = ("increases" if verb in _ITS_ACTIVITY_UP
+                        else "decreases")
+                wrap_f = _ACTIVITY_WRAP.get((ia.group(2) or "").lower(),
+                                            "act")
+                emit(
+                    f"{_render(left, text)} {arel} "
+                    f"{wrap_f}({_render(right, text)})",
+                    _sig(left, arel, right, wrap_f, None, None,
+                         tag="itsact"),
+                )
+
+            # ---- production consequence: "..., leading to ...
+            # concentrations/levels of <B>" -> left increases B -----------
+            lt = (_LEADING_TO_OF_RE.search(low_inter)
+                  if "leading to" in low_inter else None)
+            if lt is not None and not same_entity:
+                adjs = set((lt.group(1) or "").split())
+                lrel = "decreases" if adjs & _LEADING_DOWN else "increases"
+                emit_pair(left, lrel, right)
                 continue
 
             # ---- known-to-be-<A>-regulated appositive --------------------
@@ -1703,6 +2032,27 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         emit_pair(a_m, arel, b_m)
                 continue
 
+            # ---- consequence chain: "..., resulting in the <nominal> of
+            # <C>" right after a pair whose object is this pair's left ----
+            if (state.last_object_m is not None
+                    and state.last_scn_dir
+                    and not same_entity
+                    and (left["db"], left["id"]) == (
+                        state.last_object_m["db"],
+                        state.last_object_m["id"])):
+                rm = _RESULTING_IN_RE.match(low_inter)
+                if rm is not None:
+                    nom = rm.group(1)
+                    cdir = (1 if nom in _NOMINAL_UP
+                            else -1 if nom in _NOMINAL_DOWN else 0)
+                    if cdir:
+                        rrel = ("increases"
+                                if state.last_scn_dir * cdir > 0
+                                else "decreases")
+                        for obj_m in r_members:
+                            emit_pair(left, rrel, obj_m)
+                        continue
+
             # ---- active verb + filler ------------------------------------
             act = _retry_seg(_match_active, low_inter, inter_seg)
             if act is None and _AND_OR_SEARCH_RE.search(low_inter):
@@ -1715,6 +2065,9 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 )
             if act is not None:
                 rel, trail = act
+                # narrated direction of the object (for the consequence-
+                # chain rule): the verb's own sign, BEFORE any flip
+                scn_dir = _REL_SIGN.get(rel, 0)
                 # "ablation/loss/knockout of <X> abolished <Y>" — the
                 # subject is the ABLATED gene, so the observed direction
                 # flips: X positively regulates Y
@@ -1741,6 +2094,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         emit_pair(subj_m, rel, obj_m, wrap=wrap,
                                   obj_pmod=obj_pmod,
                                   subj_override=subj_override)
+                state.last_scn_dir = scn_dir
                 continue
 
             # ---- passive + agent (reversed) ------------------------------
@@ -1761,6 +2115,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 for agent_m in r_members:
                     for target_m in l_members:
                         emit_pair(agent_m, rel, target_m, obj_pmod=pmod)
+                # narrated direction of the target: the participle's sign
+                # (absence_of already flipped rel, so un-flip for the story)
+                state.last_scn_dir = _REL_SIGN.get(rel, 0) * (
+                    -1 if _marker == "absence_of" else 1
+                )
                 state.target = _render(left, text, pmod=pmod)
                 state.target_sig = left
                 state.rel = rel
