@@ -305,6 +305,7 @@ def categorize_miss(
     text: str,
     mention_names: set[str],
     lexicon: list | None = None,
+    gold_ns_by_name: dict[str, set[str]] | None = None,
 ) -> str:
     """Mechanical (code, not judgment) category for an unmatched gold
     statement, ordered by how fundamentally out-of-reach it is for
@@ -348,6 +349,15 @@ def categorize_miss(
         ns_by_name: dict[str, set[str]] = {}
         for alias, db, _id, entry, _p in lexicon:
             ns_by_name.setdefault(entry.lower(), set()).add(db)
+        if gold_ns_by_name:
+            # names the CORPUS GOLD itself grounds under several
+            # namespaces (HGNC:VEGFA vs MGI:Vegfa, GOBP vs MESHPP
+            # "cell proliferation"): the single-namespace dictionary must
+            # pick one, so the entity gate can fail even when the pattern
+            # fires and the extraction is right — that is a grounding
+            # limit, not a pattern gap
+            for n, dbs in gold_ns_by_name.items():
+                ns_by_name.setdefault(n, set()).update(dbs)
         for n in names:
             if len(ns_by_name.get(n, ())) >= 2:
                 return "species_namespace"
@@ -516,6 +526,22 @@ def run_selventa_corpus_eval() -> dict:
         text_by_key[b["key"]] = text
         mentions_by_key[b["key"]] = {m[5] for m in ms} | {m[2] for m in ms}
     result = score_blocks(blocks)
+    # names the corpus gold grounds under >=2 namespaces (species /
+    # vocabulary splits like HGNC:VEGFA vs MGI:Vegfa) — the audit's
+    # species detection must see them even though the single-namespace
+    # dictionary only carries the majority pick
+    from .bel_eval import parse_statement
+
+    gold_ns: dict[str, set[str]] = {}
+    for b in blocks:
+        for g in b["gold"]:
+            parsed = parse_statement(g)
+            for e in parsed["subj_entities"] | (parsed["obj_entities"]
+                                                or set()):
+                ns, _, name = e.partition(":")
+                gold_ns.setdefault(
+                    name.strip('"').lower(), set()
+                ).add(ns)
     counts: dict[str, int] = {}
     for r in result["rows"]:
         if r["match_type"] != "gold_only":
@@ -525,6 +551,7 @@ def run_selventa_corpus_eval() -> dict:
             text_by_key[r["key"]],
             mentions_by_key[r["key"]],
             lexicon=lex,
+            gold_ns_by_name=gold_ns,
         )
         counts[cat] = counts.get(cat, 0) + 1
     result["audit"] = counts

@@ -143,6 +143,7 @@ _ACT_TRAIL = {
     "effects", "effect", "cells", "cell", "cellular", "various", "different",
     "rise", "endothelial", "vascular", "arterial", "epithelial",
     "antioxidant", "growth", "factors", "factor", "including",
+    "basal", "synthesis", "secretion", "release", "content",
 }
 # trail tokens that FLIP the verb's direction: "induces a reduction in X"
 # composes induce(+) with reduction(-) -> decreases X; "has beneficial
@@ -468,6 +469,28 @@ _RESULTING_IN_RE = re.compile(
 _REL_SIGN = {"increases": 1, "directlyIncreases": 1,
              "positiveCorrelation": 1, "decreases": -1,
              "directlyDecreases": -1, "negativeCorrelation": -1}
+# trailing present-participle consequence: "<A> ..., causing (cytolytic)
+# <B>" — the participle names what A's event does to B; the instrumental
+# "by <gerund>" form never reaches this rule because "by" is not a lead
+_PARTICIPLE_UP = {"causing", "inducing", "triggering", "promoting",
+                  "enhancing", "stimulating", "activating", "increasing",
+                  "elevating", "upregulating", "up-regulating",
+                  "generating", "producing"}
+_PARTICIPLE_DOWN = {"suppressing", "inhibiting", "reducing", "preventing",
+                    "blocking", "decreasing", "impairing", "attenuating",
+                    "downregulating", "down-regulating", "abolishing"}
+# defining-feature association: "<A> (is) characterized by (the presence
+# of tiny) <B>" — a defining co-occurrence, recorded non-directionally
+_CHARACTERIZED_BY_RE = re.compile(
+    r"^(?:(?:and|which|that)\s+)?(?:is\s+|are\s+|was\s+|were\s+)?"
+    r"characteri[sz]ed\s+by\b(?:\s+[\w-]+){0,6}$"
+)
+# possessive-ability predicate: "<A> ... (for) its ability to promote
+# (endothelial cell) <B>" -> A rel B by the infinitive's direction
+_ABILITY_TO_RE = re.compile(
+    r"\b(?:for\s+)?(?:its|their)\s+ability\s+to\s+([a-z\-]+)"
+    r"(?:\s+[a-z\-]+){0,3}$"
+)
 # adjectival KO rise: "In a <G>-null tumour, <Y> is constitutively
 # active" -> G decreases act(Y)
 _CONST_ACTIVE_RE = re.compile(
@@ -516,7 +539,16 @@ def _tokens_cached(s: str) -> tuple[str, ...]:
         s = _PAREN_RE.sub(" ", s)
     if "[" in s:
         s = _CITE_RE.sub(" ", s)
-    return tuple(t for t in _TOKEN_SPLIT_RE.split(s.strip()) if t)
+    # a paren that OPENED before the segment leaves a dangling ")" token
+    # ("<X> (ALIAS) stimulates <Y>" -> inter ") stimulates") — strip
+    # bracket residue at token edges so the verb matchers see the verb
+    return tuple(
+        t
+        for t in (
+            tok.strip("()[]") for tok in _TOKEN_SPLIT_RE.split(s.strip())
+        )
+        if t
+    )
 
 
 def _tokens(s: str) -> list[str]:
@@ -1128,6 +1160,32 @@ def _match_synergize(inter: str):
     if len(trail) > 5 or any(t not in allowed for t in trail):
         return None
     return "increases"
+
+
+def _match_trailing_participle(inter: str):
+    """"<A> ..., (thereby) causing (cytolytic) <B>" -> rel by the
+    participle's direction. The whole inter text must be the participle
+    phrase (optionally comma/adverb-led), so matrix clauses with their own
+    verb and the instrumental "by <gerund>" never reach here."""
+    toks = _tokens(inter.lower())
+    i = 0
+    while i < len(toks) and (toks[i] in {"thereby", "thus", "consequently"}
+                             or toks[i].endswith("ly")):
+        i += 1
+    if i >= len(toks):
+        return None
+    v = toks[i]
+    rel = ("increases" if v in _PARTICIPLE_UP
+           else "decreases" if v in _PARTICIPLE_DOWN else None)
+    if rel is None:
+        return None
+    trail = toks[i + 1:]
+    if len(trail) > 2 or any(
+        not t.replace("-", "").isalpha() or t in _ALL_CAUSAL_VERBS
+        for t in trail
+    ):
+        return None
+    return rel
 
 
 def _match_pretreat_nominal(inter: str):
@@ -1801,6 +1859,36 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 emit_pair(left, lrel, right)
                 continue
 
+            # ---- trailing-participle consequence: "<A> ..., causing
+            # (cytolytic) <B>" --------------------------------------------
+            prel = _match_trailing_participle(low_inter)
+            if prel is not None and not same_entity:
+                for subj_m in l_members:
+                    for obj_m in r_members:
+                        emit_pair(subj_m, prel, obj_m)
+                continue
+
+            # ---- possessive ability: "<A> ... for its ability to promote
+            # (endothelial cell) <B>" --------------------------------------
+            # "its/their" binds to the SENTENCE subject, so the left
+            # operand must be (in the coordination group of) the
+            # sentence's first mention — an intermediate object between
+            # the subject and this pair must not steal the attribution
+            ab = (_ABILITY_TO_RE.search(low_inter)
+                  if "ability to" in low_inter and lgroup[0] == 0
+                  else None)
+            if (ab is not None and not same_entity
+                    and not _NEG_RE.search(low_inter)):
+                v = ab.group(1)
+                abrel = ("increases" if v in _ACT_UP
+                         else "decreases" if v in _ACT_DOWN
+                         else "regulates" if v in _ACT_REG else None)
+                if abrel is not None:
+                    for subj_m in l_members:
+                        for obj_m in r_members:
+                            emit_pair(subj_m, abrel, obj_m)
+                    continue
+
             # ---- known-to-be-<A>-regulated appositive --------------------
             if (
                 " ".join(_tokens(low_inter)) in {"regulated", "regulated,"}
@@ -2007,6 +2095,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # involved in Y (and Z)" — association over both coordination
             # groups, like the active rule ---------------------------------
             arel = _retry_seg(_match_assoc, low_inter, inter_seg)
+            if arel is None and not same_entity and _CHARACTERIZED_BY_RE.match(
+                " ".join(_tokens(low_inter))
+            ):
+                # defining-feature co-occurrence reads as association
+                arel = "association"
             if arel is not None and not same_entity:
                 for subj_m in l_members:
                     for obj_m in r_members:
