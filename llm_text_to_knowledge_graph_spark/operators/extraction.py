@@ -491,6 +491,13 @@ _ABILITY_TO_RE = re.compile(
     r"\b(?:for\s+)?(?:its|their)\s+ability\s+to\s+([a-z\-]+)"
     r"(?:\s+[a-z\-]+){0,3}$"
 )
+# substrate attribution: "(known) <X> substrates" names X as the kinase
+# of whatever the block then reports as "phosphorylation of <Y> at
+# <site>" -> act(X) directlyIncreases p(Y, pmod(Ph, site))
+_SUBSTRATES_AFTER_RE = re.compile(r"\s+substrates?\b")
+_PHOSPHO_OF_SEP_RE = re.compile(
+    r"\bphosphorylation\s+of\s+(?:the\s+)?", re.I
+)
 # adjectival KO rise: "In a <G>-null tumour, <Y> is constitutively
 # active" -> G decreases act(Y)
 _CONST_ACTIVE_RE = re.compile(
@@ -1222,7 +1229,8 @@ def _match_pretreat_nominal(inter: str):
 class _BlockState:
     __slots__ = ("target", "target_sig", "rel", "agents", "agent_sigs",
                  "last_subject", "last_subject_m", "cnc", "protein_history",
-                 "last_idx", "last_object_m", "last_rel", "last_scn_dir")
+                 "last_idx", "last_object_m", "last_rel", "last_scn_dir",
+                 "substrate_enzyme")
 
     def __init__(self):
         self.target = None          # rendered target term of the last passive
@@ -1238,6 +1246,7 @@ class _BlockState:
         self.last_object_m = None   # its object mention
         self.last_rel = None
         self.last_scn_dir = 0       # narrated direction of last object
+        self.substrate_enzyme = None  # "<X> substrates" kinase mention
 
 
 # ---------------------------------------------------------------------------
@@ -1449,6 +1458,37 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             _sig(g, "decreases", target, "act", None, None,
                                  tag="ko"),
                         )
+
+        # ---- substrate attribution --------------------------------------
+        # "(known) <X> substrates" names X as the kinase of whatever the
+        # block then reports as "phosphorylation of <Y> at <site>":
+        # act(X) directlyIncreases p(Y, pmod(Ph, first site)). Cross-
+        # sentence by design — the substrates sentence introduces the
+        # enzyme, the assay sentences name its targets.
+        if "substrate" in sent_lo:
+            for m in ms:
+                if _SUBSTRATES_AFTER_RE.match(text, m["end"], s_end):
+                    state.substrate_enzyme = m
+        enz = state.substrate_enzyme
+        if enz is not None and "phosphorylation of" in sent_lo:
+            for pv in _PHOSPHO_OF_SEP_RE.finditer(text, s_begin, s_end):
+                y_m = next(
+                    (y for y in ms if y["begin"] == pv.end()), None
+                )
+                if y_m is None or (y_m["db"], y_m["id"]) == (
+                    enz["db"], enz["id"]
+                ):
+                    continue
+                at = _KO_AT_SITE_RE.match(text[y_m["end"]: s_end])
+                if at is None:
+                    continue
+                pmod = ("Ph", _RESIDUE_3[at.group(1).lower()],
+                        int(at.group(2)))
+                emit(
+                    f"act({_render(enz, text)}) directlyIncreases "
+                    f"{_render(y_m, text, pmod=pmod)}",
+                    _sig(enz, "directlyIncreases", y_m, "act", None, pmod),
+                )
 
         # ---- modification-event self-statements ---------------------------
         # "Phosphorylation at <sites> ... is (deemed) necessary for <X>

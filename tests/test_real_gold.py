@@ -313,9 +313,13 @@ def test_bel_paper_pr_pinned():
     # pred_only under the entity-intersection gate. Pinned honestly: the
     # 2 extra predictions are a SPECIES artifact of the eval dictionary,
     # not extraction errors — every MGI-groundable emission still matches.
-    assert r["pred_total"] == 16
-    assert r["matched"] == 14
-    assert r["recall"] >= 0.5
+    # r4c: the substrate-attribution idiom ("examined known Akt
+    # substrates ... phosphorylation of FoxO1/3a at Thr24/32" ->
+    # act(Akt) directlyIncreases p(Foxo1, pmod(Ph, Thr, 24))) closes one
+    # of the cross-sentence kin() golds: 14 -> 15 matched
+    assert r["pred_total"] == 17
+    assert r["matched"] == 15
+    assert r["recall"] >= 0.53
 
 
 def test_mechanism_wrapper_idioms_general():
@@ -453,6 +457,22 @@ def test_review_prose_idioms_general():
     # quantity-nominal active trail ("decreased the basal production of")
     got = _extract("AAA alone also decreased the basal production of BBB.")
     assert got == ["p(HGNC:AAA) decreases p(HGNC:BBB)"]
+
+    # substrate attribution across sentences of one block
+    got = _extract(
+        "We examined known AAA substrates in these cells. We found that "
+        "phosphorylation of BBB at Thr24 was decreased."
+    )
+    assert (
+        "act(p(HGNC:AAA)) directlyIncreases p(HGNC:BBB, pmod(Ph, Thr, 24))"
+        in got
+    )
+    # no "<X> substrates" cue -> no attribution
+    got = _extract(
+        "We examined these cells. We found that phosphorylation of BBB "
+        "at Thr24 was decreased."
+    )
+    assert not any("act(p(HGNC:AAA))" in s for s in got)
 
 
 @needs_reference
@@ -618,7 +638,7 @@ def test_merged_lexicon_generalization():
     assert p["9813040"]["precision"] >= 0.91
     assert p["12928037"]["matched"] == 22  # tracks per-paper gains
     assert p["15350900"]["matched"] == 29  # tracks per-paper gains
-    assert p["16962653"]["matched"] == 13  # one species-collision miss
+    assert p["16962653"]["matched"] == 14  # one species-collision miss
     # micro precision: 0.94 — the only unmatched predictions are the two
     # species-artifact Akt self-statements (see test_bel_paper_pr_pinned)
     # plus the pre-existing 9813040/16962653 collisions; recall 0.475 ->
@@ -639,13 +659,13 @@ def test_miss_audit_pinned():
     """Every unmatched gold statement in the three .bel papers carries a
     mechanically derived category (eval/real_gold_bel.py::categorize_miss —
     code, not judgment). Pinning the per-paper distributions makes the
-    recall story auditable: of 80 total misses, ZERO are pattern_gap —
-    r4 closed the last 3 enumerated gaps and then 11 of the 19
+    recall story auditable: of 79 total misses, ZERO are pattern_gap —
+    r4 closed the last 3 enumerated gaps and then 12 of the 19
     mechanism-wrapper misses with general idioms (see the per-paper test
     docstrings above). Every remaining miss needs cross-block entities
     (60), curator mechanism annotation the evidence never states as a
-    surface relation (8 — incl. 16962653 key 1/5/6, blocked by the
-    species dictionary or cross-sentence substrate reasoning), nested
+    surface relation (7 — incl. 16962653 key 1/6, blocked by the
+    species dictionary), nested
     statements (5), relation-less golds the pinned scorer cannot match by
     design (4), a species-context-aware grounder (2), or is a duplicate
     curation of a statement the engine DID extract, unmatchable under
@@ -656,7 +676,7 @@ def test_miss_audit_pinned():
 
     a = audit_misses("16962653")
     assert a["counts"] == {
-        "mechanism_wrapper": 5,
+        "mechanism_wrapper": 4,
         "non_surface_entity": 6,
         "relationless_gold": 1,
         "species_namespace": 2,
@@ -753,14 +773,14 @@ def test_selventa_corpus_pinned():
 
     r = run_selventa_corpus_eval()
     assert r["gold_total"] == 2067
-    assert r["matched"] == 94
-    assert r["pred_total"] == 139
+    assert r["matched"] == 95
+    assert r["pred_total"] == 140
     assert r["precision"] >= 0.67
     assert r["recall"] >= 0.045
     assert r["audit"] == {
         "non_surface_entity": 1477,
         "pattern_gap": 42,
-        "mechanism_wrapper": 56,
+        "mechanism_wrapper": 55,
         "nested_statement": 224,
         "species_namespace": 49,
         "relationless_gold": 125,
