@@ -169,7 +169,8 @@ _PASSIVE_MID = {
 _PASSIVE_APPOS = {
     "different", "growth", "factors", "factor", "hormones", "hormone",
     "stimuli", "agents", "such", "as", "the", "a", "an", "type", "types",
-    "of", "various", "several",
+    "of", "various", "several", "wide", "variety", "compounds",
+    "substances", "mediators", "including",
 }
 # "<verb>ed in the absence of <Y>" — agent marker with a direction FLIP
 # (the clause describes what happens WITHOUT the agent)
@@ -800,6 +801,11 @@ def _match_passive(inter: str):
         i += 1
     if toks[i: i + 3] == ["known", "to", "be"]:
         i += 3
+    elif (i + 1 < len(toks)
+          and toks[i] in {"may", "can", "might", "could", "must"}
+          and toks[i + 1] == "be"):
+        # modal passive: "may be enhanced by ..."
+        i += 2
     elif i < len(toks) and toks[i] in {
         "is", "are", "was", "were", "remains", "remained", "becomes", "became",
     }:
@@ -1167,6 +1173,59 @@ def _match_synergize(inter: str):
     if len(trail) > 5 or any(t not in allowed for t in trail):
         return None
     return "increases"
+
+
+_STATE_UP = {"up-regulated", "upregulated", "elevated", "increased"}
+_STATE_DOWN = {"down-regulated", "downregulated", "reduced", "decreased",
+               "suppressed", "diminished"}
+# connector between chained condition phrases: "... in <B> and under
+# conditions of <C>"
+_COND_CONNECT_RE = re.compile(
+    r",?\s*(?:and|or)?\s*(?:in|during|upon|under\s+conditions\s+of)\s*"
+    r"(?:the\s+)?",
+    re.I,
+)
+
+
+def _match_state_in(inter: str):
+    """Directional-state correlation: "<A> is (consistently) up regulated
+    in <B>" / "... under conditions of <B>" -> A positiveCorrelation B
+    (negative for a down state). Only explicitly directional participles
+    qualify — bare "expressed"/"detected in <tissue>" is a location, not
+    a correlation. Every other token must be inert filler."""
+    toks = _tokens(inter.lower())
+    if len(toks) < 2 or toks[0] not in {
+        "is", "are", "was", "were", "remains", "remained",
+    }:
+        return None
+    if not (toks[-1] == "in"
+            or toks[-3:] == ["under", "conditions", "of"]):
+        return None
+    # "was reduced BY 39% upon glucose stimulation" is an experimental
+    # measurement with its own agent/quantity structure, not a state
+    # correlation — the "by" marker disqualifies
+    if "by" in toks or _NEG_RE.search(inter):
+        return None
+    sign = None
+    for j, t in enumerate(toks):
+        if t in _STATE_UP:
+            sign = "positiveCorrelation"
+            break
+        if t in _STATE_DOWN:
+            sign = "negativeCorrelation"
+            break
+        if (t in {"up", "down"} and j + 1 < len(toks)
+                and toks[j + 1] in _PASSIVE_REG):
+            sign = ("positiveCorrelation" if t == "up"
+                    else "negativeCorrelation")
+            break
+    if sign is None:
+        return None
+    allowed_verbs = _STATE_UP | _STATE_DOWN | _PASSIVE_REG
+    for t in toks:
+        if t in _ALL_CAUSAL_VERBS and t not in allowed_verbs:
+            return None
+    return sign
 
 
 def _match_trailing_participle(inter: str):
@@ -2140,6 +2199,36 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             ):
                 # defining-feature co-occurrence reads as association
                 arel = "association"
+            if arel is None and not same_entity:
+                # directional-state correlation, with condition chaining:
+                # "<A> is up regulated in <B> and under conditions of <C>"
+                # -> A corr B AND A corr C (the chained conditions share
+                # the matrix subject, not each other)
+                sc = _match_state_in(low_inter)
+                if sc is not None:
+                    objs = [right]
+                    j = i + 1
+                    while j + 1 < len(ms):
+                        nxt = text[ms[j]["end"]: ms[j + 1]["begin"]].strip()
+                        if not _COND_CONNECT_RE.fullmatch(nxt):
+                            break
+                        objs.append(ms[j + 1])
+                        j += 1
+                    for obj_m in objs:
+                        # prose order, not canonical: in this construction
+                        # the matrix subject IS the curator's subject
+                        key = (
+                            frozenset(
+                                f"{x['db']}:{x['entry_name']}"
+                                for x in (left, obj_m)
+                            ),
+                            sc,
+                        )
+                        if key in sym_pairs:
+                            continue
+                        sym_pairs.add(key)
+                        emit_pair(left, sc, obj_m)
+                    continue
             if arel is not None and not same_entity:
                 for subj_m in l_members:
                     for obj_m in r_members:
@@ -2232,6 +2321,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
             # ---- passive + agent (reversed) ------------------------------
             pas = _retry_seg(_match_passive, low_inter, inter_seg)
+            if pas is None and " but " in low_inter:
+                # contrastive coordinated predicate: "<Y> ... is
+                # constitutive but may be enhanced by <agents>" — the
+                # post-"but" clause governs the following agent list
+                pas = _match_passive(low_inter.rsplit(" but ", 1)[1])
             if pas is None:
                 red = _match_reduced_passive(low_inter)
                 if red is not None:

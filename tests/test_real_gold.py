@@ -474,6 +474,34 @@ def test_review_prose_idioms_general():
     )
     assert not any("act(p(HGNC:AAA))" in s for s in got)
 
+    # modal passive behind a contrastive predicate, with an appositive
+    # agent list: the post-"but" clause governs the agents
+    got = _extract(
+        "The CCC generation by these cells is constitutive but may be "
+        "enhanced by a wide variety of compounds, including AAA, BBB."
+    )
+    assert set(got) >= {
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+        "p(HGNC:BBB) increases p(HGNC:CCC)",
+    }
+
+    # directional-state correlation with condition chaining (prose order)
+    got = _extract(
+        "AAA is consistently up regulated in BBB and under conditions "
+        "of CCC in many cell types."
+    )
+    assert set(got) == {
+        "p(HGNC:AAA) positiveCorrelation p(HGNC:BBB)",
+        "p(HGNC:AAA) positiveCorrelation p(HGNC:CCC)",
+    }
+    # experimental measurement ("was reduced by 39% upon ...") must NOT
+    # read as a state correlation
+    got = _extract(
+        "AAA biosynthesis in islets exposed to BBB was reduced by 39% "
+        "upon CCC stimulation."
+    )
+    assert not any("Correlation" in s for s in got)
+
 
 @needs_reference
 def test_bel_paper_patterns():
@@ -773,16 +801,23 @@ def test_selventa_corpus_pinned():
 
     r = run_selventa_corpus_eval()
     assert r["gold_total"] == 2067
-    assert r["matched"] == 95
-    assert r["pred_total"] == 140
-    assert r["precision"] >= 0.67
-    assert r["recall"] >= 0.045
+    # r4d closed 5 more with general constructions: modal passive with a
+    # contrastive coordinated predicate ("is constitutive but may be
+    # enhanced by a wide variety of compounds, including A, B, C" — the
+    # post-"but" clause governs the agent list: 4 golds on one block) and
+    # the directional-state correlation ("<A> is up regulated in <B> and
+    # under conditions of <C>" -> A posCorr B, A posCorr C, prose order,
+    # with the experimental-measurement "by <n>%" shape disqualified)
+    assert r["matched"] == 100
+    assert r["pred_total"] == 146
+    assert r["precision"] >= 0.68
+    assert r["recall"] >= 0.048
     assert r["audit"] == {
         "non_surface_entity": 1477,
-        "pattern_gap": 42,
+        "pattern_gap": 38,
         "mechanism_wrapper": 55,
         "nested_statement": 224,
-        "species_namespace": 49,
+        "species_namespace": 48,
         "relationless_gold": 125,
     }
 
