@@ -488,7 +488,25 @@ def selventa_lexicon() -> list:
         for ns, name, c in by_name.values()
         if len(name) >= 3 and not name.isdigit()
     ]
-    return lex + merged_lexicon()
+    # mechanical prose-case variants: gold entry names are curated in
+    # title/sentence case while evidence prose inflects them ("Hepatitis"
+    # vs "cytolytic hepatitis", "necrosis" vs sentence-initial
+    # "Necrosis"). Acronyms (no lowercase char, single word) keep their
+    # case — prose never re-cases them and a lowered "vegf" would only
+    # invite boundary collisions.
+    merged = merged_lexicon()
+    seen_aliases = {row[0] for row in lex} | {row[0] for row in merged}
+    variants = []
+    for ns, name, c in by_name.values():
+        if len(name) < 4 or name.isdigit():
+            continue
+        if " " not in name and not any(ch.islower() for ch in name):
+            continue
+        for v in {name.lower(), name[0].upper() + name[1:]}:
+            if v != name and v not in seen_aliases:
+                seen_aliases.add(v)
+                variants.append((v, ns, name, name, float(c)))
+    return lex + variants + merged
 
 
 def run_selventa_corpus_eval() -> dict:

@@ -808,13 +808,20 @@ def test_selventa_corpus_pinned():
     # the directional-state correlation ("<A> is up regulated in <B> and
     # under conditions of <C>" -> A posCorr B, A posCorr C, prose order,
     # with the experimental-measurement "by <n>%" shape disqualified)
-    assert r["matched"] == 100
-    assert r["pred_total"] == 146
-    assert r["precision"] >= 0.68
-    assert r["recall"] >= 0.048
+    # r4d also adds mechanical prose-case alias variants to the
+    # dictionary ("Hepatitis" <-> "hepatitis"; acronyms keep their case):
+    # +3 matched. The precision cost of every recall addition this round
+    # is the same declared grounding bound: the unmatched predictions are
+    # content-correct relations ("VEGF increases angiogenesis",
+    # "wortmannin decreases Akt") that miss only on the curator's
+    # per-block namespace or statement-set choice.
+    assert r["matched"] == 103
+    assert r["pred_total"] == 154
+    assert r["precision"] >= 0.66
+    assert r["recall"] >= 0.049
     assert r["audit"] == {
         "non_surface_entity": 1477,
-        "pattern_gap": 38,
+        "pattern_gap": 35,
         "mechanism_wrapper": 55,
         "nested_statement": 224,
         "species_namespace": 48,
