@@ -16,39 +16,65 @@ import threading
 import time
 
 
-def _busy_jiffies() -> int:
-    """Machine-wide non-idle jiffies from /proc/stat (user+nice+system+irq+
-    softirq+steal+guest). Unlike 1-min loadavg — an EMA too sluggish to see
-    a 10-second burst inside a 10-second trial — the jiffy counter
-    integrates exactly over the timed window."""
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies machine-wide from /proc/stat. Unlike 1-min
+    loadavg — an EMA too sluggish to see a 10-second burst inside a
+    10-second trial — the jiffy counters integrate exactly over the timed
+    window.
+
+    This sandbox is a Firecracker microVM (kernel *-fc-*, pid-1 namespace,
+    kernel threads visible), so the VM's user+system time is ALL OURS and
+    the neighbor sandboxes — other microVMs on the physical host — show up
+    exclusively as STEAL time (vCPU runnable but not scheduled by the
+    hypervisor). busy = user+nice+system+irq+softirq+steal+guest
+    (everything minus idle+iowait); steal is field 8."""
     with open("/proc/stat") as f:
         v = list(map(int, f.readline().split()[1:]))
-    return sum(v) - v[3] - v[4]  # minus idle + iowait
+    return sum(v) - v[3] - v[4], v[7]
 
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
 class SectionMeter:
-    """Times a section AND attributes machine CPU: ``busy_cores`` is the
-    average number of busy cores machine-wide during the section
-    (integrated exactly over the window, not sampled), so
-    ``neighbor_cores = max(0, busy_cores - own_cores)`` measures
-    concurrent neighbor-sandbox CPU. Exact when the level saturates its
-    own cores (these sections do — they are embarrassingly parallel over
-    >=32 partitions); when the job idles its cores it UNDERCOUNTS
-    neighbors by the idle amount, which is why the loadavg peak is still
-    recorded alongside as a second opinion."""
+    """Times a section AND attributes machine CPU exactly over its window.
+
+    Three numbers per section (average cores, integrated — not sampled):
+
+    - ``steal``: hypervisor steal — on this Firecracker box the ONLY
+      channel through which neighbor-sandbox CPU appears (see
+      _cpu_jiffies), so it is the primary contamination signal.
+    - ``own_excess``: (busy - steal)/wall - level_cores — how far the
+      VM-local (i.e. our own) CPU ran ABOVE the level's advertised core
+      count. A saturated mapInPandas stage legitimately exceeds local[N]
+      by ~1 core (N Python workers at full tilt plus the JVM threads
+      feeding/draining their Arrow streams), so a small positive value is
+      the job itself, NOT contamination; a large one means some OTHER
+      process of ours ran during the window.
+    - ``neighbor`` (legacy): busy/wall - level_cores — the old estimator
+      that conflated the two above. Kept so old records stay comparable;
+      it systematically over-reads by the own-excess amount (the r4
+      instrument failure: three quiet-box runs invalidated because the
+      2x-faster fused section's own Arrow-serving overhead tripped a gate
+      meant for neighbors).
+    """
 
     def __init__(self, own_cores: int):
         self.own = own_cores
 
     def run(self, thunk):
-        b0, t0 = _busy_jiffies(), time.monotonic()
+        (b0, s0), t0 = _cpu_jiffies(), time.monotonic()
         out = thunk()
         wall = time.monotonic() - t0
-        busy_cores = (_busy_jiffies() - b0) / _CLK_TCK / max(wall, 1e-9)
-        return out, wall, round(max(0.0, busy_cores - self.own), 2)
+        b1, s1 = _cpu_jiffies()
+        busy = (b1 - b0) / _CLK_TCK / max(wall, 1e-9)
+        steal = (s1 - s0) / _CLK_TCK / max(wall, 1e-9)
+        attr = {
+            "steal": round(steal, 2),
+            "own_excess": round(max(0.0, busy - steal - self.own), 2),
+            "neighbor": round(max(0.0, busy - self.own), 2),
+        }
+        return out, wall, attr
 
 
 class LoadSampler:
@@ -133,10 +159,11 @@ def main() -> int:
     sampler = LoadSampler()
     sampler.__enter__()
     meter = SectionMeter(args.cores)
-    # per section: (best wall, neighbor_cores during that best instance)
-    best = {"fused": (1e18, 0.0), "full": (1e18, 0.0), "dense": (1e18, 0.0)}
+    # per section: (best wall, CPU attribution of that best instance)
+    _z = {"steal": 0.0, "own_excess": 0.0, "neighbor": 0.0}
+    best = {"fused": (1e18, _z), "full": (1e18, _z), "dense": (1e18, _z)}
 
-    def record(name: str, wall: float, nb: float) -> None:
+    def record(name: str, wall: float, nb: dict) -> None:
         if wall < best[name][0]:
             best[name] = (wall, nb)
 
@@ -225,15 +252,23 @@ def main() -> int:
                 "peak_load": round(peak, 2),
                 "peak_neighbor_load": round(max(0.0, peak - args.cores), 2),
                 # exact /proc/stat CPU attribution for the CHOSEN (best)
-                # instance of each section: avg busy cores machine-wide
-                # minus this level's cores — the primary validity signal
-                # (loadavg above is an EMA too slow for 10-60s sections)
-                "neighbor_cores": {
-                    "fused": best["fused"][1],
-                    "full": best["full"][1],
-                    "dense": best["dense"][1],
+                # instance of each section (loadavg above is an EMA too
+                # slow for 10-60s sections). steal_cores is the primary
+                # neighbor signal on this Firecracker box; own_excess is
+                # our own CPU above the level's core count (~1 core of
+                # JVM Arrow-serving alongside saturated Python workers is
+                # the job's normal shape, not contamination).
+                "steal_cores": {k: v[1]["steal"] for k, v in best.items()},
+                "own_excess_cores": {
+                    k: v[1]["own_excess"] for k, v in best.items()
                 },
-                "max_neighbor_cores": max(v[1] for v in best.values()),
+                # legacy estimator (busy - level cores): conflates the two
+                "neighbor_cores": {
+                    k: v[1]["neighbor"] for k, v in best.items()
+                },
+                "max_neighbor_cores": max(
+                    v[1]["neighbor"] for v in best.values()
+                ),
             }
         )
     )
