@@ -341,7 +341,13 @@ def categorize_miss(
     lowered = text.lower()
     mention_lc = {m.lower() for m in mention_names}
     for n in names:
-        if n and n not in lowered and n not in mention_lc:
+        # word-boundary presence, not substring: gold name "INS" inside
+        # the word "insulin" is NOT a surface occurrence (the curator
+        # grounded background knowledge, and no name-only dictionary can
+        # reach it)
+        if n and n not in mention_lc and not re.search(
+            r"(?<![\w])" + re.escape(n) + r"(?![\w])", lowered
+        ):
             return "non_surface_entity"
     if _MECH_FN_RE.search(gold_stmt):
         return "mechanism_wrapper"
@@ -501,8 +507,39 @@ def selventa_lexicon() -> list:
         if len(name) < 4 or name.isdigit():
             continue
         if " " not in name and not any(ch.islower() for ch in name):
+            # all-caps single-word acronyms keep their case — EXCEPT
+            # digit-bearing gene symbols ("RAC1", "CYP2E1"), whose
+            # title-case orthographic twin ("Rac1") is the standard
+            # mouse/prose spelling; pure-alpha acronyms are skipped ("NO"
+            # -> "No" would collide with the English word)
+            if len(name) >= 4 and any(ch.isdigit() for ch in name):
+                v = name[0] + name[1:].lower()
+                if v != name and v not in seen_aliases:
+                    seen_aliases.add(v)
+                    variants.append((v, ns, name, name, float(c)))
             continue
-        for v in {name.lower(), name[0].upper() + name[1:]}:
+        # full lower, first-char upper (sentence-initial), and first-char
+        # lower ("Calyculin A" -> "calyculin A": prose de-capitalizes the
+        # head word but keeps inner case)
+        cased = {name.lower(), name[0].upper() + name[1:],
+                 name[0].lower() + name[1:]}
+        if " " not in name and any(ch.isdigit() for ch in name):
+            # mixed-case gene symbols ("Hdac5") also appear fully
+            # upper-cased in prose ("HDAC5-GFP")
+            cased.add(name.upper())
+        if name.lower().startswith("cell "):
+            # Latinate adjective alternation: "cell migration" appears in
+            # prose as "cellular migration"
+            cased.add("cellular " + name[5:].lower())
+        # mechanical plural of the head noun ("antioxidant" ->
+        # "antioxidants", "Lipid Droplet" -> "lipid droplets"): prose
+        # pluralizes class/process nouns while gold entry names are
+        # curated singular. Appending "s" only (no -ies/-es morphology) —
+        # the mechanical subset with no false-stem risk.
+        plural = {
+            v + "s" for v in cased | {name} if not v.endswith(("s", "S"))
+        }
+        for v in cased | plural:
             if v != name and v not in seen_aliases:
                 seen_aliases.add(v)
                 variants.append((v, ns, name, name, float(c)))
@@ -560,9 +597,20 @@ def run_selventa_corpus_eval() -> dict:
                 gold_ns.setdefault(
                     name.strip('"').lower(), set()
                 ).add(ns)
+    preds_norm_by_key = {
+        b["key"]: {p.replace('"', "") for p in b["pred"]} for b in blocks
+    }
     counts: dict[str, int] = {}
     for r in result["rows"]:
         if r["match_type"] != "gold_only":
+            continue
+        # same rule as audit_misses: a missed gold string-identical to one
+        # of the block's own predictions means the curator recorded the
+        # statement more than once and 1:1 matching consumed the single
+        # deduped prediction on the first copy — a matching artifact, not
+        # an extraction gap
+        if r["gold_statement"].replace('"', "") in preds_norm_by_key[r["key"]]:
+            counts["duplicate_gold"] = counts.get("duplicate_gold", 0) + 1
             continue
         cat = categorize_miss(
             r["gold_statement"],

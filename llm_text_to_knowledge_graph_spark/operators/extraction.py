@@ -51,6 +51,29 @@ from ..functions.bel import NS_FUNC, make_term
 from .statements import extract_from_sentence
 
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+# tokens whose trailing period is an abbreviation, not a sentence end
+# ("(Fig. 5A), cellular migration" must stay one sentence); "g"/"e" are
+# the final letters of "e.g."/"i.e.", "al" of "et al."
+_SENT_ABBREV = frozenset(
+    {"fig", "figs", "ref", "refs", "vs", "al", "g", "e", "cf", "ca"}
+)
+_ABBREV_TOK_RE = re.compile(r"(\w+)[.!?]+[)\]]*$")
+
+
+def _sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Sentence (begin, end) spans, skipping splits after abbreviations."""
+    spans: list[tuple[int, int]] = []
+    start = 0
+    for m in _SENT_SPLIT_RE.finditer(text):
+        tok = _ABBREV_TOK_RE.search(text, max(0, m.start() - 12), m.start())
+        if tok is not None and tok.group(1).lower() in _SENT_ABBREV:
+            continue
+        spans.append((start, m.start()))
+        start = m.end()
+    spans.append((start, len(text)))
+    return spans
+
+
 _PAREN_RE = re.compile(r"\([^)]*\)")
 _TOKEN_SPLIT_RE = re.compile(r"[\s,;:]+")
 # negation cues anywhere in the inter-mention text kill the pair —
@@ -75,10 +98,12 @@ _ACT_UP = {
     "trigger", "triggered", "potentiates", "potentiated", "augments",
     "augmented", "facilitates", "facilitated", "facilitate",
     "overexpress", "overexpresses", "overexpressed",
+    "causes", "caused", "cause",
 }
 _ACT_DOWN = {
     "inhibits", "inhibited", "inhibit", "suppresses", "suppressed", "suppress",
-    "decreases", "decreased", "reduces", "reduced", "reduce", "downregulates",
+    "decreases", "decreased", "decrease", "reduces", "reduced", "reduce",
+    "downregulates",
     "downregulated", "down-regulates", "down-regulated", "represses",
     "repressed", "impairs", "impaired", "blocks", "blocked", "abolishes",
     "abolished", "attenuates", "attenuated", "prevents", "prevented",
@@ -130,6 +155,16 @@ _ACT_LEAD = {
     "level", "subsequently", "similarly",
     "can", "could", "may", "might", "will", "would", "has", "have", "had",
     "been", "shown", "demonstrated", "reported", "found",
+    # monotone event nouns right of the subject mention ("ethanol
+    # intoxication increases ...", "ROS overproduction triggers ..."):
+    # the event is the PRESENCE of the subject, so the verb's direction
+    # carries through unchanged (loss-nominals like "depletion" are NOT
+    # here — those flip, via _ABLATION_PREFIX_RE on the prefix side)
+    "intoxication", "exposure", "administration", "ingestion", "infusion",
+    "supplementation", "overproduction", "stimulation",
+    # locative adjunct between subject and verb ("The expression of
+    # active Rac1 in many cell types causes ...")
+    "in", "many", "cell", "cells", "types", "tissues",
 }
 # filler between an active verb and the object mention
 _ACT_TRAIL = {
@@ -149,6 +184,10 @@ _ACT_TRAIL = {
 # composes induce(+) with reduction(-) -> decreases X; "has beneficial
 # effects on <disease>" reads as decreases
 _TRAIL_FLIP = set(_NOMINAL_DOWN) | {"beneficial", "protective"}
+# participial direction words in the trail ("causes increased X" / "causes
+# decreased X") compose with the verb exactly like the nominals above
+_TRAIL_FLIP_PART = {"decreased", "reduced", "impaired", "diminished"}
+_TRAIL_UP_PART = {"increased", "elevated", "enhanced"}
 # noun-head filler between the target mention and the passive copula
 _PASSIVE_LEAD = {
     "isoform", "isoforms", "protein", "proteins", "levels", "level",
@@ -179,7 +218,14 @@ _ABSENCE_TAIL = ("in", "the", "absence", "of")
 # abolished <Y>" means X POSITIVELY regulates Y
 _ABLATION_PREFIX_RE = re.compile(
     r"(?:(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of"
-    r"|lacking(?:\s+functional)?)\s+$",
+    # a closed list of compartment/state modifiers may sit between "of"
+    # and the mention ("depletion of mitochondrial glutathione")
+    r"(?:\s+(?:mitochondrial|cellular|endogenous|functional|nuclear"
+    r"|cytosolic|hepatic|total))*"
+    r"|lacking(?:\s+functional)?"
+    # "the dominant negative <X> inhibits <Y>": a loss-of-function
+    # construct, so the observed direction flips exactly like a knockout
+    r"|dominant[-\s]negative)\s+$",
     re.I,
 )
 _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
@@ -242,7 +288,15 @@ _PHOSPHO_OF_RE = re.compile(r"(?:^|[^a-z])phosphorylation\s+of\b")
 # BEFORE matcher.find so mention offsets and pattern text agree.
 _COMPOUND_SPLIT_RE = re.compile(
     r"(?<=\w)(?=[-−–](?:induced|mediated|triggered|stimulated|activated|"
-    r"suppressed|inhibited|dependent|deficient|null)\b)"
+    r"suppressed|inhibited|dependent|deficient|null)\b"
+    # ASCII knockout marker "<G>-/-": the hyphen is a word char in the
+    # matcher's [\w-] boundary class, so without the split the gene
+    # mention is invisible (the unicode "−/−"/"–/–" forms are already
+    # boundary-valid)
+    r"|-/-"
+    # fluorescent/epitope fusion tags ("HDAC5-GFP"): the tagged protein
+    # is the mention, the tag is reporter plumbing
+    r"|[-−–](?:GFP|YFP|CFP|RFP|mCherry|FLAG|HA|Myc)\b)"
 )
 
 
@@ -332,6 +386,9 @@ _POSS_NOMINAL_RE = re.compile(
 _MEDIATED_RE = re.compile(
     r"^(?:\w+\s+){0,4}?[‐-]?\s*mediated\s+(?:through|by|via)$"
 )
+# event nominal directly before a mention ("Acute activation of <Y> ...")
+# — the mention is the nominal's patient, not an agent
+_NOMINAL_OF_PREFIX_RE = re.compile(r"([A-Za-z-]+)\s+of(?:\s+\w+){0,2}\s+$")
 _FOLD_CONT_RE = re.compile(
     r"^(?:and\s+)?[\d.,–—-]+\s*-?fold\s+by$"
 )
@@ -492,6 +549,100 @@ _ABILITY_TO_RE = re.compile(
     r"\b(?:for\s+)?(?:its|their)\s+ability\s+to\s+([a-z\-]+)"
     r"(?:\s+[a-z\-]+){0,3}$"
 )
+# possessive-role gerund: "<A> ... (for) its role in initiating ... and
+# sustaining <B>" -> A rel B by the direction of the LAST gerund before
+# the object (each conjunct's gerund governs its own object)
+_ROLE_IN_RE = re.compile(r"\b(?:for\s+)?(?:its|their)\s+role\s+in\b")
+# agent-noun predicate: "<X> is an essential mediator of <Y1> and <Y2>"
+# -> X rel Y by the agent noun's direction
+_AGENT_NOUN_RE = re.compile(
+    r"^(?:is|are|acts?\s+as|serves?\s+as)\s+(?:a|an|the)\s+(?:[\w-]+\s+){0,2}?"
+    r"(mediator|driver|inducer|activator|stimulator|enhancer|promoter|"
+    r"inhibitor|suppressor|repressor|regulator)s?\s+of(?:\s+[\w-]+){0,3}$"
+)
+_AGENT_NOUN_DIR = {
+    "mediator": 1, "driver": 1, "inducer": 1, "activator": 1,
+    "stimulator": 1, "enhancer": 1, "promoter": 1,
+    "inhibitor": -1, "suppressor": -1, "repressor": -1, "regulator": 0,
+}
+# a coordination member followed by "-induced/-mediated/... <head>" is a
+# premodifier of the next mention, not a list member ("cell migration and
+# VEGF -induced angiogenesis": the second conjunct is angiogenesis)
+_PREMOD_AFTER_RE = re.compile(
+    r"^\s*[-−–]\s*(?:induced|mediated|triggered|stimulated|activated|"
+    r"dependent)\s+$"
+)
+# donor-rescue: "<X> donors ... rescued <Y1>, <Y2> and <Y3>" — supplying
+# X restores the impaired processes, so X increases each
+# [^;]* not [^.;]*: the inter text is already sentence-sliced, so any "."
+# inside it is a decimal ("SNP 0.1 mM") or "Fig." abbreviation
+_DONOR_RESCUE_RE = re.compile(r"^donors?\b[^;]*\brescued\b")
+# clause connectives that must never be absorbed as list filler
+_CONNECTIVES = frozenset({
+    "while", "whereas", "whilst", "although", "though", "but", "which",
+    "that", "when", "if", "because", "since", "whose", "unlike", "versus",
+    "and", "or", "not", "no",
+})
+# contrast clause whose subject inherits the PREVIOUS statement's object
+# through "it": "... increase eNOS expression while hypoxia and oxidized
+# LDL decrease it"
+_WHILE_BEFORE_RE = re.compile(r"\b(?:while|whereas|whilst)\s+$")
+_VERB_IT_RE = re.compile(r"^\s*(?:and\s+(?:[\w-]+\s+){0,3})?(\w+)\s+it\b")
+# knockout-rescue: "rescued/restored the impaired <Y> ... in <G>-/- mice"
+# — the deficit existed because G was removed, so G increases Y
+_RESCUED_IMPAIRED_RE = re.compile(
+    r"\b(?:rescued|restored)\s+the\s+"
+    r"(?:impaired|decreased|reduced|defective)\s+", re.I
+)
+# tail-anchored by-gerund whose agent is THIS pair's left mention ("<X>
+# overproduction ... by inducing <Y>"); the matrix verb's own sign is
+# irrelevant — the by-clause is the mechanism the subject performs
+_BY_GERUND_TAIL_RE = re.compile(r"\bby\s+([a-z\-]+)$")
+# characterized-by with an event delta: "<P> ..., characterized by
+# increased <A> and <B>" — the deltas are constituent events of P
+_CHAR_BY_DELTA_RE = re.compile(
+    r"characteri[sz]ed\s+by\s+(?:increased|elevated)$"
+)
+# hedged involvement resolved to direction by an infinitive of purpose:
+# "<X> are involved in signaling to mediate <Y>"
+_INVOLVED_MEDIATE_RE = re.compile(
+    # anchored at the left mention (copula + involvement directly follow
+    # it), so the rule needs no sentence-subject check
+    r"^(?:is|are|has\s+been|have\s+been)\s+(?:also\s+)?"
+    r"(?:involved|implicated)\s+in\b[^,;]*\bto\s+"
+    r"(?:mediate|promote|drive|induce|stimulate|enhance|support)\s*$"
+)
+# pair-local consequence: "<A> up-regulates ..., resulting in an
+# increase of <B>" — the result is attributed to the subject whatever
+# the matrix verb's sign
+_RESULTING_SEG_RE = re.compile(
+    r"\bresulting\s+in\s+(?:a|an|the)?\s*([a-z\-]+)\s+(?:of|in)"
+    r"(?:\s+[\w-]+){0,2}\s*$"
+)
+# nuclear efflux: "<A> caused ... efflux of <X> ... from nuclei" ->
+# A increases tloc(X, Cell Nucleus, Cytoplasm)
+_EFFLUX_OF_RE = re.compile(
+    r"\b(?:caused|induced|increased|stimulated|promoted)\b[^;]*"
+    r"\b(?:efflux|export|exit)\s+of$"
+)
+_FROM_NUCLEUS_RE = re.compile(r"\bfrom\s+(?:the\s+)?nucle")
+# exemplification-list anaphora: "some drugs (e.g. <A>, <B>, <C>) ..."
+# binds the members to the class noun; a later sentence's "Such drugs
+# therefore <verb> ... namely <objs>" predicates over the members
+_EG_PAREN_RE = re.compile(r"\(e\.g\.?[^)]*\)")
+_SUCH_VERB_RE = re.compile(
+    r"\s*such\s+\w+\s+"
+    r"(?:(?:therefore|also|thus|then|likewise|similarly)\s+)*([a-z\-]+)"
+)
+_NAMELY_RE = re.compile(r"\bnamely\b")
+_GERUND_DIR = {
+    "initiating": 1, "sustaining": 1, "maintaining": 1, "promoting": 1,
+    "enhancing": 1, "stimulating": 1, "inducing": 1, "triggering": 1,
+    "driving": 1, "increasing": 1, "mediating": 1, "supporting": 1,
+    "inhibiting": -1, "suppressing": -1, "blocking": -1, "preventing": -1,
+    "attenuating": -1, "limiting": -1, "reducing": -1, "decreasing": -1,
+    "impairing": -1,
+}
 # substrate attribution: "(known) <X> substrates" names X as the kinase
 # of whatever the block then reports as "phosphorylation of <Y> at
 # <site>" -> act(X) directlyIncreases p(Y, pmod(Ph, site))
@@ -601,11 +752,25 @@ def _merge_abbrev(ms: list[dict], text: str) -> list[dict]:
     return out
 
 
+# bare plural class nouns that read as head-of-apposition between a class
+# mention and its instances ("the antioxidant enzymes SOD1 and GPX1"): a
+# closed whitelist because without a determiner this position is exactly
+# where a 3rd-person verb would sit ("X mimics Y" must NOT group)
+_CLASS_NOUNS = frozenset({
+    "enzymes", "proteins", "genes", "factors", "kinases", "phosphatases",
+    "cytokines", "chemokines", "receptors", "molecules", "isoforms",
+    "members", "subunits", "homologs", "compounds", "hormones",
+    "antioxidants", "mediators",
+})
+
+
 @lru_cache(maxsize=8192)
 def _is_coord_sep(sep: str) -> bool:
     """True when the text between two mentions reads as list coordination:
-    pure punctuation, or an and/or with at most 3 non-verbish filler tokens
-    (parenthesized asides like "(92 kDa)" or "(30,38)" are ignored).
+    pure punctuation, an and/or with at most 3 non-verbish filler tokens
+    (parenthesized asides like "(92 kDa)" or "(30,38)" are ignored), or a
+    class-noun apposition head ("the antioxidant enzymes <A> and <B>",
+    "two potent antioxidants, the aminothiols <A> and <B>").
     Cached: _coord_group probes the same separator from both directions and
     from every member of a run."""
     stripped = _PAREN_RE.sub(" ", sep) if "(" in sep else sep
@@ -613,16 +778,35 @@ def _is_coord_sep(sep: str) -> bool:
     if not letters:
         return True  # appositive / list comma
     toks = letters.split()
+    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
     # the conjunction must LEAD the letter content ("and the shorter") —
     # a trailing/mid conjunction ("cells upon serum and") is clause text,
     # not list coordination
-    if toks[0] not in ("and", "or"):
-        return False
-    toks = toks[1:]
-    if len(toks) > 3:
-        return False
-    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
-    return all(t not in verbish for t in toks)
+    if toks[0] in ("and", "or"):
+        toks = toks[1:]
+        if len(toks) > 3:
+            return False
+        return all(t not in verbish for t in toks)
+    # class-noun apposition: a determiner followed by exactly one plural
+    # noun ("the aminothiols") — a verb cannot follow a determiner, so the
+    # grammar itself guarantees a noun; without the determiner, only the
+    # whitelisted class nouns (a bare s-token here could be a verb)
+    if toks[0] in ("the", "a", "an") and len(toks) == 2:
+        t = toks[1]
+        return (t.endswith("s") and len(t) >= 4 and t not in verbish
+                and t not in ("its", "this", "thus", "does", "was"))
+    if len(toks) == 1 and toks[0] in _CLASS_NOUNS:
+        return True
+    # a comma-bounded non-mention list item ("histamine, adenine
+    # nucleotides, arachidonic acid"): both commas present, 1-3 tokens,
+    # no determiner lead (", a chronic disease," is an appositive
+    # definition, not a skipped conjunct), nothing verbish/connective
+    s = sep.strip()
+    return (
+        s.startswith(",") and s.endswith(",") and len(toks) <= 3
+        and toks[0] not in ("the", "a", "an")
+        and all(t not in verbish and t not in _CONNECTIVES for t in toks)
+    )
 
 
 def _coord_group(ms: list[dict], idx: int, text: str, direction: int) -> list[int]:
@@ -670,6 +854,8 @@ def _render(m: dict, text: str, pmod=None, wrap: str | None = None) -> str:
     t = make_term(m["db"], m["entry_name"], pmod=pmod, func=_term_func(m, text))
     if wrap == "tloc":
         return f'tloc({t},MESHCS:Cytoplasm,MESHCS:"Cell Nucleus")'
+    if wrap == "tloc_out":  # nuclear efflux: the reverse translocation
+        return f'tloc({t},MESHCS:"Cell Nucleus",MESHCS:Cytoplasm)'
     if wrap in ("act", "tscript"):
         return f"{wrap}({t})"
     return t
@@ -697,7 +883,7 @@ def _sig(subj_m, rel, obj_m, wrap, subj_pmod, obj_pmod, tag: str = ""):
 # ---------------------------------------------------------------------------
 
 
-def _match_active(inter: str):
+def _match_active(inter: str, abbrev_tail: bool = False):
     """-> (rel, trailing_tokens) or None. Forward direction (left = agent).
     A "directly" adverb immediately before the verb upgrades the relation
     (prompt relation table: directlyIncreases/directlyDecreases).
@@ -708,6 +894,12 @@ def _match_active(inter: str):
         cytokines also trigger Y") the left conjunct shares the predicate;
       * a direction-flipping nominal in the trail ("induces a reduction in
         X", "has beneficial effects on <disease>") composes with the verb.
+
+    ``abbrev_tail``: the caller saw the object mention open with "(" right
+    after this inter text ("increases cytochrome P450 2E1 (CYP2E1)"), so
+    up to three unknown trailing tokens — the object's own long-form name
+    — are tolerated, provided none is a causal verb, preposition, or
+    direction word (a long-form NP has none of those).
     """
     toks = _tokens(inter.lower())
     if not toks:
@@ -738,6 +930,10 @@ def _match_active(inter: str):
     if i >= len(toks):
         return None
     v = toks[i]
+    # a participle directly after "of" is an adjectival modifier of the
+    # object, not the predicate ("in the case of activated aPKC...")
+    if v.endswith("ed") and i > 0 and toks[i - 1] == "of":
+        return None
     if v in _ACT_UP:
         rel = "directlyIncreases" if directly else "increases"
     elif v in _ACT_DOWN:
@@ -750,11 +946,15 @@ def _match_active(inter: str):
     trail = toks[i + 1:]
     flip = False
     nominal_seen = False
+    unknown_budget = 3 if abbrev_tail else 0
     for t in trail:
-        if t in _TRAIL_FLIP:
+        if t in _TRAIL_FLIP or t in _TRAIL_FLIP_PART:
+            # down-direction participials compose like their nominals:
+            # "causes decreased X" flips the verb's sign
             flip = True
             nominal_seen = True
-        elif t in _NOMINAL_UP:
+        elif t in _NOMINAL_UP or t in _TRAIL_UP_PART:
+            # "causes increased X" keeps the verb's sign
             nominal_seen = True
         elif t == "in":
             # "in" reads as a preposition introducing the object only after
@@ -764,6 +964,10 @@ def _match_active(inter: str):
                 return None
         elif t in _ACT_TRAIL or _is_num(t):
             pass
+        elif unknown_budget > 0 and t not in _ALL_CAUSAL_VERBS and t not in {
+            "of", "with", "from", "by", "to", "for", "on", "at", "not", "no",
+        }:
+            unknown_budget -= 1
         else:
             return None
     if flip:
@@ -1194,6 +1398,15 @@ def _match_state_in(inter: str):
     qualify — bare "expressed"/"detected in <tissue>" is a location, not
     a correlation. Every other token must be inert filler."""
     toks = _tokens(inter.lower())
+    # a leading measurement-apparatus NP stands for the subject's own
+    # transcript ("Of three Rin1 probe sets ..., one probe set (1777_at)
+    # was significantly up-regulated in adenocarcinoma")
+    while toks and toks[0] in {
+        "one", "two", "three", "each", "both", "the", "this",
+        "probe", "probes", "set", "sets", "transcript", "transcripts",
+        "mrna",
+    }:
+        toks = toks[1:]
     if len(toks) < 2 or toks[0] not in {
         "is", "are", "was", "were", "remains", "remained",
     }:
@@ -1329,15 +1542,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
     )
     ms_all = _merge_abbrev(ms_all, text)
 
-    # sentence spans
-    spans: list[tuple[int, int]] = []
-    start = 0
-    for m in _SENT_SPLIT_RE.finditer(text):
-        spans.append((start, m.start()))
-        start = m.end()
-    spans.append((start, len(text)))
+    # sentence spans (abbreviation-aware: "(Fig. 5A)," is not a boundary)
+    spans = _sentence_spans(text)
 
     state = _BlockState()
+    eg_list: list[dict] = []  # members of the last "(e.g. ...)" list
     out: list[tuple[str, str] | None] = []
     seen_sigs: set = set()
     seen_stmts: set = set()
@@ -1406,6 +1615,34 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         for db, nm in _TERM_KEY_RE.findall(stmt)
                     )
                     sym_pairs.add((names, srel))
+
+        # ---- e.g.-list anaphora: remember parenthesized exemplification
+        # members; "Such drugs therefore inhibit ... namely <objs>"
+        # predicates over them ---------------------------------------------
+        for pspan in _EG_PAREN_RE.finditer(text, s_begin, s_end):
+            inside = [m for m in ms
+                      if pspan.start() <= m["begin"]
+                      and m["end"] <= pspan.end()]
+            if inside:
+                eg_list = inside
+        sv = _SUCH_VERB_RE.match(sent_lo) if eg_list else None
+        if sv is not None:
+            v = sv.group(1)
+            rel4 = ("increases" if v in _ACT_UP
+                    else "decreases" if v in _ACT_DOWN else None)
+            if rel4 is not None:
+                vend = s_begin + sv.end(1)
+                nmly = _NAMELY_RE.search(text, vend, s_end)
+                opos = nmly.end() if nmly else vend
+                for obj_m in ms:
+                    if obj_m["begin"] < opos:
+                        continue
+                    for g in eg_list:
+                        emit(
+                            f"{_render(g, text)} {rel4} "
+                            f"{_render(obj_m, text)}",
+                            _sig(g, rel4, obj_m, None, None, None),
+                        )
 
         # ---- genetic-perturbation (knockout) inference -------------------
         ko_genes = [g for g in ms
@@ -1517,6 +1754,27 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             _sig(g, "decreases", target, "act", None, None,
                                  tag="ko"),
                         )
+            # knockout-rescue: "rescued the impaired <Y> ... in <G>-/-
+            # mice" — the deficit existed because G was removed, so G
+            # positively regulates Y
+            for rim in _RESCUED_IMPAIRED_RE.finditer(text, s_begin, s_end):
+                tgt = next(
+                    (m for m in ms if m["begin"] == rim.end()), None
+                )
+                if tgt is None:
+                    continue
+                for g in ko_genes:
+                    if (g["db"], g["id"]) == (tgt["db"], tgt["id"]) or (
+                        g["db"] != tgt["db"] and g["db"] in _GENE_NS
+                        and tgt["db"] in _GENE_NS
+                    ):
+                        continue
+                    emit(
+                        f"{_render(g, text)} increases "
+                        f"{_render(tgt, text)}",
+                        _sig(g, "increases", tgt, None, None, None,
+                             tag="ko"),
+                    )
 
         # ---- substrate attribution --------------------------------------
         # "(known) <X> substrates" names X as the kinase of whatever the
@@ -1795,6 +2053,24 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     state.last_object_m = right
                 continue
 
+            # ---- substrate-to-product reaction: "<proc> of <A> into <B>"
+            # -> rxn(reactants(A),products(B)) subProcessOf proc (the BEL
+            # reaction construction: "the glycolysis of glucose into
+            # pyruvate") ---------------------------------------------------
+            if (low_inter == "into" and i >= 1 and not same_entity
+                    and ms[i - 1]["begin"] >= s_begin
+                    and text[ms[i - 1]["end"]: left["begin"]].strip().lower()
+                    == "of"):
+                proc = _render(ms[i - 1], text)
+                if proc.startswith(("bp(", "path(")):
+                    emit(
+                        f"rxn(reactants({_render(left, text)}),"
+                        f"products({_render(right, text)})) "
+                        f"subProcessOf {proc}",
+                        _sig(left, "subProcessOf", right, "rxn", None, None),
+                    )
+                    continue
+
             # ---- cnc (checked before the negation guard: "no effect on") --
             if _CNC_RE.fullmatch(" ".join(_tokens(low_inter))):
                 idx = emit_pair(left, "causesNoChange", right)
@@ -1840,7 +2116,11 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 and _PROTECT_FROM_RE.search(low_inter)
                 and _INDUCED_AFTER_RE.match(after_right)
             ):
-                emit_pair(right, "negativeCorrelation", left)
+                # every member of the protector's coordination group (incl.
+                # a class-apposition head: "two potent antioxidants, the
+                # aminothiols <A> and <B>") correlates with the insult
+                for prot_m in l_members:
+                    emit_pair(right, "negativeCorrelation", prot_m)
                 continue
 
             # ---- fold-continuation: ", 2.4-fold by B" --------------------
@@ -1869,6 +2149,22 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
             # ---- mediated-through ----------------------------------------
             if _MEDIATED_RE.fullmatch(low_inter):
+                # "activation of <Y> (appears to be) mediated BY <X>": the
+                # left is an event nominal's patient and "by" marks a true
+                # passive agent — X drives Y with the nominal's direction.
+                # Without the nominal prefix, "X('s effects) mediated
+                # through/by Y" keeps the effector reading (X acts via Y).
+                nom = _NOMINAL_OF_PREFIX_RE.search(
+                    text, max(0, left["begin"] - 40), left["begin"]
+                ) if low_inter.endswith("by") else None
+                if nom is not None:
+                    word = nom.group(1).lower()
+                    rel = ("increases" if word in _NOMINAL_UP
+                           else "decreases" if word in _NOMINAL_DOWN
+                           else None)
+                    if rel is not None:
+                        emit_pair(right, rel, left)
+                        continue
                 wrap = (
                     "tscript"
                     if _TSCRIPT_EFFECTS_RE.search(text[: left["begin"]].lower())
@@ -1987,6 +2283,60 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         for obj_m in r_members:
                             emit_pair(subj_m, abrel, obj_m)
                     continue
+
+            # ---- possessive role gerund: "<A> ... for its role in
+            # initiating ... and sustaining <B>" — same binding rule as
+            # the ability idiom (its/their -> sentence subject); the LAST
+            # gerund before the object governs this conjunct --------------
+            rl = (_ROLE_IN_RE.search(low_inter)
+                  if "role in" in low_inter and lgroup[0] == 0
+                  else None)
+            if (rl is not None and not same_entity
+                    and not _NEG_RE.search(low_inter)):
+                gtoks = [t for t in _tokens(low_inter[rl.end():])
+                         if t in _GERUND_DIR]
+                if gtoks:
+                    rrel = ("increases" if _GERUND_DIR[gtoks[-1]] > 0
+                            else "decreases")
+                    for subj_m in l_members:
+                        for obj_m in r_members:
+                            emit_pair(subj_m, rrel, obj_m)
+                    continue
+
+            # ---- agent-noun predicate: "<X> is an essential mediator of
+            # <Y1> and <VEGF>-induced <Y2>" — direction from the agent
+            # noun; the object walk skips compound premodifiers (a member
+            # followed by "-induced <head>" modifies the head, it is not
+            # itself a conjunct) ------------------------------------------
+            an = (_AGENT_NOUN_RE.match(low_inter)
+                  if " of" in low_inter and not _NEG_RE.search(low_inter)
+                  else None)
+            if an is not None and not same_entity:
+                d = _AGENT_NOUN_DIR[an.group(1)]
+                anrel = ("increases" if d > 0
+                         else "decreases" if d < 0 else "regulates")
+                objs = []
+                j = i + 1
+                while j < len(ms):
+                    nxt = (text[ms[j]["end"]: ms[j + 1]["begin"]]
+                           if j + 1 < len(ms) else None)
+                    if nxt is not None and _PREMOD_AFTER_RE.fullmatch(nxt):
+                        j += 1  # premodifier of the next mention
+                        continue
+                    objs.append(ms[j])
+                    if nxt is None or not _is_coord_sep(nxt):
+                        break
+                    j += 1
+                for subj_m in l_members:
+                    for obj_m in objs:
+                        emit_pair(subj_m, anrel, obj_m)
+                continue
+
+            # ---- donor-rescue: "<X> donors ... rescued <Y1>, <Y2> ..." ---
+            if _DONOR_RESCUE_RE.match(low_inter) and not same_entity:
+                for obj_m in r_members:
+                    emit_pair(left, "increases", obj_m)
+                continue
 
             # ---- known-to-be-<A>-regulated appositive --------------------
             if (
@@ -2166,6 +2516,22 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 ):
                     emit_pair(subj_m, grel, right)
                     continue
+            # tail-anchored variant: the pair's own left mention is the
+            # matrix subject ("<ROS> overproduction ... by inducing <Y>");
+            # the matrix verb's sign is irrelevant — the by-clause is the
+            # mechanism the subject itself performs
+            if (bg is None and lgroup[0] == 0 and not same_entity
+                    and not _NEG_RE.search(low_inter)):
+                bgt = _BY_GERUND_TAIL_RE.search(low_inter)
+                if bgt is not None:
+                    ger = bgt.group(1)
+                    grel = ("increases" if ger in _GERUND_UP
+                            else "decreases" if ger in _GERUND_DOWN
+                            else None)
+                    if grel is not None:
+                        for obj_m in r_members:
+                            emit_pair(left, grel, obj_m)
+                        continue
 
             # ---- perturbation-prevalence: "the <loss-nominal> of X has
             # been <observed-verb> in <fraction> of <disease>" — the
@@ -2193,18 +2559,46 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # ---- hedged association idiom: "X has (also) been implicated/
             # involved in Y (and Z)" — association over both coordination
             # groups, like the active rule ---------------------------------
+            # ---- characterized-by with an event delta: "<P> ...,
+            # characterized by increased <A> and <B>" — the deltas are
+            # constituent events of the holder process, so A/B
+            # subProcessOf P (contrast: "characterized by the presence of
+            # <entity>" below reads as plain association) ------------------
+            if (not same_entity
+                    and _CHAR_BY_DELTA_RE.search(low_inter)
+                    and not _NEG_RE.search(low_inter)):
+                for obj_m in r_members:
+                    emit_pair(obj_m, "subProcessOf", left)
+                continue
+
+            # ---- hedged involvement with an infinitive of purpose:
+            # "<X> are involved in signaling to mediate <Y1>, <Y2>" — the
+            # purpose clause gives the direction the bare hedge lacks ------
+            if (not same_entity
+                    and _INVOLVED_MEDIATE_RE.match(low_inter)
+                    and not _NEG_RE.search(low_inter)):
+                for obj_m in r_members:
+                    emit_pair(left, "increases", obj_m)
+                continue
+
             arel = _retry_seg(_match_assoc, low_inter, inter_seg)
+            # "X characterized by Y": X is the topical subject the curator
+            # writes first, so this construction emits in prose order; the
+            # hedged forms below have no topical operand and emit in
+            # canonical sorted-term order
+            arel_prose_order = False
             if arel is None and not same_entity and _CHARACTERIZED_BY_RE.match(
                 " ".join(_tokens(low_inter))
             ):
                 # defining-feature co-occurrence reads as association
                 arel = "association"
+                arel_prose_order = True
             if arel is None and not same_entity:
                 # directional-state correlation, with condition chaining:
                 # "<A> is up regulated in <B> and under conditions of <C>"
                 # -> A corr B AND A corr C (the chained conditions share
                 # the matrix subject, not each other)
-                sc = _match_state_in(low_inter)
+                sc = _retry_seg(_match_state_in, low_inter, inter_seg)
                 if sc is not None:
                     objs = [right]
                     j = i + 1
@@ -2233,13 +2627,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 for subj_m in l_members:
                     for obj_m in r_members:
                         # association / signed correlations are symmetric
-                        # in BEL — emit in canonical (sorted-term) order so
-                        # the statement is a pure function of the PAIR, not
-                        # of which operand the prose mentioned first; skip
-                        # pairs the base engine already covered in ANY
-                        # order/decoration (closed-world parity)
+                        # in BEL — hedged forms emit in canonical
+                        # (sorted-term) order so the statement is a pure
+                        # function of the PAIR; constructions with a
+                        # topical operand (characterized-by) emit in prose
+                        # order, matching how curators write them. Dedup is
+                        # order-insensitive (frozenset key) either way.
                         a_m, b_m = subj_m, obj_m
-                        if _render(b_m, text) < _render(a_m, text):
+                        if not arel_prose_order and (
+                            _render(b_m, text) < _render(a_m, text)
+                        ):
                             a_m, b_m = b_m, a_m
                         key = (
                             frozenset(
@@ -2276,7 +2673,29 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         continue
 
             # ---- active verb + filler ------------------------------------
-            act = _retry_seg(_match_active, low_inter, inter_seg)
+            # an object mention opening with "(" right after the inter text
+            # is a parenthesized abbreviation whose long-form name sits in
+            # the trail ("increases cytochrome P450 2E1 (CYP2E1)")
+            _abbrev = low_inter.endswith("(")
+            act = _retry_seg(
+                lambda s: _match_active(s, abbrev_tail=_abbrev),
+                low_inter, inter_seg,
+            )
+            if act is None and low_inter.startswith(","):
+                # asyndetic list with a non-mention item before the verb:
+                # "VEGF, insulin, bFGF increase <Y>" — the pair (insulin,
+                # Y) sees ", bFGF increase"; strip up to two unknown
+                # non-verb, non-connective tokens and retry (the left
+                # coordination group still collects the mention conjuncts)
+                atoks = _tokens(low_inter)
+                k = 0
+                while (k < min(2, len(atoks) - 1)
+                       and atoks[k] not in _ALL_CAUSAL_VERBS
+                       and atoks[k] not in _ACT_LEAD
+                       and atoks[k] not in _CONNECTIVES):
+                    k += 1
+                if 0 < k < len(atoks):
+                    act = _match_active(" ".join(atoks[k:]))
             if act is None and _AND_OR_SEARCH_RE.search(low_inter):
                 # VP coordination: "has been shown to co-localize with ...
                 # and to promote <Y>" — the final conjunct's verb phrase
@@ -2318,6 +2737,62 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                                   subj_override=subj_override)
                 state.last_scn_dir = scn_dir
                 continue
+
+            # ---- ablated-subject clause chain: "The depletion of <X> ...
+            # can impair ..., which can trigger ... and <Y>" — each
+            # "which" re-binds to the preceding EVENT, so only the
+            # ablation flip and the FINAL causal verb's sign compose; the
+            # simple one-verb form is the active branch above -------------
+            if (lgroup[0] == 0 and not same_entity
+                    and "which" in low_inter
+                    and not _NEG_RE.search(low_inter)
+                    and _ABLATION_PREFIX_RE.search(
+                        text,
+                        left["begin"] - 72 if left["begin"] > 72 else 0,
+                        left["begin"])):
+                vlast = next(
+                    (t for t in reversed(_tokens(low_inter))
+                     if t in _ACT_UP or t in _ACT_DOWN), None
+                )
+                if vlast is not None:
+                    rel3 = "decreases" if vlast in _ACT_UP else "increases"
+                    for obj_m in r_members:
+                        emit_pair(left, rel3, obj_m)
+                    continue
+
+            # ---- nuclear efflux: "<A> caused ... efflux of <X> ... from
+            # nuclei" -> A increases tloc(X, Cell Nucleus, Cytoplasm) ------
+            if (not same_entity
+                    and _EFFLUX_OF_RE.search(low_inter)
+                    and _FROM_NUCLEUS_RE.search(after_right[:120])
+                    and not _NEG_RE.search(low_inter)):
+                emit_pair(left, "increases", right, wrap="tloc_out")
+                continue
+
+            # ---- resulting-consequence bound to the sentence subject:
+            # "<A> and <B> up-regulate ..., resulting in an increase of
+            # <C>" — the result is the subjects' doing whatever the matrix
+            # verb's sign (the state-chained variant above handles the
+            # case where the result's base is the previous object) --------
+            rseg = _RESULTING_SEG_RE.search(low_inter)
+            if rseg is not None and not _NEG_RE.search(low_inter):
+                nom = rseg.group(1)
+                cdir = (1 if nom in _NOMINAL_UP
+                        else -1 if nom in _NOMINAL_DOWN else 0)
+                if cdir:
+                    rrel = "increases" if cdir > 0 else "decreases"
+                    done = False
+                    for j in _coord_group(ms, 0, text, +1):
+                        subj_m = ms[j]
+                        if (subj_m["db"], subj_m["id"]) == (
+                            right["db"], right["id"]
+                        ):
+                            continue
+                        for obj_m in r_members:
+                            emit_pair(subj_m, rrel, obj_m)
+                            done = True
+                    if done:
+                        continue
 
             # ---- passive + agent (reversed) ------------------------------
             pas = _retry_seg(_match_passive, low_inter, inter_seg)
@@ -2389,6 +2864,27 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         for i, m in enumerate(ms):
             nxt_begin = ms[i + 1]["begin"] if i + 1 < len(ms) else s_end
             tail = text[m["end"]: nxt_begin]
+            # contrast-clause object anaphora: "<A...> increase <O> while
+            # <M> (and <non-mention>) <verb> it" — "it" is the object of
+            # the statement just emitted, the contrast verb gives the sign
+            if (
+                state.last_idx is not None
+                and out[state.last_idx] is not None
+                and _WHILE_BEFORE_RE.search(
+                    text, max(s_begin, m["begin"] - 16), m["begin"]
+                )
+            ):
+                tv = _VERB_IT_RE.match(tail)
+                v = tv.group(1) if tv else None
+                rel2 = ("increases" if v in _ACT_UP
+                        else "decreases" if v in _ACT_DOWN else None)
+                if rel2 is not None:
+                    stmt0, _ev0 = out[state.last_idx]
+                    sep0 = f" {state.last_rel} "
+                    if sep0 in stmt0:
+                        objterm = stmt0.split(sep0, 1)[1]
+                        emit(f"{_render(m, text)} {rel2} {objterm}")
+                        continue
             # group association on the final member of a coordination
             grp = _coord_group(ms, i, text, -1)
             if len(grp) >= 2 and grp[-1] == i and _GROUP_ASSOC_RE.match(tail):
