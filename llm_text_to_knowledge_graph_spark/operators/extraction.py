@@ -1619,7 +1619,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         # ---- e.g.-list anaphora: remember parenthesized exemplification
         # members; "Such drugs therefore inhibit ... namely <objs>"
         # predicates over them ---------------------------------------------
-        for pspan in _EG_PAREN_RE.finditer(text, s_begin, s_end):
+        for pspan in (_EG_PAREN_RE.finditer(text, s_begin, s_end)
+                      if "(e.g" in sent_lo else ()):
             inside = [m for m in ms
                       if pspan.start() <= m["begin"]
                       and m["end"] <= pspan.end()]
@@ -1757,7 +1758,9 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # knockout-rescue: "rescued the impaired <Y> ... in <G>-/-
             # mice" — the deficit existed because G was removed, so G
             # positively regulates Y
-            for rim in _RESCUED_IMPAIRED_RE.finditer(text, s_begin, s_end):
+            for rim in (_RESCUED_IMPAIRED_RE.finditer(text, s_begin, s_end)
+                        if "rescued" in sent_lo or "restored" in sent_lo
+                        else ()):
                 tgt = next(
                     (m for m in ms if m["begin"] == rim.end()), None
                 )
@@ -2522,7 +2525,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # mechanism the subject itself performs
             if (bg is None and lgroup[0] == 0 and not same_entity
                     and not _NEG_RE.search(low_inter)):
-                bgt = _BY_GERUND_TAIL_RE.search(low_inter)
+                bgt = (_BY_GERUND_TAIL_RE.search(low_inter)
+                       if "by " in low_inter else None)
                 if bgt is not None:
                     ger = bgt.group(1)
                     grel = ("increases" if ger in _GERUND_UP
@@ -2565,6 +2569,7 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # subProcessOf P (contrast: "characterized by the presence of
             # <entity>" below reads as plain association) ------------------
             if (not same_entity
+                    and "characteri" in low_inter
                     and _CHAR_BY_DELTA_RE.search(low_inter)
                     and not _NEG_RE.search(low_inter)):
                 for obj_m in r_members:
@@ -2763,6 +2768,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # ---- nuclear efflux: "<A> caused ... efflux of <X> ... from
             # nuclei" -> A increases tloc(X, Cell Nucleus, Cytoplasm) ------
             if (not same_entity
+                    and ("efflux" in low_inter or "export" in low_inter
+                         or "exit" in low_inter)
                     and _EFFLUX_OF_RE.search(low_inter)
                     and _FROM_NUCLEUS_RE.search(after_right[:120])
                     and not _NEG_RE.search(low_inter)):
@@ -2774,7 +2781,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # <C>" — the result is the subjects' doing whatever the matrix
             # verb's sign (the state-chained variant above handles the
             # case where the result's base is the previous object) --------
-            rseg = _RESULTING_SEG_RE.search(low_inter)
+            rseg = (_RESULTING_SEG_RE.search(low_inter)
+                    if "resulting" in low_inter else None)
             if rseg is not None and not _NEG_RE.search(low_inter):
                 nom = rseg.group(1)
                 cdir = (1 if nom in _NOMINAL_UP
