@@ -216,18 +216,11 @@ _PASSIVE_APPOS = {
 _ABSENCE_TAIL = ("in", "the", "absence", "of")
 # prefix cue that flips an active verb's direction: "ablation of <X>
 # abolished <Y>" means X POSITIVELY regulates Y
-_ABLATION_PREFIX_RE = re.compile(
-    r"(?:(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of"
-    # a closed list of compartment/state modifiers may sit between "of"
-    # and the mention ("depletion of mitochondrial glutathione")
-    r"(?:\s+(?:mitochondrial|cellular|endogenous|functional|nuclear"
-    r"|cytosolic|hepatic|total))*"
-    r"|lacking(?:\s+functional)?"
-    # "the dominant negative <X> inhibits <Y>": a loss-of-function
-    # construct, so the observed direction flips exactly like a knockout
-    r"|dominant[-\s]negative)\s+$",
-    re.I,
-)
+# canonical definition lives in operators/statements.py (the base
+# sentence engine applies the same flip, so the two engines can never
+# emit opposite signs for one sentence); re-exported here for the block
+# engine's branches
+from .statements import _ABLATION_PREFIX_RE  # noqa: E402,F401
 _SITE_TOKEN_RE = re.compile(r"^(ser|thr|tyr|lys|arg)(\d+)(?:/.*)?$")
 # --- genetic-perturbation (knockout) inference vocabulary ------------------
 # context: "<G>−/− cells", "<G> knockouts", "<G> null", "<G>-deficient" —

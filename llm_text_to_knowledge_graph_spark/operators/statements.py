@@ -37,6 +37,21 @@ from ..schemas import STATEMENT
 import re
 
 _PHRASE_TO_REL = {p: r for p, r in RELATION_PHRASES}
+# loss-of-function subject prefix flips the observed direction: "ablation
+# of <X> abolished <Y>" means X positively regulates Y. Canonical home of
+# the rule — the block engine (operators/extraction.py) imports it so the
+# two engines can never emit opposite signs for the same sentence.
+_ABLATION_PREFIX_RE = re.compile(
+    r"(?:(?:ablation|loss|knockout|deletion|depletion|silencing)\s+of"
+    r"(?:\s+(?:mitochondrial|cellular|endogenous|functional|nuclear"
+    r"|cytosolic|hepatic|total))*"
+    r"|lacking(?:\s+functional)?"
+    r"|dominant[-\s]negative)\s+$",
+    re.I,
+)
+_REL_FLIP = {"increases": "decreases", "decreases": "increases",
+             "directlyIncreases": "directlyDecreases",
+             "directlyDecreases": "directlyIncreases"}
 # str.startswith takes a tuple — one C call replaces a per-cue genexpr that
 # profiled at ~12% of the extraction hot loop
 _NEGATION_CUES_T = tuple(NEGATION_CUES)
@@ -159,6 +174,15 @@ def extract_parts_from_sentence(
             parts = (agent, rel, target)
         elif inter in phrase_map:
             rel = phrase_map[inter]
+            # "ablation/loss/depletion of <X> abolished <Y>", "the
+            # dominant negative <X> inhibits <Y>": loss-of-function
+            # subject, so the observed direction flips (same rule as the
+            # block engine's active branch — without this the two engines
+            # would emit opposite signs for the same sentence)
+            if _ABLATION_PREFIX_RE.search(
+                sentence, lb - 72 if lb > 72 else 0, lb
+            ):
+                rel = _REL_FLIP.get(rel, rel)
             obj = make_term(right["db"], right["entry_name"])
             parts = (subj, rel, obj)
         elif inter == "by":

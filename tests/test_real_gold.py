@@ -861,3 +861,131 @@ def test_selventa_lexicon_deterministic():
     b = selventa_lexicon()
     assert a == b
     assert len(a) > 800
+
+
+def test_r4e_idioms_general():
+    """r4e pattern-gap-closure idioms on fresh vocabulary, with negation
+    and role controls (same discipline as the r4b/r4c generality tests)."""
+    # agent-noun predicate, directions + negation control
+    assert set(_extract("AAA is an essential mediator of BBB and CCC.")) == {
+        "p(HGNC:AAA) increases p(HGNC:BBB)",
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+    }
+    assert _extract("AAA is a potent inhibitor of BBB.") == [
+        "p(HGNC:AAA) decreases p(HGNC:BBB)"
+    ]
+    assert _extract("AAA is not a mediator of BBB.") == []
+    # compound premodifier is NOT a conjunct of the agent-noun's object
+    # list (no "AAA increases BBB"); the premodifier rule itself still
+    # correctly asserts BBB increases CCC
+    assert set(_extract("AAA is a key driver of BBB -induced CCC.")) == {
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+        "p(HGNC:BBB) increases p(HGNC:CCC)",
+    }
+
+    # possessive-role gerund (each conjunct's gerund governs it)
+    got = _extract(
+        "AAA is unique for its role in initiating BBB and sustaining CCC."
+    )
+    assert set(got) == {
+        "p(HGNC:AAA) increases p(HGNC:BBB)",
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+    }
+    assert _extract("AAA is studied for its role in blocking BBB.") == [
+        "p(HGNC:AAA) decreases p(HGNC:BBB)"
+    ]
+
+    # donor-rescue over the object coordination group
+    assert set(_extract(
+        "AAA donors markedly rescued BBB and CCC in treated cells."
+    )) == {
+        "p(HGNC:AAA) increases p(HGNC:BBB)",
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+    }
+
+    # "mediated BY <agent>" behind an event nominal reads as a passive
+    # (the old effector reading emitted the reversed statement) ...
+    assert _extract("Rapid activation of AAA appears to be mediated by DDD.") == [
+        "a(CHEBI:ddd) increases p(HGNC:AAA)"
+    ]
+    # ... while the effector reading (no nominal prefix) is unchanged
+    assert _extract("AAA exerts its effects mediated through BBB.") == [
+        "p(HGNC:AAA) increases act(p(HGNC:BBB))"
+    ]
+
+    # e.g.-list anaphora across sentences
+    assert set(_extract(
+        "Some drugs (e.g. AAA, BBB) block the transfer protein. "
+        "Such drugs therefore inhibit CCC."
+    )) == {
+        "p(HGNC:AAA) decreases p(HGNC:CCC)",
+        "p(HGNC:BBB) decreases p(HGNC:CCC)",
+    }
+
+    # substrate-to-product reaction under a process head
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        extract_from_block,
+    )
+
+    lex2 = _AB_LEX + [("EEE", "GOBP", "5", "EEE", 1.0)]
+    got = [s for s, _ in extract_from_block(
+        "The EEE of AAA into BBB is rapid.", _ments_for(
+            "The EEE of AAA into BBB is rapid.", lex2))]
+    assert got == [
+        "rxn(reactants(p(HGNC:AAA)),products(p(HGNC:BBB))) "
+        "subProcessOf bp(GOBP:EEE)"
+    ]
+
+    # nuclear efflux -> reverse translocation
+    assert _extract(
+        "AAA caused a rapid efflux of BBB (n=9) from nuclei in fibers."
+    ) == [
+        'p(HGNC:AAA) increases '
+        'tloc(p(HGNC:BBB),MESHCS:"Cell Nucleus",MESHCS:Cytoplasm)'
+    ]
+
+    # ablated-subject clause chain: ablation flip + FINAL verb's sign
+    got = _extract(
+        "The depletion of cellular DDD can impair the defenses, which "
+        "can trigger BBB and CCC."
+    )
+    assert set(got) == {
+        "a(CHEBI:ddd) decreases p(HGNC:BBB)",
+        "a(CHEBI:ddd) decreases p(HGNC:CCC)",
+    }
+
+    # dominant-negative is a loss-of-function flip
+    assert _extract("The dominant negative AAA inhibits BBB production.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
+
+    # contrast-clause object anaphora ("it" = previous object)
+    got = _extract(
+        "AAA and BBB increase CCC expression while DDD decreases it."
+    )
+    assert "a(CHEBI:ddd) decreases p(HGNC:CCC)" in got
+
+    # asyndetic subject list with a non-mention item; connectives block
+    got = _extract("AAA, BBB, XYZ increase CCC levels.")
+    assert set(got) == {
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+        "p(HGNC:BBB) increases p(HGNC:CCC)",
+    }
+    assert _extract("AAA, while XYZ increases CCC.") == []
+
+    # parenthesized-abbreviation long form in the trail; without the
+    # paren cue unknown trail tokens still refuse
+    assert _extract("AAA increases brain enzyme X9 (BBB) levels.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
+    assert _extract("AAA increases death of cells treated with BBB.") == []
+
+    # sentence-subject resulting-consequence (sign from the nominal)
+    got = _extract(
+        "AAA and BBB elevate stress responses, resulting in an "
+        "increase of CCC content."
+    )
+    assert set(got) == {
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+        "p(HGNC:BBB) increases p(HGNC:CCC)",
+    }
