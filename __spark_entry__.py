@@ -914,6 +914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ] + [
             (f"miss:{cat}", n, 0, 0, 0.0, 0.0)
             for cat, n in sorted(r["audit"].items())
+        ] + [
+            # precision-side mirror (r4e): every unmatched PREDICTION
+            # mechanically attributed (nested-gold flattening, cross-
+            # block duplicates, namespace/family variants, class-vs-
+            # member, or honestly no_gold_recorded)
+            (f"fp:{cat}", n, 0, 0, 0.0, 0.0)
+            for cat, n in sorted(r["fp_audit"].items())
         ]
         return spark.createDataFrame(
             rows,

@@ -621,4 +621,107 @@ def run_selventa_corpus_eval() -> dict:
         )
         counts[cat] = counts.get(cat, 0) + 1
     result["audit"] = counts
+    golds_by_key = {b["key"]: b["gold"] for b in blocks}
+    parsed_by_key = {
+        b["key"]: [parse_statement(g) for g in b["gold"]] for b in blocks
+    }
+    fp_counts: dict[str, int] = {}
+    for r in result["rows"]:
+        if r["match_type"] != "pred_only":
+            continue
+        cat = categorize_fp(
+            r["pred_statement"], r["key"], golds_by_key, parsed_by_key
+        )
+        fp_counts[cat] = fp_counts.get(cat, 0) + 1
+    result["fp_audit"] = fp_counts
     return result
+
+
+def _fp_names(ents) -> set[str]:
+    return {e.split(":", 1)[-1].strip('"').lower() for e in ents}
+
+
+def _fp_name_match(a: str, b: str) -> bool:
+    """Prefix-tolerant entity-name equivalence for FP attribution:
+    "vegfa" ~ "vegf family", "akt1" ~ "akt" — the family/species
+    decorations a single-namespace dictionary cannot reproduce."""
+    if len(a) < 3 or len(b) < 3:
+        return a == b
+    return a == b or a.startswith(b) or b.startswith(a)
+
+
+def _fp_set_match(pn: set[str], gn: set[str]) -> bool:
+    return all(
+        any(_fp_name_match(p, g) or any(_fp_name_match(p, w)
+                                        for w in g.split())
+            for g in gn)
+        for p in pn
+    )
+
+
+def categorize_fp(
+    pred: str,
+    key: str,
+    golds_by_key: dict[str, list],
+    parsed_by_key: dict[str, list],
+) -> str:
+    """Mechanical (code, not judgment) category for an unmatched
+    PREDICTION — the precision-side mirror of :func:`categorize_miss`:
+
+    - nested_gold: a same-block nested gold (>=2 relation words) names
+      every entity of the pred — the pred is the flat projection of a
+      curation the pinned scorer cannot match ("LRIG1 decreases EGF" vs
+      "LRIG1 decreases (EGF increases proliferation)").
+    - cross_block_gold: the pred matches (pinned scorer >=0.5) a gold
+      recorded on ANOTHER evidence block — the relation is true in the
+      corpus, written on different evidence.
+    - namespace_variant / cross_block_namespace: a gold with the same
+      relation and the same entity names modulo namespace/family
+      decoration (MGI:Akt1 vs HGNC:AKT1, SFAM:"INS Family" vs HGNC:INS)
+      exists in this block / another block — the declared
+      single-namespace-dictionary bound.
+    - class_member: a same-block gold shares subject and relation; the
+      objects differ as class vs members (a(CHEBI:antioxidant) vs the
+      specific enzymes).
+    - no_gold_recorded: none of the above — a surface relation the
+      curator simply did not record.
+    """
+    from .bel_eval import match_score, parse_statement
+
+    pp = parse_statement(pred)
+    ps = _fp_names(pp["subj_entities"])
+    po = _fp_names(pp["obj_entities"] or set())
+    for g in golds_by_key[key]:
+        if _count_rel_words(g) >= 2:
+            toks = set(
+                g.lower().replace("(", " ").replace(")", " ")
+                .replace(",", " ").replace('"', " ").split()
+            )
+            if (all(any(_fp_name_match(p, t) for t in toks) for p in ps)
+                    and all(any(_fp_name_match(p, t) for t in toks)
+                            for p in po)):
+                return "nested_gold"
+    for k2, gps in parsed_by_key.items():
+        if k2 == key:
+            continue
+        for gp in gps:
+            if match_score(pp, gp) >= 0.5:
+                return "cross_block_gold"
+    for k2, gps in parsed_by_key.items():
+        for gp in gps:
+            if gp["rel"] is None:
+                continue
+            gs = _fp_names(gp["subj_entities"])
+            go = _fp_names(gp["obj_entities"] or set())
+            if not (gs and go):
+                continue
+            if _fp_set_match(ps, gs) and _fp_set_match(po, go):
+                return ("namespace_variant" if k2 == key
+                        else "cross_block_namespace")
+    for g in golds_by_key[key]:
+        gp = parse_statement(g)
+        if gp["rel"] == pp["rel"] and _fp_set_match(
+            ps, _fp_names(gp["subj_entities"])
+        ):
+            return "class_member"
+    return "no_gold_recorded"

@@ -846,6 +846,20 @@ def test_selventa_corpus_pinned():
         "relationless_gold": 125,
         "duplicate_gold": 4,
     }
+    # precision-side mirror: every unmatched prediction mechanically
+    # attributed. 43/56 trace to a recorded gold (nested flattening,
+    # cross-block duplicates, namespace/family variants, class-vs-
+    # member); the 13 no_gold_recorded are content-correct surface
+    # relations the curators did not record ("wortmannin decreases
+    # Akt", "EGF increases cell proliferation").
+    assert r["fp_audit"] == {
+        "nested_gold": 6,
+        "cross_block_gold": 9,
+        "cross_block_namespace": 10,
+        "namespace_variant": 11,
+        "class_member": 7,
+        "no_gold_recorded": 13,
+    }
 
 
 @needs_reference
