@@ -87,14 +87,19 @@ def _loadavg() -> float:
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
-def _busy_jiffies() -> tuple[int, int]:
-    """Machine-wide (non-idle, iowait) jiffies. Non-idle is
+def _busy_jiffies() -> tuple[int, int, int]:
+    """Machine-wide (non-idle, iowait, steal) jiffies. Non-idle is
     user+nice+system+irq+softirq+steal; iowait is separate — a query that
     is slow while busy_cores is low and iowait_cores is high stalled on
-    the shared disk (neighbor I/O pressure), not on CPU."""
+    the shared disk (neighbor I/O pressure), not on CPU. Steal (field 8)
+    is the hypervisor channel: on this Firecracker microVM it is the ONLY
+    way neighbor-sandbox CPU can appear inside a timed window, so it is
+    the starvation signal (the r4 scaling work showed loadavg-vs-busy
+    comparisons misfire — the 1-min EMA carries the bench's own earlier
+    queries into short windows)."""
     with open("/proc/stat") as f:
         p = f.readline().split()[1:]
-    return sum(int(x) for x in p[:3] + p[5:8]), int(p[4])
+    return sum(int(x) for x in p[:3] + p[5:8]), int(p[4]), int(p[7])
 
 
 def _tree_jiffies() -> int:
@@ -146,19 +151,22 @@ def main() -> int:
 
     def timed(name: str, thunk):
         la0 = _loadavg()
-        (b0, w0), o0 = _busy_jiffies(), _tree_jiffies()
+        (b0, w0, s0), o0 = _busy_jiffies(), _tree_jiffies()
         t0 = time.monotonic()
         out = thunk()
         dt = time.monotonic() - t0
-        b1, w1 = _busy_jiffies()
+        b1, w1, s1 = _busy_jiffies()
         busy = (b1 - b0) / _CLK_TCK / max(dt, 1e-9)
         iow = (w1 - w0) / _CLK_TCK / max(dt, 1e-9)
+        steal = (s1 - s0) / _CLK_TCK / max(dt, 1e-9)
         own = (_tree_jiffies() - o0) / _CLK_TCK / max(dt, 1e-9)
         timings[name] = round(dt, 3)
         # [load_before, load_after, busy_cores, own_cores, neighbor_cores,
-        # iowait_cores]: busy/own/iowait integrate EXACTLY over this query's
-        # window (vs the 1-min loadavg EMA), so a slow query is attributable:
-        # neighbor = busy - own -> neighbor CPU; high iowait with low busy ->
+        # iowait_cores, steal_cores]: busy/own/iowait/steal integrate
+        # EXACTLY over this query's window (vs the 1-min loadavg EMA), so a
+        # slow query is attributable: steal -> hypervisor-level neighbor
+        # pressure (the only neighbor channel on this microVM); busy - own
+        # -> CPU of OUR other processes; high iowait with low busy ->
         # shared-disk stall. (Negative own can appear when a pooled Python
         # worker dies mid-window and its jiffies leave the tree — treat as 0.)
         loads[name] = [
@@ -168,6 +176,7 @@ def main() -> int:
             round(own, 2),
             round(max(0.0, busy - own), 2),
             round(iow, 2),
+            round(steal, 2),
         ]
         return out, dt
 
@@ -655,9 +664,16 @@ def main() -> int:
     # only the leading edge and must not flag the sub-second queries after
     # it.
     def _noisy(loadrec: dict[str, list]) -> list[str]:
+        # steal is the starvation signal (see _busy_jiffies). The old
+        # loadavg-minus-busy rule flagged ~half the suite on a QUIET box:
+        # the 1-min EMA carries the bench's own earlier heavy queries
+        # into the next short query's window, so "load >> busy" mostly
+        # measured the bench's own history, not starvation. Records with
+        # 7 fields use steal; legacy 6-field records keep the old rule.
         return sorted(
             n for n, la in loadrec.items()
-            if len(la) >= 6 and min(la[0], la[1]) - la[2] > 4.0
+            if (la[6] > 1.0 if len(la) >= 7
+                else len(la) >= 6 and min(la[0], la[1]) - la[2] > 4.0)
         )
 
     total = round(sum(warm_timings.values()), 3)
