@@ -513,10 +513,15 @@ def selventa_lexicon() -> list:
             # mouse/prose spelling; pure-alpha acronyms are skipped ("NO"
             # -> "No" would collide with the English word)
             if len(name) >= 4 and any(ch.isdigit() for ch in name):
-                v = name[0] + name[1:].lower()
-                if v != name and v not in seen_aliases:
-                    seen_aliases.add(v)
-                    variants.append((v, ns, name, name, float(c)))
+                vs = {name[0] + name[1:].lower()}
+                # hyphen twin: "IRAK1" appears in prose as "IRAK-1"
+                k = next(i for i, ch in enumerate(name) if ch.isdigit())
+                if k > 0 and name[k - 1].isalpha():
+                    vs.add(name[:k] + "-" + name[k:])
+                for v in vs:
+                    if v != name and v not in seen_aliases:
+                        seen_aliases.add(v)
+                        variants.append((v, ns, name, name, float(c)))
             continue
         # full lower, first-char upper (sentence-initial), and first-char
         # lower ("Calyculin A" -> "calyculin A": prose de-capitalizes the
@@ -527,6 +532,19 @@ def selventa_lexicon() -> list:
             # mixed-case gene symbols ("Hdac5") also appear fully
             # upper-cased in prose ("HDAC5-GFP")
             cased.add(name.upper())
+            # camel twin: prose uppercases the letter before the digit
+            # ("Foxo1" -> "FoxO1")
+            k = next(i for i, ch in enumerate(name) if ch.isdigit())
+            if k > 0 and name[k - 1].isalpha():
+                cased.add(name[:k - 1] + name[k - 1].upper() + name[k:])
+            # hyphen twin: prose hyphenates before the numeral
+            # ("IRAK1" -> "IRAK-1")
+            for base in list(cased | {name}):
+                kk = next(
+                    (i for i, ch in enumerate(base) if ch.isdigit()), None
+                )
+                if kk and base[kk - 1].isalpha():
+                    cased.add(base[:kk] + "-" + base[kk:])
         if name.lower().startswith("cell "):
             # Latinate adjective alternation: "cell migration" appears in
             # prose as "cellular migration"

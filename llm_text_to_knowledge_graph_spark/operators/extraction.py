@@ -99,6 +99,8 @@ _ACT_UP = {
     "augmented", "facilitates", "facilitated", "facilitate",
     "overexpress", "overexpresses", "overexpressed",
     "causes", "caused", "cause",
+    "transactivates", "transactivated", "transactivate",
+    "results", "resulted",
 }
 _ACT_DOWN = {
     "inhibits", "inhibited", "inhibit", "suppresses", "suppressed", "suppress",
@@ -136,10 +138,12 @@ _NOMINAL_UP = {"induction", "activation", "up-regulation", "upregulation",
                "stimulation", "increase", "elevation", "enhancement",
                "overproduction", "overexpression"}
 _NOMINAL_DOWN = {"inhibition", "suppression", "down-regulation",
-                 "downregulation", "decrease", "reduction", "repression"}
+                 "downregulation", "decrease", "reduction", "repression",
+                 "attenuation", "loss"}
 # nominals that imply a modification on the target
 _NOMINAL_PMOD = {
     "phosphorylation": ("directlyIncreases", "Ph"),
+    "hyperphosphorylation": ("directlyIncreases", "Ph"),
     "dephosphorylation": ("directlyDecreases", "Ph"),
     "acetylation": ("directlyIncreases", "Ac"),
     "methylation": ("directlyIncreases", "Me"),
@@ -210,6 +214,9 @@ _PASSIVE_APPOS = {
     "stimuli", "agents", "such", "as", "the", "a", "an", "type", "types",
     "of", "various", "several", "wide", "variety", "compounds",
     "substances", "mediators", "including",
+    # concentration units before the agent ("reduced by 0.25 \u03bcM
+    # gefitinib")
+    "\u03bcm", "\u00b5m", "nm",
 }
 # "<verb>ed in the absence of <Y>" — agent marker with a direction FLIP
 # (the clause describes what happens WITHOUT the agent)
@@ -280,7 +287,10 @@ _PHOSPHO_OF_RE = re.compile(r"(?:^|[^a-z])phosphorylation\s+of\b")
 # leaves the "-induced" inter text for the compound rule. Callers run this
 # BEFORE matcher.find so mention offsets and pattern text agree.
 _COMPOUND_SPLIT_RE = re.compile(
-    r"(?<=\w)(?=[-−–](?:induced|mediated|triggered|stimulated|activated|"
+    # \s? : source formatting sometimes puts the space AFTER the hyphen
+    # ("CXCR4- induced"), which equally hides the mention from the
+    # [\w-]-boundary matcher
+    r"(?<=\w)(?=[-−–]\s?(?:induced|mediated|triggered|stimulated|activated|"
     r"suppressed|inhibited|dependent|deficient|null)\b"
     # ASCII knockout marker "<G>-/-": the hyphen is a word char in the
     # matcher's [\w-] boundary class, so without the split the gene
@@ -314,7 +324,9 @@ _NOMINAL_MID = {
     "message", "mrna", "at", "and", "h", "min", "levels", "level",
     "expression", "protein", "transcript",
 }
-_AGENT_MARKERS = {"by", "after", "following", "upon"}
+# "in_response_to" is the collapsed trigram "in response to" ("JAK1 and
+# JAK2 are activated in response to IL-6, CNTF and LIF")
+_AGENT_MARKERS = {"by", "after", "following", "upon", "in_response_to"}
 
 _SITE_RE = re.compile(
     r"^[\s]*(?:on|at)\s+"
@@ -628,6 +640,45 @@ _SUCH_VERB_RE = re.compile(
     r"(?:(?:therefore|also|thus|then|likewise|similarly)\s+)*([a-z\-]+)"
 )
 _NAMELY_RE = re.compile(r"\bnamely\b")
+# causal attribution to a loss: "<Y>(-induced) (cell-surface) expression
+# due to the loss of <X>" -> X decreases the (up-)event of Y
+_DUE_TO_LOSS_RE = re.compile(
+    r"\bdue\s+to\s+the\s+loss\s+of$"
+)
+# "<Y> ... increases ... following <nominal> of <X>": the agent arrives
+# as a trailing event nominal; direction = verb sign x nominal sign
+_FOLLOWING_NOMINAL_RE = re.compile(
+    r"\b(increases?|increased|decreases?|decreased|rises?|rose|falls?|"
+    r"fell)\b[^;]*\bfollowing\s+([a-z\-]+)\s+of$"
+)
+# contrast exclusion: "<A>, but not <B>, <verb> <Y>" — B gets
+# causesNoChange while A takes the verb
+_BUT_NOT_SEP_RE = re.compile(r"^,?\s*but\s+not\s*,?$")
+# "<Y> ... is a direct target for <X>" -> X directlyIncreases Y
+_DIRECT_TARGET_RE = re.compile(
+    r"^(?:is|are)\s+a\s+direct\s+target\s+(?:for|of)$"
+)
+# targeting-therapy exemplification: "Therapies that target <Y>, such as
+# <X>, are effective" -> X decreases Y
+_TARGETS_BEFORE_RE = re.compile(r"\btargets?\s+(?:the\s+)?$")
+_SUCH_AS_SEP_RE = re.compile(r"^[\s,()]*such\s+as[\s,()]*$")
+# "Both kinases were able to phosphorylate <Y1>, <Y2> ...": anaphoric
+# dual subject over the two most recent distinct protein mentions
+_BOTH_ABLE_RE = re.compile(
+    r"\s*both\s+\w+\s+(?:were|are|was|is)\s+able\s+to\s+([a-z]+)"
+)
+_INFINITIVE_PMOD = {
+    "phosphorylate": ("directlyIncreases", "Ph"),
+    "dephosphorylate": ("directlyDecreases", "Ph"),
+    "acetylate": ("directlyIncreases", "Ac"),
+    "methylate": ("directlyIncreases", "Me"),
+    "ubiquitinate": ("directlyIncreases", "Ub"),
+}
+# premodifier with an event nominal: "<X> -mediated activation of the
+# <Y> (gene promoter)" -> X rel Y by the nominal's direction
+_MEDIATED_NOMINAL_RE = re.compile(
+    r"^[-−–]\s?mediated\s+([a-z\-]+)\s+of(?:\s+the)?$"
+)
 _GERUND_DIR = {
     "initiating": 1, "sustaining": 1, "maintaining": 1, "promoting": 1,
     "enhancing": 1, "stimulating": 1, "inducing": 1, "triggering": 1,
@@ -849,7 +900,7 @@ def _render(m: dict, text: str, pmod=None, wrap: str | None = None) -> str:
         return f'tloc({t},MESHCS:Cytoplasm,MESHCS:"Cell Nucleus")'
     if wrap == "tloc_out":  # nuclear efflux: the reverse translocation
         return f'tloc({t},MESHCS:"Cell Nucleus",MESHCS:Cytoplasm)'
-    if wrap in ("act", "tscript"):
+    if wrap in ("act", "tscript", "surf"):
         return f"{wrap}({t})"
     return t
 
@@ -981,6 +1032,20 @@ def _match_passive(inter: str):
     absence = len(toks) >= 4 and tuple(toks[-4:]) == _ABSENCE_TAIL
     if toks[0] in {"on", "in"} or (toks[0] == "at" and not absence):
         return None  # site/location context guard
+    # leading coordination remnant with a non-mention conjunct ("<JAK2>
+    # and Tky-2 are activated ..."): skip "and" plus up to two unknown
+    # non-verb tokens — the left coordination group still collects the
+    # mention conjuncts
+    if toks[0] == "and":
+        k = 1
+        while (k < min(3, len(toks) - 1)
+               and toks[k] not in _PASSIVE_LEAD
+               and toks[k] not in _ALL_CAUSAL_VERBS
+               and toks[k] not in _CONNECTIVES
+               and toks[k] not in {"is", "are", "was", "were"}):
+            k += 1
+        if k < len(toks) and toks[k] in {"is", "are", "was", "were"}:
+            toks = toks[k:]
     i = 0
     pmod = None
     while i < len(toks):
@@ -1037,6 +1102,11 @@ def _match_passive(inter: str):
     while rest and (rest[-1] in {"of", "h", "min", "treatment", "pretreatment"}
                     or _is_num(rest[-1])):
         rest.pop()
+    # collapse the "in response to" trigram into one marker token
+    for j in range(len(rest) - 2):
+        if rest[j: j + 3] == ["in", "response", "to"]:
+            rest = rest[:j] + ["in_response_to"] + rest[j + 3:]
+            break
     # the marker may be followed by an appositive noun phrase introducing
     # the agent list ("induced by different growth factors such as A and B")
     marker_idx = None
@@ -1047,11 +1117,25 @@ def _match_passive(inter: str):
     if marker_idx is None:
         return None
     for t in rest[:marker_idx]:
-        if t not in _PASSIVE_MID and not _is_num(t):
+        # coordinated passive predicates ("are activated and are
+        # tyrosine-phosphorylated in response to ...") are compatible
+        # mid-fillers — the first participle already fixed the sign
+        if (t not in _PASSIVE_MID and not _is_num(t)
+                and t not in _PASSIVE_UP and t not in _PASSIVE_DOWN
+                and not t.endswith("phosphorylated")
+                and t not in {"is", "are", "was", "were"}):
             return None
+    unknown_budget = 2
     for t in rest[marker_idx + 1:]:
-        if t not in _PASSIVE_APPOS and not _is_num(t):
-            return None
+        if t in _PASSIVE_APPOS or _is_num(t):
+            continue
+        # a non-mention member of the agent list ("... in response to
+        # IL-6, <CNTF> ...") — tolerate a couple, nothing verbish
+        if (unknown_budget > 0 and t not in _ALL_CAUSAL_VERBS
+                and t not in _CONNECTIVES):
+            unknown_budget -= 1
+            continue
+        return None
     return rel, rest[marker_idx], pmod
 
 
@@ -2728,6 +2812,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     subj_list = l_members
                 else:
                     subj_list = [left]
+                # contrast exclusion: "<A>, but not <B>, <verb> <Y>" —
+                # the verb belongs to A; B explicitly does NOT change Y
+                if (subj_override is None and i >= 1
+                        and lgroup[0] == i
+                        and _BUT_NOT_SEP_RE.fullmatch(
+                            text[ms[i - 1]["end"]: left["begin"]].strip()
+                        )):
+                    subj_list = [ms[i - 1]]
+                    for obj_m in r_members:
+                        emit_pair(left, "causesNoChange", obj_m)
                 for subj_m in subj_list:
                     for obj_m in r_members:
                         emit_pair(subj_m, rel, obj_m, wrap=wrap,
@@ -2756,6 +2850,84 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     rel3 = "decreases" if vlast in _ACT_UP else "increases"
                     for obj_m in r_members:
                         emit_pair(left, rel3, obj_m)
+                    continue
+
+            # ---- loss attribution: "<Y>(-induced) (cell-surface)
+            # expression due to the loss of <X>" — the event exists
+            # because X is GONE, so X regulates it with the flipped sign -
+            if ("due to" in low_inter and not same_entity
+                    and _DUE_TO_LOSS_RE.search(low_inter)
+                    and not _NEG_RE.search(low_inter)):
+                ltoks = _tokens(low_inter)
+                edir = 0
+                for t in ltoks:
+                    if t in _PASSIVE_UP or t in _NOMINAL_UP:
+                        edir = 1
+                    elif t in _PASSIVE_DOWN or t in _NOMINAL_DOWN:
+                        edir = -1
+                if edir:
+                    emit_pair(
+                        right,
+                        "decreases" if edir > 0 else "increases",
+                        left,
+                        wrap="surf" if "surface" in low_inter else None,
+                    )
+                    continue
+
+            # ---- trailing agent nominal: "<Y> ... increases by a factor
+            # of N following activation of <X>" — direction is the verb's
+            # sign composed with the nominal's; activation wraps act(X) --
+            fn = (_FOLLOWING_NOMINAL_RE.search(low_inter)
+                  if "following" in low_inter else None)
+            if fn is not None and not same_entity and not _NEG_RE.search(
+                low_inter
+            ):
+                vsign = (1 if fn.group(1).startswith(("incr", "ris", "rose"))
+                         else -1)
+                nom = fn.group(2)
+                nsign = (1 if nom in _NOMINAL_UP
+                         else -1 if nom in _NOMINAL_DOWN else 0)
+                if nsign:
+                    rel5 = "increases" if vsign * nsign > 0 else "decreases"
+                    subj_override = (f"act({_render(right, text)})"
+                                     if nom == "activation" else None)
+                    emit_pair(right, rel5, left,
+                              subj_override=subj_override)
+                    continue
+
+            # ---- targeting therapy: "Therapies that target <Y>, such as
+            # <X>" -> X decreases Y ----------------------------------------
+            if ("such as" in low_inter and not same_entity
+                    and _SUCH_AS_SEP_RE.fullmatch(low_inter)
+                    and _TARGETS_BEFORE_RE.search(
+                        text,
+                        left["begin"] - 32 if left["begin"] > 32 else 0,
+                        left["begin"])):
+                for agent_m in r_members:
+                    emit_pair(agent_m, "decreases", left)
+                continue
+
+            # ---- "<X> -mediated activation of the <Y> promoter": the
+            # premodifier names the agent, the nominal the direction ------
+            if ("mediated" in low_inter and not same_entity):
+                mn = _MEDIATED_NOMINAL_RE.match(low_inter)
+                if mn is not None:
+                    nom = mn.group(1)
+                    mrel = ("increases" if nom in _NOMINAL_UP
+                            else "decreases" if nom in _NOMINAL_DOWN
+                            else None)
+                    if mrel is not None:
+                        for obj_m in r_members:
+                            emit_pair(left, mrel, obj_m)
+                        continue
+
+            # ---- "<Y> ... is a direct target for <X>" ---------------------
+            if "direct target" in low_inter and not same_entity:
+                cand = [" ".join(_tokens(low_inter))]
+                if inter_seg:
+                    cand.append(" ".join(_tokens(inter_seg.lower())))
+                if any(_DIRECT_TARGET_RE.fullmatch(c) for c in cand):
+                    emit_pair(right, "directlyIncreases", left)
                     continue
 
             # ---- nuclear efflux: "<A> caused ... efflux of <X> ... from
@@ -2860,6 +3032,43 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             for pm in reversed(ante):
                 emit(f"{_render(m, text)} {rel} {_render(pm, text)}",
                      _sig(m, rel, pm, None, None, None))
+
+        # ---- anaphoric dual subject with infinitive: "Both kinases were
+        # able to phosphorylate <Y1>, <Y2> and <Y3>" — the two most recent
+        # distinct prior protein mentions each act on every object --------
+        ba = (_BOTH_ABLE_RE.match(sent_lo)
+              if sent_lo.lstrip().startswith("both ") else None)
+        if ba is not None and state.protein_history:
+            v = ba.group(1)
+            brel, bmod = _INFINITIVE_PMOD.get(v, (None, None))
+            if brel is None and v in _ACT_UP:
+                brel = "increases"
+            elif brel is None and v in _ACT_DOWN:
+                brel = "decreases"
+            if brel is not None:
+                seen_ent = set()
+                ante = []
+                for pm in reversed(state.protein_history):
+                    k = (pm["db"], pm["id"])
+                    if k in seen_ent:
+                        continue
+                    seen_ent.add(k)
+                    ante.append(pm)
+                    if len(ante) == 2:
+                        break
+                vend = s_begin + ba.end(1)
+                for obj_m in ms:
+                    if obj_m["begin"] < vend:
+                        continue
+                    for pm in reversed(ante):
+                        if (pm["db"], pm["id"]) == (
+                            obj_m["db"], obj_m["id"]
+                        ):
+                            continue
+                        emit_pair(
+                            pm, brel, obj_m,
+                            obj_pmod=((bmod, None, None) if bmod else None),
+                        )
 
         # ---- trailing-text rules per mention -----------------------------
         for i, m in enumerate(ms):

@@ -46,6 +46,7 @@ _ABLATION_PREFIX_RE = re.compile(
     r"(?:\s+(?:mitochondrial|cellular|endogenous|functional|nuclear"
     r"|cytosolic|hepatic|total))*"
     r"|lacking(?:\s+functional)?"
+    r"|blocking"
     r"|dominant[-\s]negative)\s+$",
     re.I,
 )
