@@ -2855,12 +2855,16 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
             # ---- loss attribution: "<Y>(-induced) (cell-surface)
             # expression due to the loss of <X>" — the event exists
             # because X is GONE, so X regulates it with the flipped sign -
-            if ("due to" in low_inter and not same_entity
-                    and _DUE_TO_LOSS_RE.search(low_inter)
-                    and not _NEG_RE.search(low_inter)):
-                ltoks = _tokens(low_inter)
+            dtl = (_DUE_TO_LOSS_RE.search(low_inter)
+                   if "due to" in low_inter and not same_entity
+                   and not _NEG_RE.search(low_inter) else None)
+            if dtl is not None:
+                # event direction from the tokens BEFORE the marker only
+                # (the marker's own "loss" must not set it); hyphenated
+                # premodifier residue ("-induced") counts stripped
                 edir = 0
-                for t in ltoks:
+                for t in _tokens(low_inter[: dtl.start()]):
+                    t = t.lstrip("-−–")
                     if t in _PASSIVE_UP or t in _NOMINAL_UP:
                         edir = 1
                     elif t in _PASSIVE_DOWN or t in _NOMINAL_DOWN:

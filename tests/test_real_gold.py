@@ -1003,3 +1003,75 @@ def test_r4e_idioms_general():
         "p(HGNC:AAA) increases p(HGNC:CCC)",
         "p(HGNC:BBB) increases p(HGNC:CCC)",
     }
+
+
+def test_wrapper_wave2_idioms_general():
+    """Batch-4 idioms (the second wrapper-recall wave) on fresh
+    vocabulary: in-response-to passives over coordination remnants,
+    loss attribution, trailing agent nominals, direct-target, contrast
+    exclusion, targeting-therapy exemplification, mediated-nominal
+    premodifiers, dual-subject anaphora, and the 'blocking' prefix."""
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        normalize_block_text,
+    )
+
+    # "in response to" agent marker, with a non-mention conjunct and a
+    # coordinated second participle in the way
+    assert set(_extract(
+        "AAA and BBB are activated and are tyrosine-phosphorylated "
+        "in response to DDD."
+    )) == {
+        "a(CHEBI:ddd) increases p(HGNC:AAA)",
+        "a(CHEBI:ddd) increases p(HGNC:BBB)",
+    }
+
+    # loss attribution with surface wrap (post-normalization, as in the
+    # pipeline: the compound split exposes the premodifier mention)
+    t = normalize_block_text(
+        "CCC-induced cell-surface expression due to the loss of AAA "
+        "function confers migration."
+    )
+    assert "p(HGNC:AAA) decreases surf(p(HGNC:CCC))" in _extract(t)
+
+    # trailing agent nominal: direction = verb sign x nominal sign
+    assert _extract(
+        "CCC frequency increases by a factor of 3 following activation "
+        "of AAA."
+    ) == ["act(p(HGNC:AAA)) increases p(HGNC:CCC)"]
+
+    # direct target (the appositive forces the seg retry)
+    assert _extract("BBB, a large kinase, is a direct target for AAA.") == [
+        "p(HGNC:AAA) directlyIncreases p(HGNC:BBB)"
+    ]
+
+    # contrast exclusion: A takes the verb, B causesNoChange
+    assert set(_extract(
+        "Overexpressed AAA, but not BBB, transactivated the CCC promoter."
+    )) == {
+        "p(HGNC:AAA) increases r(HGNC:CCC)",
+        "p(HGNC:BBB) causesNoChange r(HGNC:CCC)",
+    }
+
+    # targeting-therapy exemplification
+    assert _extract(
+        "Drugs that target AAA, such as DDD, are effective in patients."
+    ) == ["a(CHEBI:ddd) decreases p(HGNC:AAA)"]
+
+    # mediated-nominal premodifier
+    assert _extract(
+        "AAA -mediated activation of the BBB promoter was observed."
+    ) == ["p(HGNC:AAA) increases r(HGNC:BBB)"]
+
+    # dual-subject anaphora with the infinitive's pmod
+    assert set(_extract(
+        "AAA, BBB, or both were used. Both kinases were able to "
+        "phosphorylate CCC."
+    )) == {
+        "p(HGNC:AAA) directlyIncreases p(HGNC:CCC, pmod(Ph))",
+        "p(HGNC:BBB) directlyIncreases p(HGNC:CCC, pmod(Ph))",
+    }
+
+    # "blocking" joins the loss-of-function prefixes (both engines)
+    assert _extract("Blocking AAA abolished BBB.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
