@@ -577,6 +577,14 @@ _PREMOD_AFTER_RE = re.compile(
     r"^\s*[-−–]\s*(?:induced|mediated|triggered|stimulated|activated|"
     r"dependent)\s+$"
 )
+# prefix form: the mention is premodifier-marked even when more words
+# follow before the head ("VEGF -dependent retinal and luteal
+# angiogenesis"). No ^: applied via Pattern.match(text, pos, endpos),
+# which anchors at pos (an explicit ^ would only match at string start).
+_PREMOD_HEAD_RE = re.compile(
+    r"\s*[-−–]\s*(?:induced|mediated|triggered|stimulated|activated|"
+    r"dependent)\b"
+)
 # donor-rescue: "<X> donors ... rescued <Y1>, <Y2> and <Y3>" — supplying
 # X restores the impaired processes, so X increases each
 # [^;]* not [^.;]*: the inter text is already sentence-sliced, so any "."
@@ -679,6 +687,26 @@ _INFINITIVE_PMOD = {
 _MEDIATED_NOMINAL_RE = re.compile(
     r"^[-−–]\s?mediated\s+([a-z\-]+)\s+of(?:\s+the)?$"
 )
+# protein-orthography bridge for knockout blocks: "Pgf-/- mice ... loss
+# of PlGF impaired <Y>" — the protein symbol inserts letters into the
+# gene symbol (Pgf -> PlGF). Only inside a block that carries the
+# KO-marked gene, only for the loss-of construction, and only when the
+# token is the gene's subsequence twin (same first letter, <=2 inserted
+# letters) — a mechanical orthography rule, not an alias table.
+_LOSS_OF_TOKEN_RE = re.compile(
+    r"\bloss\s+of\s+(\w{3,12})\s+"
+    r"(?:impaired|decreased|reduced|abolished|prevented)\s+", re.I
+)
+
+
+def _protein_gene_twin(token: str, gene: str) -> bool:
+    token, gene = token.lower(), gene.lower()
+    if token == gene or not gene or token[0] != gene[0]:
+        return token == gene
+    if not 0 <= len(token) - len(gene) <= 2:
+        return False
+    it = iter(token)
+    return all(ch in it for ch in gene)
 _GERUND_DIR = {
     "initiating": 1, "sustaining": 1, "maintaining": 1, "promoting": 1,
     "enhancing": 1, "stimulating": 1, "inducing": 1, "triggering": 1,
@@ -1624,6 +1652,10 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
 
     state = _BlockState()
     eg_list: list[dict] = []  # members of the last "(e.g. ...)" list
+    # genes KO-marked ANYWHERE in the block ("Pgf-/- mice"): the
+    # loss-of-protein-name bridge below may fire in a different sentence
+    block_ko = [g for g in ms_all
+                if _KO_SUFFIX_RE.match(text, g["end"])]
     out: list[tuple[str, str] | None] = []
     seen_sigs: set = set()
     seen_stmts: set = set()
@@ -1721,6 +1753,41 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             f"{_render(obj_m, text)}",
                             _sig(g, rel4, obj_m, None, None, None),
                         )
+
+        # ---- loss-of-protein-name bridge over a KO-marked block ----------
+        # "Pgf-/- mice ... Thus, loss of PlGF impaired ... angiogenesis":
+        # the protein symbol is not in the dictionary, but it is the
+        # KO-marked gene's subsequence twin, so the ablation reading is
+        # licensed: G increases <the impaired process>
+        if block_ko and "loss of" in sent_lo:
+            for lm in _LOSS_OF_TOKEN_RE.finditer(text, s_begin, s_end):
+                tok = lm.group(1)
+                g = next(
+                    (g for g in block_ko
+                     if _protein_gene_twin(
+                         tok, text[g["begin"]: g["end"]])
+                     and not any(
+                         m["begin"] <= lm.start(1) < m["end"] for m in ms
+                     )),
+                    None,
+                )
+                if g is None:
+                    continue
+                # object: first mention after the verb, skipping compound
+                # premodifiers ("impaired VEGF -dependent ... angiogenesis")
+                j = next((k for k, m in enumerate(ms)
+                          if m["begin"] >= lm.end()), None)
+                while (j is not None and j + 1 < len(ms)
+                       and _PREMOD_HEAD_RE.match(
+                           text, ms[j]["end"], ms[j + 1]["begin"])):
+                    j += 1
+                if j is not None:
+                    emit(
+                        f"{_render(g, text)} increases "
+                        f"{_render(ms[j], text)}",
+                        _sig(g, "increases", ms[j], None, None, None,
+                             tag="ko"),
+                    )
 
         # ---- genetic-perturbation (knockout) inference -------------------
         ko_genes = [g for g in ms

@@ -827,24 +827,24 @@ def test_selventa_corpus_pinned():
     # audit itself got stricter: gold-name presence is now word-boundary
     # (substring "ins"-in-"insulin" no longer counts as surface), and
     # duplicate-curated golds the engine DID extract are duplicate_gold.
-    # The 3 residual gaps are one double-inference tloc chain (Smac/
-    # DIABLO) and the two PlGF/Pgf protein-name copies the name-only
-    # dictionary cannot reach. Unmatched predictions remain content-
+    # The single residual gap is the double-inference tloc chain
+    # (Smac/DIABLO release -> IAP inhibition -> apoptosis); the PlGF/Pgf
+    # copies closed via the KO-block protein-orthography bridge. Unmatched predictions remain content-
     # correct relations blocked by the curator's per-block namespace or
     # nested-statement choice ("VEGFA increases angiogenesis" vs MGI:
     # Vegfa, "LRIG1 decreases EGF" vs the nested gold).
-    assert r["matched"] == 151
-    assert r["pred_total"] == 209
+    assert r["matched"] == 152
+    assert r["pred_total"] == 210
     assert r["precision"] >= 0.72
     assert r["recall"] >= 0.073
     assert r["audit"] == {
         "non_surface_entity": 1475,
-        "pattern_gap": 3,
+        "pattern_gap": 1,
         "mechanism_wrapper": 42,
         "nested_statement": 223,
         "species_namespace": 44,
         "relationless_gold": 125,
-        "duplicate_gold": 4,
+        "duplicate_gold": 5,
     }
     # precision-side mirror: every unmatched prediction mechanically
     # attributed. 43/56 trace to a recorded gold (nested flattening,
@@ -1075,3 +1075,30 @@ def test_wrapper_wave2_idioms_general():
     assert _extract("Blocking AAA abolished BBB.") == [
         "p(HGNC:AAA) increases p(HGNC:BBB)"
     ]
+
+
+def test_ko_block_protein_orthography_bridge():
+    """The loss-of-protein-name bridge fires only inside a KO-marked
+    block, only for the gene's subsequence twin (same first letter, <=2
+    inserted letters), and skips compound premodifiers when picking the
+    impaired process."""
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        normalize_block_text,
+    )
+
+    t = normalize_block_text(
+        "AAA-/- mice lacked vessels. Thus, loss of AxAA impaired "
+        "BBB -dependent distal CCC."
+    )
+    got = _extract(t)
+    assert "p(HGNC:AAA) increases p(HGNC:CCC)" in got
+    # no statement against the premodifier mention
+    assert "p(HGNC:AAA) increases p(HGNC:BBB)" not in got
+
+    # without the KO evidence the bridge must stay silent
+    assert _extract("Loss of AxAA impaired CCC levels.") == []
+    # a non-twin token must not bind ("DxEF" is not AAA's subsequence)
+    t2 = normalize_block_text(
+        "AAA-/- mice lacked vessels. Thus, loss of DxEF impaired CCC."
+    )
+    assert _extract(t2) == []
