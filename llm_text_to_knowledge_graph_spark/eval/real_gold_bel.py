@@ -344,9 +344,12 @@ def categorize_miss(
         # word-boundary presence, not substring: gold name "INS" inside
         # the word "insulin" is NOT a surface occurrence (the curator
         # grounded background knowledge, and no name-only dictionary can
-        # reach it)
+        # reach it). The boundary class is [\w-], matching AliasMatcher's
+        # _WB_RE exactly: "SDF" inside "SDF-1alpha" is equally
+        # unreachable for the dictionary, so counting it as surface
+        # would overstate what the extractor could have matched.
         if n and n not in mention_lc and not re.search(
-            r"(?<![\w])" + re.escape(n) + r"(?![\w])", lowered
+            r"(?<![\w-])" + re.escape(n) + r"(?![\w-])", lowered
         ):
             return "non_surface_entity"
     if _MECH_FN_RE.search(gold_stmt):

@@ -130,6 +130,9 @@ _ALL_CAUSAL_VERBS = (
     _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
     | _PASSIVE_REG
 )
+# hot-loop set unions, hoisted (the matchers below run per mention pair)
+_CAUSAL_CORE = _ACT_UP | _ACT_DOWN | _ACT_REG
+_VERBISH_PASSIVE = _CAUSAL_CORE | _PASSIVE_UP | _PASSIVE_DOWN
 # nominal subject qualifiers the active matcher skips before the verb:
 # "X function negatively regulates Y", "X expression enhances Y"
 _SUBJ_QUALIFIERS = {"function", "activity", "expression", "protein"}
@@ -170,6 +173,7 @@ _ACT_LEAD = {
     # active Rac1 in many cell types causes ...")
     "in", "many", "cell", "cells", "types", "tissues",
 }
+_ACT_LEADS_Q = _ACT_LEAD | _SUBJ_QUALIFIERS  # hoisted hot-loop union
 # filler between an active verb and the object mention
 _ACT_TRAIL = {
     "the", "a", "an", "total", "extensive", "its", "their", "nuclear",
@@ -850,7 +854,7 @@ def _is_coord_sep(sep: str) -> bool:
     if not letters:
         return True  # appositive / list comma
     toks = letters.split()
-    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
+    verbish = _VERBISH_PASSIVE
     # the conjunction must LEAD the letter content ("and the shorter") —
     # a trailing/mid conjunction ("cells upon serum and") is clause text,
     # not list coordination
@@ -976,7 +980,7 @@ def _match_active(inter: str, abbrev_tail: bool = False):
     toks = _tokens(inter.lower())
     if not toks:
         return None
-    all_verbs = _ACT_UP | _ACT_DOWN | _ACT_REG
+    all_verbs = _CAUSAL_CORE
     i = 0
     directly = False
     neg_adv = pos_adv = False
@@ -984,7 +988,7 @@ def _match_active(inter: str, abbrev_tail: bool = False):
     if toks[0] in {"and", "or"}:
         coord_budget = 3
         i = 1
-    leads = _ACT_LEAD | _SUBJ_QUALIFIERS
+    leads = _ACT_LEADS_Q
     while i < len(toks):
         t = toks[i]
         if t in leads or t.endswith("ly"):
@@ -1253,6 +1257,7 @@ _OBSERVED_VERBS = {
     "demonstrated", "observed", "found", "detected", "reported",
     "identified", "described", "seen",
 }
+_VERBISH_OBS = _VERBISH_PASSIVE | _OBSERVED_VERBS
 _PREVALENCE_PREFIX_RE = re.compile(r"\b([a-z\-]+)\s+of\s+(?:the\s+)?$", re.I)
 _PREV_QUANT = {
     "of", "all", "most", "many", "the", "a", "an", "approximately",
@@ -1278,10 +1283,7 @@ def _match_prevalence(inter: str) -> bool:
     rest = toks[i + 1:]
     if not rest or rest[0] != "in":
         return False
-    all_verbs = (
-        _ACT_UP | _ACT_DOWN | _ACT_REG | _PASSIVE_UP | _PASSIVE_DOWN
-        | _OBSERVED_VERBS
-    )
+    all_verbs = _VERBISH_OBS
     for t in rest[1:]:
         if _is_num(t) or (t.endswith("%") and t[:-1].rstrip(".")):
             continue
@@ -1466,7 +1468,7 @@ def _match_required_for(inter: str):
     if toks[1] != "required" or toks[2] != "for":
         return None
     trail = toks[3:]
-    verbish = _ACT_UP | _ACT_DOWN | _ACT_REG
+    verbish = _CAUSAL_CORE
     if len(trail) > 6 or any(t in verbish for t in trail):
         return None
     return "increases"
@@ -1657,18 +1659,28 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
     block_ko = [g for g in ms_all
                 if _KO_SUFFIX_RE.match(text, g["end"])]
     out: list[tuple[str, str] | None] = []
-    seen_sigs: set = set()
-    seen_stmts: set = set()
+    seen_sigs: dict = {}   # sig  -> index of the statement in `out`
+    seen_stmts: dict = {}  # stmt -> index of the statement in `out`
     sym_pairs: set = set()  # (frozenset{NS:NAME, NS:NAME}, rel) coverage
 
     def emit(stmt: str, sig=None) -> int | None:
-        if stmt in seen_stmts or (sig is not None and sig in seen_sigs):
-            return None
-        seen_stmts.add(stmt)
+        # A dedup-suppressed re-emission returns the ORIGINAL statement's
+        # index, not None: the narration still happened in the text, so
+        # emit_pair must re-point the clause-chain state (last_object_m /
+        # last_rel) at this statement — otherwise a following consequence
+        # chain composes the new clause's direction with a STALE object
+        # from an older statement and can emit the wrong sign.
+        prev = seen_stmts.get(stmt)
+        if prev is None and sig is not None:
+            prev = seen_sigs.get(sig)
+        if prev is not None:
+            return prev
+        idx = len(out)
+        seen_stmts[stmt] = idx
         if sig is not None:
-            seen_sigs.add(sig)
+            seen_sigs[sig] = idx
         out.append((stmt, text))
-        return len(out) - 1
+        return idx
 
     def emit_pair(subj_m, rel, obj_m, wrap=None, subj_pmod=None, obj_pmod=None,
                   subj_override: str | None = None):

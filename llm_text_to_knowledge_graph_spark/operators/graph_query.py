@@ -674,20 +674,36 @@ def personalized_pagerank_scaled(
             .groupBy("node_id")
             .agg(F.sum("c").alias("in_s"))
         )
-        ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .select(
-                "node_id",
-                (
-                    teleport
-                    + F.expr(
-                        f"coalesce(in_s, 0L) * {damping_num} "
-                        f"div {damping_den}"
-                    )
-                ).cast("long").alias("rank_s"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node_id", "left").select(
+            "node_id",
+            (
+                teleport
+                + F.expr(
+                    f"coalesce(in_s, 0L) * {damping_num} "
+                    f"div {damping_den}"
+                )
+            ).cast("long").alias("rank_s"),
         )
+        if not undirected:
+            # dangling mass re-teleports to the seeds, mirroring the
+            # double variant — in exact integer units: the residual
+            # scale - sum(rank_s) is a long, its per-seed share a floor
+            # division, so the replay stays bit-identical. Same 1-row
+            # broadcast crossJoin + lazy-checkpoint discipline.
+            ranks = ranks.localCheckpoint(eager=False)
+            total = ranks.agg(F.sum("rank_s").alias("_total_s"))
+            ranks = ranks.crossJoin(F.broadcast(total)).select(
+                "node_id",
+                F.when(
+                    F.col("node_id").isin(seeds),
+                    F.col("rank_s")
+                    + F.expr(f"({scale} - _total_s) div {len(seeds)}"),
+                )
+                .otherwise(F.col("rank_s"))
+                .cast("long")
+                .alias("rank_s"),
+            )
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

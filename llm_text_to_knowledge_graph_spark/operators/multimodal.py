@@ -473,6 +473,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (height, width, comps) ; comps: (cid, h, v, tq)
     progressive = False
     coefs: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) zigzag int32
+    scans_decoded = 0  # a header-only SOF2 must still raise, not go gray
     restart_interval = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -541,6 +542,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     reader, frame, (ns, scan_tables, ss, se, a >> 4, a & 0x0F),
                     coefs, huff_dc, huff_ac, restart_interval, 0,
                 )
+                scans_decoded += 1
                 # resync to the next marker past the entropy data
                 pos = reader.pos
                 while pos + 1 < len(d) and not (
@@ -593,11 +595,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 bcoefs[cid][my * v + by, mx * h + bx] = coef
             return _reconstruct_jpeg(frame, bcoefs, qt)
         elif marker == 0xD9:  # EOI
-            if progressive and coefs:
+            if progressive and scans_decoded:
                 return _reconstruct_jpeg(frame, coefs, qt)
             break
         pos += 2 + seglen
-    if progressive and coefs:  # EOI-less truncated stream: best effort
+    if progressive and scans_decoded:  # EOI-less truncated stream: best effort
         return _reconstruct_jpeg(frame, coefs, qt)
     raise ValueError("JPEG missing SOS scan")
 

@@ -93,22 +93,24 @@ def test_extract_parts_equal_split_statement(ns1, n1, ns2, n2, ns3, n3, pm):
          [ment(0, "AAA", ns1, n1), ment(19, "BBB", ns2, n2)]),
         # passive pmod (roles reversed)
         ("BBB is phosphorylated by AAA at Thr 308.",
-         [ment(0, "BBB", ns2, n2), ment(26, "AAA", ns1, n1)]),
+         [ment(0, "BBB", ns2, n2), ment(25, "AAA", ns1, n1)]),
         # nominalization (roles reversed)
         ("Strong inhibition of BBB by AAA was seen.",
          [ment(21, "BBB", ns2, n2), ment(28, "AAA", ns1, n1)]),
         # complex subject over three mentions
         ("AAA/BBB complex increases CCC here.",
          [ment(0, "AAA", ns1, n1), ment(4, "BBB", ns2, n2),
-          ment(27, "CCC", ns3, n3)]),
+          ment(26, "CCC", ns3, n3)]),
         # Phosphorylated-subject wrapper
         ("Phosphorylated AAA inhibits BBB.",
          [ment(15, "AAA", ns1, n1), ment(28, "BBB", ns2, n2)]),
     ]
     for sentence, mentions in cases:
-        for subj, rel, obj, stmt, ev in extract_parts_from_sentence(
-            sentence, mentions
-        ):
+        parts = extract_parts_from_sentence(sentence, mentions)
+        # every case must actually fire — a silent [] (e.g. from a bad
+        # mention offset) would make the round-trip assertions vacuous
+        assert parts, sentence
+        for subj, rel, obj, stmt, ev in parts:
             assert stmt == f"{subj} {rel} {obj}"
             assert split_statement(stmt) == (subj, rel, obj), stmt
             assert ev == sentence

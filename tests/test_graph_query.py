@@ -186,6 +186,37 @@ def test_personalized_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[node] - r[idx[node]]) < 1e-9, node
 
 
+def test_personalized_pagerank_scaled_directed_matches_double(spark):
+    """Directed mode with a dangling sink: the scaled variant must apply
+    the same seed re-teleport of dangling mass as the double variant
+    (the documented ≤ iterations*1e-12 divergence bound). Regression
+    test for the scaled path silently dropping that step — on this
+    graph the un-reteleported ranks diverge by O(0.1)."""
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        personalized_pagerank,
+        personalized_pagerank_scaled,
+    )
+
+    # 1->2->3, 3 dangling; extra branch 1->4 (also dangling)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "s long, t long"
+    )
+    kwargs = dict(seeds=[1, 2], iterations=6, undirected=False)
+    want = {
+        r["node_id"]: r["rank"]
+        for r in personalized_pagerank(df, **kwargs).collect()
+    }
+    got = {
+        r["node_id"]: r["rank_s"] / 1e12
+        for r in personalized_pagerank_scaled(df, **kwargs).collect()
+    }
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert abs(got[node] - rank) < 1e-10, (node, got[node], rank)
+    # mass is conserved (the point of the re-teleport)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_label_propagation_finds_cliques(spark):
     from llm_text_to_knowledge_graph_spark.operators.graph_query import (
         label_propagation,

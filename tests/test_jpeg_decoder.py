@@ -620,6 +620,24 @@ def test_progressive_high_contrast_exercises_zrl_and_eobrun():
     assert np.array_equal(base, prog)
 
 
+def test_progressive_header_only_raises():
+    """A SOF2 stream truncated before its first SOS must raise like the
+    baseline 'missing SOS' case — not silently reconstruct the zero
+    coefficient planes into a solid-gray raster (regression: the
+    best-effort truncated-stream guard keyed on the coefficient dict
+    being non-empty, which is true from SOF2 parse time onward)."""
+    img = _smooth_image(16, 16, channels=1, seed=13)
+    prog = encode_jpeg_progressive(img)
+    first_sos = prog.index(b"\xff\xda")
+    for tail in (b"", b"\xff\xd9"):  # no EOI / immediate EOI
+        with pytest.raises(ValueError, match="missing SOS"):
+            decode_jpeg(prog[:first_sos] + tail)
+    # one decoded scan keeps the documented truncated-stream best effort
+    second_sos = prog.index(b"\xff\xda", first_sos + 2)
+    partial = decode_jpeg(prog[:second_sos])
+    assert partial.shape == (16, 16, 1)
+
+
 _REAL_PROGRESSIVE = [
     "/usr/share/doc/nodejs/thin-white-stripe.jpg",       # spectral-only, color
     "/usr/share/doc/nodejs/full-white-stripe.jpg",       # spectral-only, color

@@ -838,11 +838,16 @@ def test_selventa_corpus_pinned():
     assert r["precision"] >= 0.72
     assert r["recall"] >= 0.073
     assert r["audit"] == {
-        "non_surface_entity": 1475,
+        # the audit's boundary class is [\w-], identical to
+        # AliasMatcher._WB_RE: 7 former wrapper/namespace misses whose
+        # only gold-name occurrence is hyphen-adjacent ("SDF" inside
+        # "SDF-1alpha") count as non_surface — the dictionary can never
+        # match there, whatever the extraction pattern does
+        "non_surface_entity": 1482,
         "pattern_gap": 1,
-        "mechanism_wrapper": 42,
+        "mechanism_wrapper": 38,
         "nested_statement": 223,
-        "species_namespace": 44,
+        "species_namespace": 41,
         "relationless_gold": 125,
         "duplicate_gold": 5,
     }
