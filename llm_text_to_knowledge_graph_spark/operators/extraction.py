@@ -109,7 +109,7 @@ _ACT_DOWN = {
     "downregulated", "down-regulates", "down-regulated", "represses",
     "repressed", "impairs", "impaired", "blocks", "blocked", "abolishes",
     "abolished", "attenuates", "attenuated", "prevents", "prevented",
-    "prevent",
+    "prevent", "inactivates", "inactivated", "inactivate",
 }
 _ACT_REG = {"regulates", "modulates", "controls"}
 
@@ -120,7 +120,7 @@ _PASSIVE_UP = {
 }
 _PASSIVE_DOWN = {
     "down-regulated", "downregulated", "suppressed", "inhibited", "reduced",
-    "decreased", "repressed", "impaired", "attenuated",
+    "decreased", "repressed", "impaired", "attenuated", "inactivated",
 }
 _PASSIVE_REG = {"regulated", "modulated", "controlled"}
 # every causal verb form, active and passive — idioms whose trigger is a
@@ -196,6 +196,13 @@ _TRAIL_FLIP = set(_NOMINAL_DOWN) | {"beneficial", "protective"}
 # decreased X") compose with the verb exactly like the nominals above
 _TRAIL_FLIP_PART = {"decreased", "reduced", "impaired", "diminished"}
 _TRAIL_UP_PART = {"increased", "elevated", "enhanced"}
+# inhibitory agent nouns: "<verb> the inhibitor OF <Y>" targets Y's
+# inhibitor, so the verb's sign on Y flips (double-negative collapse:
+# "inactivates the inhibitor of apoptosis" -> increases apoptosis)
+_TRAIL_INHIB = {
+    "inhibitor", "inhibitors", "repressor", "repressors",
+    "suppressor", "suppressors", "antagonist", "antagonists",
+}
 # noun-head filler between the target mention and the passive copula
 _PASSIVE_LEAD = {
     "isoform", "isoforms", "protein", "proteins", "levels", "level",
@@ -776,11 +783,12 @@ def _tokens_cached(s: str) -> tuple[str, ...]:
         s = _CITE_RE.sub(" ", s)
     # a paren that OPENED before the segment leaves a dangling ")" token
     # ("<X> (ALIAS) stimulates <Y>" -> inter ") stimulates") — strip
-    # bracket residue at token edges so the verb matchers see the verb
+    # bracket AND quote residue at token edges so the verb matchers see
+    # the verb ("...(Smac/DIABLO)' inactivates ..." leaves a "'" token)
     return tuple(
         t
         for t in (
-            tok.strip("()[]") for tok in _TOKEN_SPLIT_RE.split(s.strip())
+            tok.strip("()[]'\"") for tok in _TOKEN_SPLIT_RE.split(s.strip())
         )
         if t
     )
@@ -1023,7 +1031,18 @@ def _match_active(inter: str, abbrev_tail: bool = False):
     flip = False
     nominal_seen = False
     unknown_budget = 3 if abbrev_tail else 0
-    for t in trail:
+    k = 0
+    while k < len(trail):
+        t = trail[k]
+        if (t in _TRAIL_INHIB and k + 1 < len(trail)
+                and trail[k + 1] == "of"):
+            # double-negative collapse: "<verb> the inhibitor of <Y>" —
+            # the verb acts on Y's INHIBITOR, so the sign on Y flips
+            # ("inactivates the inhibitor of apoptosis" -> increases)
+            flip = not flip
+            nominal_seen = True
+            k += 2
+            continue
         if t in _TRAIL_FLIP or t in _TRAIL_FLIP_PART:
             # down-direction participials compose like their nominals:
             # "causes decreased X" flips the verb's sign
@@ -1046,6 +1065,7 @@ def _match_active(inter: str, abbrev_tail: bool = False):
             unknown_budget -= 1
         else:
             return None
+        k += 1
     if flip:
         rel = _FLIP.get(rel, rel)
     return rel, trail

@@ -827,14 +827,17 @@ def test_selventa_corpus_pinned():
     # audit itself got stricter: gold-name presence is now word-boundary
     # (substring "ins"-in-"insulin" no longer counts as surface), and
     # duplicate-curated golds the engine DID extract are duplicate_gold.
-    # The single residual gap is the double-inference tloc chain
-    # (Smac/DIABLO release -> IAP inhibition -> apoptosis); the PlGF/Pgf
-    # copies closed via the KO-block protein-orthography bridge. Unmatched predictions remain content-
+    # The PlGF/Pgf copies closed via the KO-block protein-orthography
+    # bridge, and the last gap — the Smac/DIABLO tloc chain — closed via
+    # the GENERAL double-negative collapse ("<verb> the inhibitor of
+    # <Y>" flips the verb's sign on Y: "inactivates the inhibitor of
+    # apoptosis" -> increases apoptosis), leaving pattern_gap at ZERO.
+    # Unmatched predictions remain content-
     # correct relations blocked by the curator's per-block namespace or
     # nested-statement choice ("VEGFA increases angiogenesis" vs MGI:
     # Vegfa, "LRIG1 decreases EGF" vs the nested gold).
-    assert r["matched"] == 152
-    assert r["pred_total"] == 210
+    assert r["matched"] == 153
+    assert r["pred_total"] == 211
     assert r["precision"] >= 0.72
     assert r["recall"] >= 0.073
     assert r["audit"] == {
@@ -844,7 +847,6 @@ def test_selventa_corpus_pinned():
         # "SDF-1alpha") count as non_surface — the dictionary can never
         # match there, whatever the extraction pattern does
         "non_surface_entity": 1482,
-        "pattern_gap": 1,
         "mechanism_wrapper": 38,
         "nested_statement": 223,
         "species_namespace": 41,
@@ -1107,3 +1109,35 @@ def test_ko_block_protein_orthography_bridge():
         "AAA-/- mice lacked vessels. Thus, loss of DxEF impaired CCC."
     )
     assert _extract(t2) == []
+
+
+def test_double_negative_collapse_general():
+    """The idiom that closed the last corpus pattern_gap, on fresh
+    vocabulary: "<verb> the inhibitor/repressor/suppressor of <Y>"
+    targets Y's inhibitor, so the verb's sign on Y flips — in BOTH
+    directions — and quote residue at the inter edge must not hide the
+    verb (the corpus sentence has "...(Smac/DIABLO)' inactivates ...")."""
+    # down-verb on the inhibitor -> increases Y
+    assert _extract("AAA inactivates the inhibitor of BBB.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
+    assert _extract("AAA blocks the repressor of BBB.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
+    # up-verb on the suppressor -> decreases Y
+    assert _extract("AAA induces a suppressor of BBB signaling.") == [
+        "p(HGNC:AAA) decreases p(HGNC:BBB)"
+    ]
+    # quote residue before the verb is edge noise, not a token
+    assert _extract("A protein (AAA)' inhibits the antagonist of BBB.") == [
+        "p(HGNC:AAA) increases p(HGNC:BBB)"
+    ]
+    # the bare inactivate family is an ordinary down-verb
+    assert _extract("AAA inactivates BBB.") == [
+        "p(HGNC:AAA) decreases p(HGNC:BBB)"
+    ]
+    # "inhibitor" NOT followed by "of" never flips (here it stays an
+    # unknown trail token, so the active matcher refuses the pair)
+    assert "p(HGNC:AAA) decreases p(HGNC:BBB)" not in _extract(
+        "AAA induces the inhibitor protein BBB."
+    )
