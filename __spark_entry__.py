@@ -1496,6 +1496,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["connected_components_graph"] = connected_components_graph
 
+    # ---- DIRECTED strongly connected components over a deterministic
+    # functional graph derived from documents (x -> x^2+1 and, on every
+    # 5th residue, x -> 3x+1, all mod 128): rho-shaped tails flowing
+    # into an 11-node core cycle plus singletons — the web bow-tie
+    # shape in miniature, bounded at <=128 nodes at every sf. (The
+    # squaring map, NOT an affine one: affine maps are permutations mod
+    # 2^k, i.e. all long cycles — the FW-BW worst case.) The oracle
+    # recomputes SCCs with a completely different algorithm
+    # (recursive-CTE closure + mutual-reachability min) — an
+    # independent check of the FW-BW partition-refinement fixpoint.
+    def scc_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            strongly_connected_components,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            (F.col("doc_id").cast("long") % 128).alias("x")
+        )
+        base = d.select("x", ((F.col("x") * F.col("x") + 1) % 128).alias("t"))
+        extra = d.filter(F.col("x") % 5 == 0).select(
+            "x", ((F.col("x") * 3 + 1) % 128).alias("t")
+        )
+        e = (
+            base.unionByName(extra)
+            .select(F.col("x").alias("s"), "t")
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+        )
+        comp = strongly_connected_components(e)
+        return comp.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    q["scc_graph"] = scc_graph
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4121,6 +4157,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node_id,
                    CAST(MIN(r) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        # SCC by an INDEPENDENT algorithm: full transitive closure, then
+        # component = min over the mutually-reachable set (vs the engine's
+        # forward-backward min-label partition refinement)
+        "scc_graph": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT s, t FROM (
+                SELECT (CAST(doc_id AS BIGINT) % 128) AS s,
+                       ((CAST(doc_id AS BIGINT) % 128)
+                        * (CAST(doc_id AS BIGINT) % 128) + 1) % 128 AS t
+                FROM documents
+                UNION ALL
+                SELECT (CAST(doc_id AS BIGINT) % 128),
+                       ((CAST(doc_id AS BIGINT) % 128) * 3 + 1) % 128
+                FROM documents
+                WHERE (CAST(doc_id AS BIGINT) % 128) % 5 = 0
+              ) WHERE s <> t),
+            nodes AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+            reach(a, b) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.a, e2.t FROM reach r JOIN e e2 ON e2.s = r.b),
+            mutual AS (
+              SELECT r1.a AS v, r1.b AS u
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a)
+            SELECT CAST(n.v AS BIGINT) AS node_id,
+                   CAST(LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS BIGINT)
+                     AS component
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+            GROUP BY n.v
         """,
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,

@@ -281,3 +281,117 @@ def test_label_propagation_matches_independent_python(spark):
         for r in label_propagation(df.repartition(13), iterations=4).collect()
     }
     assert got13 == labels
+
+
+def _tarjan_scc(edges):
+    """Independent reference: iterative Tarjan over an adjacency dict.
+    Returns {node: min_member_of_its_scc}."""
+    adj: dict = {}
+    nodes = set()
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+        nodes.add(s)
+        nodes.add(t)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def _scc_spark(spark, edges, schema="s long, t long"):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(edges, schema)
+    return {
+        r["node_id"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+
+
+def test_scc_known_shapes(spark):
+    # two 2-cycles bridged one-way, plus a tail
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5)]
+    assert _scc_spark(spark, edges) == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    # pure chain: all singletons
+    assert _scc_spark(spark, [(1, 2), (2, 3), (3, 4)]) == {
+        1: 1, 2: 2, 3: 3, 4: 4,
+    }
+    # the (F,B)-class-with-two-SCCs shape: 1->5->4, 1->6->4 gives nodes
+    # 5 and 6 identical (F, B) = (1, 4) in round 1 without being an SCC
+    # — the class cut must separate them in round 2
+    assert _scc_spark(spark, [(1, 5), (5, 4), (1, 6), (6, 4)]) == {
+        1: 1, 4: 4, 5: 5, 6: 6,
+    }
+
+
+def test_scc_matches_tarjan_on_random_graph(spark):
+    import random as _r
+
+    _r.seed(7)
+    n = 24
+    edges = list({(_r.randint(0, n - 1), _r.randint(0, n - 1))
+                  for _ in range(55)})
+    edges = [(s, t) for s, t in edges if s != t]
+    assert _scc_spark(spark, edges) == _tarjan_scc(edges)
+
+
+def test_scc_string_keyed_host_graph(spark):
+    """Id-type-agnostic: host strings work directly (min = lexicographic
+    on both engines) — the web bow-tie input shape."""
+    edges = [
+        ("a.org", "b.org"), ("b.org", "a.org"),   # giant SCC
+        ("in.org", "a.org"),                       # IN
+        ("b.org", "out.org"),                      # OUT
+    ]
+    got = _scc_spark(spark, edges, schema="s string, t string")
+    assert got == {
+        "a.org": "a.org", "b.org": "a.org",
+        "in.org": "in.org", "out.org": "out.org",
+    }
