@@ -845,7 +845,10 @@ def strongly_connected_components(
         .unionByName(g.select(F.col("t").alias("node_id")))
         .distinct()
     )
-    done: DataFrame | None = None
+    # empty-graph identity: zero rows in, zero (node_id, component) out
+    done: DataFrame = active.select(
+        "node_id", F.col("node_id").alias("component")
+    ).limit(0)
     for _ in range(max_rounds):
         if active.isEmpty():
             break
@@ -855,6 +858,7 @@ def strongly_connected_components(
             F.col("node_id").alias("f"),
             F.col("node_id").alias("b"),
         ))
+        changed = -1
         for _i in range(max_prop_iter):
             f_min = (
                 g.join(
@@ -924,12 +928,21 @@ def strongly_connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # finalize/cut with NON-converged labels is silently wrong
+            # (intra-SCC endpoints can land in different (F,B) classes
+            # and the class cut would sever real SCC edges) — refuse,
+            # matching the outer loop's non-convergence behavior
+            raise ValueError(
+                f"SCC label propagation did not converge in "
+                f"{max_prop_iter} iterations"
+            )
         # --- finalize F == B classes; cut edges across classes --------
         finalized = truncated_checkpoint(
             labels.filter(F.col("f") == F.col("b"))
             .select("node_id", F.col("f").alias("component"))
         )
-        done = finalized if done is None else done.unionByName(finalized)
+        done = done.unionByName(finalized)
         remaining = truncated_checkpoint(
             labels.filter(F.col("f") != F.col("b"))
         )
@@ -959,5 +972,4 @@ def strongly_connected_components(
     else:
         if not active.isEmpty():
             raise ValueError(f"SCC did not converge in {max_rounds} rounds")
-    assert done is not None
     return done

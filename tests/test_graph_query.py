@@ -382,6 +382,31 @@ def test_scc_matches_tarjan_on_random_graph(spark):
     assert _scc_spark(spark, edges) == _tarjan_scc(edges)
 
 
+def test_scc_degenerate_inputs(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        strongly_connected_components,
+    )
+
+    # empty edge table -> empty (node_id, component), no crash
+    empty = spark.createDataFrame([], "s long, t long")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["node_id", "component"]
+    assert out.count() == 0
+    # exhausting the inner fixpoint must RAISE, not silently cut an SCC
+    # apart (an 8-cycle needs more than one propagation iteration)
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "s long, t long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(cycle, max_prop_iter=1)
+    # and with the default budget the cycle is one component
+    got = {
+        r["node_id"]: r["component"]
+        for r in strongly_connected_components(cycle).collect()
+    }
+    assert got == {i: 0 for i in range(8)}
+
+
 def test_scc_string_keyed_host_graph(spark):
     """Id-type-agnostic: host strings work directly (min = lexicographic
     on both engines) — the web bow-tie input shape."""
