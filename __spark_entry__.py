@@ -1532,6 +1532,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scc_graph"] = scc_graph
 
+    # ---- Broder bow-tie decomposition over the same functional graph:
+    # giant SCC core, IN (reaches core), OUT (reached from core),
+    # TENDRIL (everything else). Oracle classifies independently from
+    # the same closure CTE the scc oracle uses.
+    def bowtie_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            bowtie_classify,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            (F.col("doc_id").cast("long") % 128).alias("x")
+        )
+        base = d.select("x", ((F.col("x") * F.col("x") + 1) % 128).alias("t"))
+        extra = d.filter(F.col("x") % 5 == 0).select(
+            "x", ((F.col("x") * 3 + 1) % 128).alias("t")
+        )
+        e = (
+            base.unionByName(extra)
+            .select(F.col("x").alias("s"), "t")
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+        )
+        out = bowtie_classify(e)
+        return out.select(
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("component").cast("long").alias("component"),
+            "region",
+        )
+
+    q["bowtie_graph"] = bowtie_graph
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4188,6 +4219,57 @@ def oracle_sql() -> dict[str, str]:
                      AS component
             FROM nodes n LEFT JOIN mutual m ON m.v = n.v
             GROUP BY n.v
+        """,
+        # bow-tie regions from the same closure: giant = largest SCC
+        # (ties -> min id); IN reaches a core member, OUT is reached
+        # from one; a node doing both would be in the core
+        "bowtie_graph": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT s, t FROM (
+                SELECT (CAST(doc_id AS BIGINT) % 128) AS s,
+                       ((CAST(doc_id AS BIGINT) % 128)
+                        * (CAST(doc_id AS BIGINT) % 128) + 1) % 128 AS t
+                FROM documents
+                UNION ALL
+                SELECT (CAST(doc_id AS BIGINT) % 128),
+                       ((CAST(doc_id AS BIGINT) % 128) * 3 + 1) % 128
+                FROM documents
+                WHERE (CAST(doc_id AS BIGINT) % 128) % 5 = 0
+              ) WHERE s <> t),
+            nodes AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+            reach(a, b) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.a, e2.t FROM reach r JOIN e e2 ON e2.s = r.b),
+            mutual AS (
+              SELECT r1.a AS v, r1.b AS u
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a),
+            comp AS (
+              SELECT n.v AS node_id,
+                     CAST(LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS BIGINT)
+                       AS component
+              FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+              GROUP BY n.v),
+            giant AS (
+              SELECT component FROM comp GROUP BY component
+              ORDER BY COUNT(*) DESC, component ASC LIMIT 1),
+            core AS (
+              SELECT node_id FROM comp
+              WHERE component = (SELECT component FROM giant)),
+            fwd AS (SELECT DISTINCT r.b AS v
+                    FROM reach r JOIN core c ON r.a = c.node_id),
+            bwd AS (SELECT DISTINCT r.a AS v
+                    FROM reach r JOIN core c ON r.b = c.node_id)
+            SELECT c.node_id, c.component,
+                   CASE
+                     WHEN c.component = (SELECT component FROM giant)
+                       THEN 'SCC'
+                     WHEN c.node_id IN (SELECT v FROM bwd) THEN 'IN'
+                     WHEN c.node_id IN (SELECT v FROM fwd) THEN 'OUT'
+                     ELSE 'TENDRIL'
+                   END AS region
+            FROM comp c
         """,
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,

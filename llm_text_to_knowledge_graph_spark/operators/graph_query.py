@@ -973,3 +973,81 @@ def strongly_connected_components(
         if not active.isEmpty():
             raise ValueError(f"SCC did not converge in {max_rounds} rounds")
     return done
+
+
+def bowtie_classify(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Broder bow-tie decomposition of the DIRECTED graph: returns
+    (node_id, component, region) with region in {'SCC', 'IN', 'OUT',
+    'TENDRIL'} — the classic structural census of a web crawl (which
+    hosts sit in the giant core, which only feed it, which only drain
+    it, which touch it not at all).
+
+    Composition over :func:`strongly_connected_components`: the giant
+    component is the largest SCC (ties broken by smallest component
+    id, picked with a 1-row ``limit(1)`` broadcast — no driver
+    action); forward/backward reachability from its members runs the
+    same anti-join frontier loop as k_hop_neighborhood but DIRECTED
+    and to exhaustion. A node that both reaches and is reached by the
+    core would be in the core, so IN/OUT/SCC are disjoint; everything
+    else (tendrils, tubes, disconnected islands) is TENDRIL.
+
+    Scale: frontier loops shuffle only the frontier (anti-join against
+    visited), the giant-id pick crosses the wire as one broadcast row,
+    and phase-spanning lineage uses truncated_checkpoint (see its
+    docstring for why plain localCheckpoint chains explode driver-side
+    across phases).
+    """
+    comp = truncated_checkpoint(strongly_connected_components(edges))
+    giant = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("component"))
+        .limit(1)
+        .select(F.col("component").alias("_giant"))
+    )
+    comp = comp.crossJoin(F.broadcast(giant))
+    core = truncated_checkpoint(
+        comp.filter(F.col("component") == F.col("_giant")).select("node_id")
+    )
+    g = truncated_checkpoint(edges.select("s", "t").distinct())
+
+    def _reach(g_dir: DataFrame) -> DataFrame:
+        """All nodes reachable from the core along g_dir (s -> t),
+        core excluded from the result only by the caller's region
+        precedence. Anti-join frontier expansion to exhaustion."""
+        visited = core
+        frontier = core
+        for _ in range(max_iter):
+            nxt = truncated_checkpoint(
+                g_dir.join(frontier.withColumnRenamed("node_id", "s"), "s")
+                .select(F.col("t").alias("node_id"))
+                .distinct()
+                .join(visited, "node_id", "left_anti")
+            )
+            if nxt.isEmpty():
+                break
+            visited = truncated_checkpoint(visited.unionByName(nxt))
+            frontier = nxt
+        else:
+            raise ValueError(
+                f"bow-tie reachability did not exhaust in {max_iter} hops"
+            )
+        return visited
+
+    fwd = _reach(g)  # core ->* v  (OUT candidates)
+    bwd = _reach(g.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    return (
+        comp.join(
+            fwd.withColumn("_fwd", F.lit(True)), "node_id", "left"
+        )
+        .join(bwd.withColumn("_bwd", F.lit(True)), "node_id", "left")
+        .select(
+            "node_id",
+            "component",
+            F.when(F.col("component") == F.col("_giant"), F.lit("SCC"))
+            .when(F.col("_bwd"), F.lit("IN"))
+            .when(F.col("_fwd"), F.lit("OUT"))
+            .otherwise(F.lit("TENDRIL"))
+            .alias("region"),
+        )
+    )

@@ -420,3 +420,39 @@ def test_scc_string_keyed_host_graph(spark):
         "a.org": "a.org", "b.org": "a.org",
         "in.org": "in.org", "out.org": "out.org",
     }
+
+
+def test_bowtie_classify_known_shape(spark):
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        bowtie_classify,
+    )
+
+    # IN {1} -> core {2,3} -> OUT {4,5 chain}; tendril {6} hangs off IN
+    # (touches the structure but neither reaches nor is reached by the
+    # core); {8,9} a disconnected 2-cycle (its own SCC, but not giant)
+    edges = [
+        (1, 2), (2, 3), (3, 2), (3, 4), (4, 5),
+        (1, 6),
+        (8, 9), (9, 8),
+    ]
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {
+        r["node_id"]: (r["component"], r["region"])
+        for r in bowtie_classify(df).collect()
+    }
+    assert got == {
+        1: (1, "IN"),
+        2: (2, "SCC"),
+        3: (2, "SCC"),
+        4: (4, "OUT"),
+        5: (5, "OUT"),
+        6: (6, "TENDRIL"),   # reachable from IN only, not from the core
+        8: (8, "TENDRIL"),   # disconnected non-giant SCC
+        9: (8, "TENDRIL"),
+    }
+    # giant tie-break: two 2-cycles -> smaller component id wins
+    df2 = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 6), (6, 5)], "s long, t long"
+    )
+    got2 = {r["node_id"]: r["region"] for r in bowtie_classify(df2).collect()}
+    assert got2 == {1: "SCC", 2: "SCC", 5: "TENDRIL", 6: "TENDRIL"}
