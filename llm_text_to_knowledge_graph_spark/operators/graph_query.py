@@ -1051,3 +1051,38 @@ def bowtie_classify(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .alias("region"),
         )
     )
+
+
+def scc_condensation(edges: DataFrame) -> DataFrame:
+    """Condensation DAG of the directed graph: one node per SCC, one
+    edge (cs, ct, n_edges) per ordered pair of distinct components with
+    at least one original edge between them. The result is acyclic by
+    construction (any cycle of components would be one SCC), which is
+    what makes it the right substrate for topological passes —
+    dependency layering, reachability summaries, crawl-frontier
+    scheduling — over a graph whose raw form has cycles.
+
+    One SCC run + two broadcast-friendly joins + one partial-agg
+    groupBy; the component map is node-count-sized, the condensed edge
+    list is component-pair-sized (both far below the raw edge count on
+    web-shaped graphs).
+    """
+    comp = truncated_checkpoint(strongly_connected_components(edges))
+    return (
+        edges.select("s", "t")
+        .join(
+            comp.select(
+                F.col("node_id").alias("s"), F.col("component").alias("cs")
+            ),
+            "s",
+        )
+        .join(
+            comp.select(
+                F.col("node_id").alias("t"), F.col("component").alias("ct")
+            ),
+            "t",
+        )
+        .filter(F.col("cs") != F.col("ct"))
+        .groupBy("cs", "ct")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -456,3 +456,45 @@ def test_bowtie_classify_known_shape(spark):
     )
     got2 = {r["node_id"]: r["region"] for r in bowtie_classify(df2).collect()}
     assert got2 == {1: "SCC", 2: "SCC", 5: "TENDRIL", 6: "TENDRIL"}
+
+
+def test_scc_condensation_is_acyclic_and_matches_tarjan(spark):
+    import random as _r
+
+    from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+        scc_condensation,
+    )
+
+    _r.seed(13)
+    n = 20
+    edges = list({(_r.randint(0, n - 1), _r.randint(0, n - 1))
+                  for _ in range(45)})
+    edges = [(s, t) for s, t in edges if s != t]
+    comp = _tarjan_scc(edges)
+    want = {}
+    for s, t in edges:
+        if comp[s] != comp[t]:
+            key = (comp[s], comp[t])
+            want[key] = want.get(key, 0) + 1
+    df = spark.createDataFrame(edges, "s long, t long")
+    got = {
+        (r["cs"], r["ct"]): r["n_edges"]
+        for r in scc_condensation(df).collect()
+    }
+    assert got == want
+    # acyclic: Kahn's algorithm consumes every condensation node
+    nodes = {c for k in got for c in k}
+    indeg = {c: 0 for c in nodes}
+    for _, ct in got:
+        indeg[ct] += 1
+    queue = [c for c in nodes if indeg[c] == 0]
+    seen = 0
+    while queue:
+        c = queue.pop()
+        seen += 1
+        for (cs, ct) in got:
+            if cs == c:
+                indeg[ct] -= 1
+                if indeg[ct] == 0:
+                    queue.append(ct)
+    assert seen == len(nodes)
