@@ -1563,6 +1563,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bowtie_graph"] = bowtie_graph
 
+    # ---- Unicode NFC normalization (operators/textnorm.py): the
+    # documents table is pure ASCII, so deterministic non-NFC suffixes
+    # (combining acute / diaeresis) are appended by doc_id residue and
+    # the engines must agree on the composed result — DuckDB's builtin
+    # nfc_normalize vs the stdlib UAX#15 pandas UDF, a genuine
+    # cross-engine check of the normalization itself.
+    def unicode_nfc_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+            normalize_unicode,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        suffix = (
+            # DECOMPOSED sequences (e + combining acute, o + combining
+            # diaeresis) -- NFC must compose them; the composed form here
+            # would make the check vacuous
+            F.when(F.col("doc_id") % 3 == 0, F.lit("re\u0301sume\u0301"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("Gro\u0308\u00dfe"))
+            .otherwise(F.lit("plain"))
+        )
+        suffixed = d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" "), suffix).alias("text"),
+        )
+        out = normalize_unicode(suffixed, "text", "NFC")
+        return out.select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("nfc_md5"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    q["unicode_nfc_docs"] = unicode_nfc_docs
+
+    # ---- mojibake repair: ASCII docs + a KNOWN double-encoded suffix
+    # ("CafÃ©" = 'Café' through the cp1252 mangle) — the oracle asserts
+    # the exact repaired text by CONSTRUCTION, independent of the
+    # repair implementation.
+    def mojibake_repair_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+            fix_mojibake,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        mangled = "CafÃ©"  # 'Café' UTF-8 bytes read as cp1252
+        suffixed = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(" " + mangled))
+                .otherwise(F.lit(" plain")),
+            ).alias("text"),
+        )
+        out = fix_mojibake(suffixed, "text")
+        return out.select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("repaired_md5"),
+            F.col("text_was_mojibake").cast("boolean").alias("was_mojibake"),
+        )
+
+    q["mojibake_repair_docs"] = mojibake_repair_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4270,6 +4335,34 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'TENDRIL'
                    END AS region
             FROM comp c
+        """,
+        # NFC via DuckDB's builtin nfc_normalize vs the stdlib UAX#15
+        # pandas UDF — a true cross-engine check of the normalization
+        "unicode_nfc_docs": """
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     nfc_normalize(text || ' ' ||
+                       CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                              THEN 're' || chr(769) || 'sume' || chr(769)
+                            WHEN CAST(doc_id AS BIGINT) % 3 = 1
+                              THEN 'Gro' || chr(776) || chr(223) || 'e'
+                            ELSE 'plain' END) AS text
+              FROM documents)
+            SELECT doc_id, md5(text) AS nfc_md5,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM t
+        """,
+        # the mojibake oracle asserts the repaired text by CONSTRUCTION:
+        # the docs are ASCII and the appended garble is a KNOWN cp1252
+        # mangle of 'Café', so the correct repair is known a priori
+        # without simulating any codec in SQL
+        "mojibake_repair_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(text || CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                                 THEN ' Caf' || chr(233)
+                                 ELSE ' plain' END) AS repaired_md5,
+                   CAST(doc_id AS BIGINT) % 2 = 0 AS was_mojibake
+            FROM documents
         """,
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,

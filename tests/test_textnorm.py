@@ -1,0 +1,79 @@
+"""Unicode normalization + mojibake repair (operators/textnorm.py)."""
+
+import unicodedata
+
+import pytest
+
+from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+    fix_mojibake,
+    normalize_unicode,
+    repair_mojibake_str,
+)
+
+
+def test_repair_mojibake_classic_cases():
+    # UTF-8 read as cp1252, the dominant double-encoding family
+    assert repair_mojibake_str("CafÃ©") == "Café"
+    assert repair_mojibake_str("itâs") == "it’s"
+    assert repair_mojibake_str("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    # multi-byte CJK survives the round trip too
+    garbled = "日本語".encode("utf-8").decode("cp1252")
+    assert repair_mojibake_str(garbled) == "日本語"
+
+
+def test_repair_mojibake_leaves_clean_text_alone():
+    for s in ("plain ascii", "Café déjà vu", "日本語のテキスト",
+              "emoji 🙂 stays", "", "Ä single umlaut word ÄrztÄ"):
+        # either no markers or repair would not reduce them -> unchanged
+        assert repair_mojibake_str(s) == s
+
+
+def test_repair_mojibake_idempotent():
+    s = "CafÃ© corner"
+    once = repair_mojibake_str(s)
+    assert repair_mojibake_str(once) == once == "Café corner"
+
+
+def test_normalize_unicode_forms(spark):
+    rows = [
+        ("1", "Café"),          # decomposed e + combining acute
+        ("2", "ﬁne ｆｕｌｌ"),          # ligature + fullwidth (NFKC folds)
+        ("3", None),
+        ("4", "ascii only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    nfc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", "NFC").collect()
+    }
+    assert nfc["1"] == "Café" and len(nfc["1"]) == 4
+    assert nfc["2"] == "ﬁne ｆｕｌｌ"  # NFC keeps compatibility chars
+    assert nfc["3"] is None and nfc["4"] == "ascii only"
+    nfkc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", "NFKC").collect()
+    }
+    assert nfkc["2"] == "fine full"
+    assert nfkc["1"] == "Café"
+    # parity with the stdlib on every row
+    for k, v in nfkc.items():
+        want = rows[int(k) - 1][1]
+        assert v == (None if want is None else unicodedata.normalize("NFKC", want))
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, "text", "NFX")
+
+
+def test_fix_mojibake_dataframe(spark):
+    rows = [
+        ("1", "CafÃ©"),
+        ("2", "clean Café"),
+        ("3", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["text_was_mojibake"])
+        for r in fix_mojibake(df).collect()
+    }
+    assert got["1"] == ("Café", True)
+    assert got["2"] == ("clean Café", False)
+    assert got["3"] == (None, None)
