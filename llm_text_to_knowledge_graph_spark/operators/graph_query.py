@@ -807,7 +807,10 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 50, max_prop_iter: int = 30
+    edges: DataFrame,
+    max_rounds: int = 50,
+    max_prop_iter: int = 30,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """SCC of the DIRECTED graph (s, t) by forward-backward min-label
     partition refinement. Returns (node_id, component) with component =
@@ -838,8 +841,16 @@ def strongly_connected_components(
     localCheckpoint for reliable cluster-store checkpointing. Reference
     analogue: none (the reference has no graph layer) — this serves the
     web link-graph analytics family (linkgraph.py).
+
+    ``edges_canonical=True`` promises the input is already a
+    checkpointed distinct (s, t) projection — composition callers
+    (bowtie_classify) canonicalize once and skip the second full-edge
+    dedup shuffle, the largest shuffle in the operator.
     """
-    g = truncated_checkpoint(edges.select("s", "t").distinct())
+    if edges_canonical:
+        g = edges
+    else:
+        g = truncated_checkpoint(edges.select("s", "t").distinct())
     active = truncated_checkpoint(
         g.select(F.col("s").alias("node_id"))
         .unionByName(g.select(F.col("t").alias("node_id")))
@@ -997,7 +1008,10 @@ def bowtie_classify(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     docstring for why plain localCheckpoint chains explode driver-side
     across phases).
     """
-    comp = truncated_checkpoint(strongly_connected_components(edges))
+    g = truncated_checkpoint(edges.select("s", "t").distinct())
+    comp = truncated_checkpoint(
+        strongly_connected_components(g, edges_canonical=True)
+    )
     giant = (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1009,29 +1023,37 @@ def bowtie_classify(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     core = truncated_checkpoint(
         comp.filter(F.col("component") == F.col("_giant")).select("node_id")
     )
-    g = truncated_checkpoint(edges.select("s", "t").distinct())
 
     def _reach(g_dir: DataFrame) -> DataFrame:
         """All nodes reachable from the core along g_dir (s -> t),
         core excluded from the result only by the caller's region
         precedence. Anti-join frontier expansion to exhaustion."""
-        visited = core
-        frontier = core
-        for _ in range(max_iter):
-            nxt = truncated_checkpoint(
+
+        def expand(frontier, visited):
+            return truncated_checkpoint(
                 g_dir.join(frontier.withColumnRenamed("node_id", "s"), "s")
                 .select(F.col("t").alias("node_id"))
                 .distinct()
                 .join(visited, "node_id", "left_anti")
             )
+
+        visited = core
+        frontier = core
+        for _ in range(max_iter):
+            nxt = expand(frontier, visited)
             if nxt.isEmpty():
                 break
             visited = truncated_checkpoint(visited.unionByName(nxt))
             frontier = nxt
         else:
-            raise ValueError(
-                f"bow-tie reachability did not exhaust in {max_iter} hops"
-            )
+            # budget spent, but the LAST expansion may already have
+            # covered everything (eccentricity exactly max_iter) —
+            # one extra probe decides exhausted-vs-truncated
+            if not expand(frontier, visited).isEmpty():
+                raise ValueError(
+                    f"bow-tie reachability did not exhaust in "
+                    f"{max_iter} hops"
+                )
         return visited
 
     fwd = _reach(g)  # core ->* v  (OUT candidates)

@@ -21,6 +21,24 @@ def test_repair_mojibake_classic_cases():
     assert repair_mojibake_str(garbled) == "日本語"
 
 
+def test_repair_mojibake_whatwg_mixed_and_double():
+    # WHATWG windows-1252: C1 passthrough chars (here U+0081 from the
+    # mangled 'A-acute') and cp1252 punctuation in ONE string both repair
+    mixed = "\u00c1ndale it\u2019s".encode("utf-8").decode(
+        "cp1252", errors="replace"
+    )
+    # build via the WHATWG path instead: cp1252 with C1 passthrough
+    raw = "\u00c1ndale it\u2019s".encode("utf-8")
+    mixed = "".join(
+        bytes([b]).decode("cp1252", errors="ignore") or chr(b) for b in raw
+    )
+    assert repair_mojibake_str(mixed) == "\u00c1ndale it\u2019s"
+    # twice-mangled text peels BOTH layers in one call (fixpoint loop)
+    twice = ("Caf\u00e9".encode("utf-8").decode("cp1252")
+             .encode("utf-8").decode("cp1252"))
+    assert repair_mojibake_str(twice) == "Caf\u00e9"
+
+
 def test_repair_mojibake_leaves_clean_text_alone():
     for s in ("plain ascii", "Café déjà vu", "日本語のテキスト",
               "emoji 🙂 stays", "", "Ä single umlaut word ÄrztÄ"):
