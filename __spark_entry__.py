@@ -1628,6 +1628,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mojibake_repair_docs"] = mojibake_repair_docs
 
+    # ---- charset sniff + decode: html BYTES built in three real
+    # encodings (JVM encode: UTF-8 / ISO-8859-1 / UTF-16, which Java
+    # writes big-endian with BOM), decoded by the detector. The oracle
+    # asserts charset AND decoded text by construction.
+    def charset_decode_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+            decode_pages,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" Café")).alias("t"),
+        )
+        html = (
+            F.when(F.col("doc_id") % 3 == 0, F.encode(F.col("t"), "UTF-8"))
+            .when(
+                F.col("doc_id") % 3 == 1, F.encode(F.col("t"), "ISO-8859-1")
+            )
+            .otherwise(F.encode(F.col("t"), "UTF-16"))
+        )
+        pages = d.select("doc_id", html.alias("html"))
+        out = decode_pages(pages)
+        return out.select(
+            "doc_id",
+            "charset",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        )
+
+    q["charset_decode_docs"] = charset_decode_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4362,6 +4392,19 @@ def oracle_sql() -> dict[str, str]:
                                  THEN ' Caf' || chr(233)
                                  ELSE ' plain' END) AS repaired_md5,
                    CAST(doc_id AS BIGINT) % 2 = 0 AS was_mojibake
+            FROM documents
+        """,
+        # charset detection asserted by construction: the encodings are
+        # chosen per residue, so the expected label and decoded text
+        # are known a priori (Java's UTF-16 encoder writes big-endian
+        # with a BOM, hence utf-16-be)
+        "charset_decode_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE CAST(doc_id AS BIGINT) % 3
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'cp1252'
+                     ELSE 'utf-16-be' END AS charset,
+                   md5(text || ' Caf' || chr(233)) AS text_md5
             FROM documents
         """,
         "lsh_ann_topk": lsh_sql,

@@ -42,6 +42,7 @@ cost concentrates on the rows that can actually change.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
 import pandas as pd
@@ -172,4 +173,103 @@ def fix_mojibake(df: DataFrame, col: str = "text") -> DataFrame:
         )
         .withColumn(col, F.col("__fixed"))
         .drop("__fixed")
+    )
+
+
+# --- charset detection + decode (crawl ingest: html is BYTES) ---------
+
+# WHATWG-ish label normalization: declared latin-1 family is decoded as
+# windows-1252 (what browsers actually do); ascii is a utf-8 subset
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "utf-8",
+    "ascii": "utf-8",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "utf-16": "utf-16-le", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+_META_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I
+)
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Detect the charset of raw page bytes: BOM, then an HTML
+    meta-charset declaration in the first 1024 bytes, then content
+    sniffing (strict-UTF-8 validity; cp1252 as the can't-fail
+    fallback — every byte maps under the WHATWG table). Returns one of
+    utf-8-sig / utf-16-le / utf-16-be / utf-8 / cp1252."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if raw.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if raw.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii", errors="ignore").lower()
+        mapped = _CHARSET_LABELS.get(label)
+        if mapped == "utf-8":
+            # trust but verify: a lying utf-8 declaration falls through
+            # to the content sniff below
+            try:
+                raw.decode("utf-8")
+                return "utf-8"
+            except UnicodeDecodeError:
+                pass
+        elif mapped is not None:
+            return mapped
+    try:
+        raw.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "cp1252"
+
+
+def decode_page_bytes(raw: bytes) -> tuple[str, str]:
+    """(text, charset): decode per :func:`sniff_charset`, with cp1252
+    going through the WHATWG table (C1 passthrough for the five
+    unmapped bytes) so no byte ever errors."""
+    cs = sniff_charset(raw)
+    if cs == "cp1252":
+        text = "".join(
+            bytes([b]).decode("cp1252", errors="ignore") or chr(b)
+            for b in raw
+        )
+    else:
+        codec = {"utf-16-le": "utf-16-le", "utf-16-be": "utf-16-be"}.get(
+            cs, cs
+        )
+        text = raw.decode(codec, errors="replace")
+        if cs in ("utf-16-le", "utf-16-be") and text[:1] == "﻿":
+            text = text[1:]
+    return text, cs
+
+
+def decode_pages(
+    df: DataFrame, col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """Adds ``text_col`` + ``charset`` decoded from the binary ``col``
+    — the charset-aware replacement for a blind utf-8 decode at crawl
+    ingest. One Arrow crossing computes both outputs."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_t = StructType([
+        StructField("t", StringType()),
+        StructField("c", StringType()),
+    ])
+
+    @F.pandas_udf(out_t)
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            (None, None) if x is None else decode_page_bytes(bytes(x))
+            for x in s
+        ]
+        return pd.DataFrame(rows, columns=["t", "c"])
+
+    tmp = df.withColumn("__dec", _dec(F.col(col)))
+    return (
+        tmp.withColumn(text_col, F.col("__dec.t"))
+        .withColumn("charset", F.col("__dec.c"))
+        .drop("__dec")
     )

@@ -95,3 +95,63 @@ def test_fix_mojibake_dataframe(spark):
     assert got["1"] == ("Café", True)
     assert got["2"] == ("clean Café", False)
     assert got["3"] == (None, None)
+
+
+def test_sniff_charset_paths():
+    from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+        sniff_charset,
+    )
+
+    assert sniff_charset("plain".encode("utf-8")) == "utf-8"
+    assert sniff_charset("Café".encode("utf-8")) == "utf-8"
+    assert sniff_charset("Café".encode("latin-1")) == "cp1252"
+    assert sniff_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
+    assert sniff_charset("hi".encode("utf-16")) == "utf-16-le"  # BOM
+    # meta declaration wins for the latin-1 family even on pure ASCII
+    assert sniff_charset(
+        b'<meta charset="iso-8859-1"><p>plain</p>'
+    ) == "cp1252"
+    # a LYING utf-8 declaration over invalid utf-8 falls to the sniff
+    assert sniff_charset(
+        b'<meta charset="utf-8">' + "Café".encode("latin-1")
+    ) == "cp1252"
+
+
+def test_decode_page_bytes_roundtrips():
+    from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+        decode_page_bytes,
+    )
+
+    for cs_enc, want_cs in (
+        ("utf-8", "utf-8"), ("latin-1", "cp1252"), ("utf-16", "utf-16-le")
+    ):
+        text, cs = decode_page_bytes("Café déjà".encode(cs_enc))
+        assert (text, cs) == ("Café déjà", want_cs), cs_enc
+    # WHATWG C1 passthrough: 0x81 raw never errors
+    text, cs = decode_page_bytes(b"x\x81y")
+    assert cs == "cp1252" and text == "x\x81y"
+
+
+def test_decode_pages_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+        decode_pages,
+    )
+
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("3",)], "doc_id string"
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") == "1", F.encode(F.lit("Café A"), "UTF-8"))
+        .when(F.col("doc_id") == "2", F.encode(F.lit("Café B"), "ISO-8859-1"))
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("html"),
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["charset"])
+        for r in decode_pages(df).collect()
+    }
+    assert got["1"] == ("Café A", "utf-8")
+    assert got["2"] == ("Café B", "cp1252")
+    assert got["3"] == (None, None)
