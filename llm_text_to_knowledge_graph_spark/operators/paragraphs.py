@@ -25,23 +25,42 @@ def _extract_paragraphs_udf(html: pd.Series, text: pd.Series) -> pd.Series:
 
 
 @pandas_udf(ArrayType(StringType()))
+def _extract_paragraphs_auto_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_paragraphs_text(h, t, charset="auto")
+         for h, t in zip(html, text)]
+    )
+
+
+@pandas_udf(ArrayType(StringType()))
 def _split_sentences_udf(text: pd.Series) -> pd.Series:
     return pd.Series([split_sentences(t) for t in text])
 
 
-def extract_paragraphs(pages: DataFrame, lang: str | None = "en") -> DataFrame:
+def extract_paragraphs(
+    pages: DataFrame, lang: str | None = "en", charset: str = "utf-8"
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> paragraphs(url, warc_ts, para_idx, text).
 
     ``lang`` predicate is applied before the UDF so Catalyst pushes it to the
     scan (partition pruning on a lang-partitioned table at scale).
+    ``charset="auto"`` sniffs each page's encoding (BOM / meta / content,
+    operators/textnorm.py) instead of the reference's blind utf-8 decode —
+    identical output on valid UTF-8, correct output on latin-1/UTF-16
+    crawl pages.
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
+    udf = (
+        _extract_paragraphs_auto_udf
+        if charset == "auto"
+        else _extract_paragraphs_udf
+    )
     return (
         pages.select(
             "url",
             "warc_ts",
-            F.posexplode(_extract_paragraphs_udf(F.col("html"), F.col("text"))).alias(
+            F.posexplode(udf(F.col("html"), F.col("text"))).alias(
                 "para_idx", "text"
             ),
         )

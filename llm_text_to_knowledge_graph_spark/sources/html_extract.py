@@ -31,12 +31,21 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
 
-def extract_paragraphs_text(html: bytes | None, text: str | None) -> list[str]:
+def extract_paragraphs_text(
+    html: bytes | None, text: str | None, charset: str = "utf-8"
+) -> list[str]:
     """Extract content paragraphs from a page.
 
     html-mode: parse <p> blocks outside boilerplate containers.
     text-mode (html is None): pre-extracted text split on blank lines
     (process_text_file.py:57 split semantics).
+
+    ``charset="utf-8"`` keeps the reference's byte-exact decode
+    semantics (utf-8, errors=replace). ``charset="auto"`` sniffs per
+    page (BOM / meta declaration / content — operators/textnorm.py),
+    so latin-1 and UTF-16 crawl pages decode correctly instead of
+    garbling; on valid UTF-8 input both modes produce IDENTICAL text,
+    which is why auto is safe to enable at ingest.
 
     Returns the dense, filtered, stripped paragraph list — index in the list
     IS para_idx (pub.py:61-64 dense renumbering).
@@ -44,7 +53,12 @@ def extract_paragraphs_text(html: bytes | None, text: str | None) -> list[str]:
     if html is None:
         raw_paras = (text or "").split("\n\n")
     else:
-        doc = html.decode("utf-8", errors="replace")
+        if charset == "auto":
+            from ..operators.textnorm import decode_page_bytes
+
+            doc, _cs = decode_page_bytes(bytes(html))
+        else:
+            doc = html.decode(charset, errors="replace")
         doc = _SCRIPT_STYLE_RE.sub(" ", doc)
         doc = _BOILERPLATE_DIV_RE.sub(" ", doc)
         raw_paras = []

@@ -155,3 +155,40 @@ def test_decode_pages_dataframe(spark):
     assert got["1"] == ("Café A", "utf-8")
     assert got["2"] == ("Café B", "cp1252")
     assert got["3"] == (None, None)
+
+
+def test_extract_paragraphs_charset_auto(spark):
+    """charset='auto' wires the sniffing decode into the ingest path:
+    a latin-1 page extracts clean text where the blind utf-8 decode
+    garbles it, and on valid UTF-8 both modes are identical."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from llm_text_to_knowledge_graph_spark.operators.paragraphs import (
+        extract_paragraphs,
+    )
+    from llm_text_to_knowledge_graph_spark.schemas import PAGES
+
+    body = "<html><body><p>" + "Caf\u00e9 touch\u00e9 over there, a long paragraph body." + "</p></body></html>"
+    ts = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("u://latin1", ts, body.encode("latin-1"), None, "en"),
+            ("u://utf8", ts, body.encode("utf-8"), None, "en"),
+        ],
+        schema=PAGES,
+    )
+    auto = {
+        r["url"]: r["text"]
+        for r in extract_paragraphs(pages, charset="auto").collect()
+    }
+    want = "Caf\u00e9 touch\u00e9 over there, a long paragraph body."
+    assert auto["u://latin1"] == want
+    assert auto["u://utf8"] == want
+    blind = {
+        r["url"]: r["text"]
+        for r in extract_paragraphs(pages).collect()
+    }
+    assert blind["u://utf8"] == want          # identical on valid UTF-8
+    assert "\ufffd" in blind["u://latin1"]    # the garble auto avoids
