@@ -17,19 +17,21 @@ from pyspark.sql.types import ArrayType, StringType
 from ..sources.html_extract import extract_paragraphs_text, split_sentences
 
 
-@pandas_udf(ArrayType(StringType()))
-def _extract_paragraphs_udf(html: pd.Series, text: pd.Series) -> pd.Series:
-    return pd.Series(
-        [extract_paragraphs_text(h, t) for h, t in zip(html, text)]
-    )
+def _make_paragraphs_udf(charset: str):
+    @pandas_udf(ArrayType(StringType()))
+    def _udf(html: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_paragraphs_text(h, t, charset=charset)
+             for h, t in zip(html, text)]
+        )
+
+    return _udf
 
 
-@pandas_udf(ArrayType(StringType()))
-def _extract_paragraphs_auto_udf(html: pd.Series, text: pd.Series) -> pd.Series:
-    return pd.Series(
-        [extract_paragraphs_text(h, t, charset="auto")
-         for h, t in zip(html, text)]
-    )
+# one definition, two decode modes (blind utf-8 = reference parity;
+# auto = charset-sniffing ingest)
+_extract_paragraphs_udf = _make_paragraphs_udf("utf-8")
+_extract_paragraphs_auto_udf = _make_paragraphs_udf("auto")
 
 
 @pandas_udf(ArrayType(StringType()))

@@ -178,72 +178,97 @@ def fix_mojibake(df: DataFrame, col: str = "text") -> DataFrame:
 
 # --- charset detection + decode (crawl ingest: html is BYTES) ---------
 
-# WHATWG-ish label normalization: declared latin-1 family is decoded as
-# windows-1252 (what browsers actually do); ascii is a utf-8 subset
+# WHATWG-ish label normalization for legacy declarations; the latin-1
+# family is decoded as windows-1252 (what browsers actually do).
+# utf-8/utf-16 labels are intentionally ABSENT: a declaration readable
+# in the ASCII-compatible byte stream cannot be utf-16 (WHATWG maps
+# those labels to utf-8), and utf-8 is already decided content-first.
 _CHARSET_LABELS = {
-    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "utf-8",
-    "ascii": "utf-8",
     "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
     "latin1": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
-    "utf-16": "utf-16-le", "utf-16le": "utf-16-le",
-    "utf-16be": "utf-16-be",
 }
+# a real meta tag, not any stray "charset=" in a URL or script src
 _META_CHARSET_RE = re.compile(
-    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I
 )
+# C-level WHATWG windows-1252 decode: latin-1 (bytes==codepoints), then
+# translate the 0x80-0x9F block to its cp1252 images (C1 passthrough
+# for the five unmapped bytes keeps the identity mapping)
+_W1252_TRANS = str.maketrans({
+    b: bytes([b]).decode("cp1252", errors="ignore") or chr(b)
+    for b in range(0x80, 0xA0)
+})
 
 
-def sniff_charset(raw: bytes) -> str:
-    """Detect the charset of raw page bytes: BOM, then an HTML
-    meta-charset declaration in the first 1024 bytes, then content
-    sniffing (strict-UTF-8 validity; cp1252 as the can't-fail
-    fallback — every byte maps under the WHATWG table). Returns one of
-    utf-8-sig / utf-16-le / utf-16-be / utf-8 / cp1252."""
+def _decode_w1252(raw: bytes) -> str:
+    return raw.decode("latin-1").translate(_W1252_TRANS)
+
+
+def _sniff_and_decode(raw: bytes) -> tuple[str, str]:
+    """(text, charset) in one pass — every decode result is reused, so
+    the dominant valid-UTF-8 page pays exactly ONE strict decode.
+
+    Order of evidence (content-first, declarations can lie):
+      1. BOM (utf-8-sig / utf-16 either endianness).
+      2. Strict UTF-8 validity of the WHOLE body: valid and NUL-free
+         means utf-8, whatever any meta tag claims (mislabeled legacy
+         declarations over valid UTF-8 are endemic on the legacy web).
+         NUL bytes inside "valid UTF-8" are the BOM-less UTF-16
+         signature (ASCII chars carry a zero byte each); the zero
+         parity (even/odd offsets) picks the endianness.
+      3. A real <meta ... charset=...> declaration from the legacy
+         latin-1 family (only consulted once UTF-8 has failed).
+      4. Nearly-valid UTF-8: a handful of bad bytes (<= 4) against
+         at least twice as many SUCCESSFULLY decoded multibyte
+         sequences — real UTF-8 structure with crawl noise stays utf-8
+         with U+FFFD holes instead of mojibaking the whole page
+         through cp1252, while genuine latin-1 text (where every
+         non-ASCII byte fails) never qualifies.
+      5. cp1252 via the WHATWG table — the cannot-fail fallback.
+    """
     if raw.startswith(b"\xef\xbb\xbf"):
-        return "utf-8-sig"
+        return raw.decode("utf-8-sig", errors="replace"), "utf-8-sig"
     if raw.startswith(b"\xff\xfe"):
-        return "utf-16-le"
+        return raw.decode("utf-16", errors="replace"), "utf-16-le"
     if raw.startswith(b"\xfe\xff"):
-        return "utf-16-be"
+        return raw.decode("utf-16", errors="replace"), "utf-16-be"
+    try:
+        text = raw.decode("utf-8")
+        if b"\x00" not in raw:
+            return text, "utf-8"
+        even = raw[0::2].count(0)
+        odd = raw[1::2].count(0)
+        if odd >= even:  # zeros in high bytes of LE code units
+            return raw.decode("utf-16-le", errors="replace"), "utf-16-le"
+        return raw.decode("utf-16-be", errors="replace"), "utf-16-be"
+    except UnicodeDecodeError:
+        pass
     m = _META_CHARSET_RE.search(raw[:1024])
     if m:
         label = m.group(1).decode("ascii", errors="ignore").lower()
-        mapped = _CHARSET_LABELS.get(label)
-        if mapped == "utf-8":
-            # trust but verify: a lying utf-8 declaration falls through
-            # to the content sniff below
-            try:
-                raw.decode("utf-8")
-                return "utf-8"
-            except UnicodeDecodeError:
-                pass
-        elif mapped is not None:
-            return mapped
-    try:
-        raw.decode("utf-8")
-        return "utf-8"
-    except UnicodeDecodeError:
-        return "cp1252"
+        if _CHARSET_LABELS.get(label) == "cp1252":
+            return _decode_w1252(raw), "cp1252"
+    text = raw.decode("utf-8", errors="replace")
+    n_bad = text.count("\ufffd")
+    n_good_mb = sum(
+        1 for ch in text if ord(ch) > 0x7F and ch != "\ufffd"
+    )
+    if n_bad <= 4 and n_good_mb >= 2 * n_bad:
+        return text, "utf-8"
+    return _decode_w1252(raw), "cp1252"
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Charset label only — see :func:`_sniff_and_decode` for the
+    evidence order. Returns one of utf-8-sig / utf-16-le / utf-16-be /
+    utf-8 / cp1252."""
+    return _sniff_and_decode(raw)[1]
 
 
 def decode_page_bytes(raw: bytes) -> tuple[str, str]:
-    """(text, charset): decode per :func:`sniff_charset`, with cp1252
-    going through the WHATWG table (C1 passthrough for the five
-    unmapped bytes) so no byte ever errors."""
-    cs = sniff_charset(raw)
-    if cs == "cp1252":
-        text = "".join(
-            bytes([b]).decode("cp1252", errors="ignore") or chr(b)
-            for b in raw
-        )
-    else:
-        codec = {"utf-16-le": "utf-16-le", "utf-16-be": "utf-16-be"}.get(
-            cs, cs
-        )
-        text = raw.decode(codec, errors="replace")
-        if cs in ("utf-16-le", "utf-16-be") and text[:1] == "﻿":
-            text = text[1:]
-    return text, cs
+    """(text, charset): single-pass sniff + decode (no byte is decoded
+    twice on the valid-UTF-8 hot path)."""
+    return _sniff_and_decode(raw)
 
 
 def decode_pages(

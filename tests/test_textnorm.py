@@ -107,14 +107,36 @@ def test_sniff_charset_paths():
     assert sniff_charset("Café".encode("latin-1")) == "cp1252"
     assert sniff_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
     assert sniff_charset("hi".encode("utf-16")) == "utf-16-le"  # BOM
-    # meta declaration wins for the latin-1 family even on pure ASCII
+    # content-first: a legacy declaration NEVER overrides valid UTF-8
+    # (pure ASCII decodes identically either way, and mislabeled
+    # iso-8859-1 over real UTF-8 is endemic on the legacy web)
     assert sniff_charset(
         b'<meta charset="iso-8859-1"><p>plain</p>'
+    ) == "utf-8"
+    assert sniff_charset(
+        b'<meta charset="iso-8859-1">' + "Caf\u00e9".encode("utf-8")
+    ) == "utf-8"
+    # the declaration decides only once strict UTF-8 has failed
+    assert sniff_charset(
+        b'<meta charset="iso-8859-1">' + "Caf\u00e9".encode("latin-1")
     ) == "cp1252"
     # a LYING utf-8 declaration over invalid utf-8 falls to the sniff
     assert sniff_charset(
-        b'<meta charset="utf-8">' + "Café".encode("latin-1")
+        b'<meta charset="utf-8">' + "Caf\u00e9".encode("latin-1")
     ) == "cp1252"
+    # stray charset= in a URL is NOT a declaration
+    assert sniff_charset(
+        b'<script src="/l.js?charset=utf-16be"></script>'
+        + "Caf\u00e9".encode("utf-8")
+    ) == "utf-8"
+    # crawl noise: real UTF-8 structure + a stray byte stays utf-8
+    assert sniff_charset(
+        "<p>Caf\u00e9 r\u00e9sum\u00e9 and much more</p>".encode("utf-8")
+        + b"\x80"
+    ) == "utf-8"
+    # BOM-less UTF-16 via the NUL-parity heuristic
+    assert sniff_charset("hello world page".encode("utf-16-le")) == "utf-16-le"
+    assert sniff_charset("hello world page".encode("utf-16-be")) == "utf-16-be"
 
 
 def test_decode_page_bytes_roundtrips():
