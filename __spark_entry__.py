@@ -1658,6 +1658,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["charset_decode_docs"] = charset_decode_docs
 
+    # ---- RFC 9309 robots.txt gate: one shared policy body, URL paths
+    # constructed by residue so every verdict (prefix disallow,
+    # longest-match allow override, $-anchored wildcard, plain allow)
+    # is known a priori — the oracle asserts by construction.
+    def robots_gate_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.robots import (
+            robots_filter,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit("/doc"), F.col("doc_id").cast("string"),
+                    F.lit(".pdf"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("/page"), F.col("doc_id").cast("string"))
+            )
+            .alias("path"),
+        )
+        body = (
+            "User-agent: *\nDisallow: /private/\n"
+            "Allow: /private/ok$\nDisallow: /*.pdf$\n"
+        )
+        robots = (
+            urls.select("host").distinct().select(
+                "host", F.lit(body).alias("robots_body")
+            )
+        )
+        out = robots_filter(urls, robots)
+        return out.select(
+            "doc_id", "host", "path",
+            F.col("crawl_allowed").cast("boolean").alias("crawl_allowed"),
+        )
+
+    q["robots_gate_docs"] = robots_gate_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4405,6 +4457,21 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN 'cp1252'
                      ELSE 'utf-16-be' END AS charset,
                    md5(text || ' Caf' || chr(233)) AS text_md5
+            FROM documents
+        """,
+        # robots verdicts by construction: residue 0 hits the /private/
+        # prefix disallow, 1 the longer $-anchored allow override, 2 the
+        # *.pdf$ wildcard disallow, 3 nothing (allowed)
+        "robots_gate_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'h' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+                       || '.example.org' AS host,
+                   CASE CAST(doc_id AS BIGINT) % 4
+                     WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '/private/ok'
+                     WHEN 2 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+                     ELSE '/page' || CAST(doc_id AS VARCHAR) END AS path,
+                   CAST(doc_id AS BIGINT) % 4 IN (1, 3) AS crawl_allowed
             FROM documents
         """,
         "lsh_ann_topk": lsh_sql,

@@ -1,0 +1,144 @@
+"""RFC 9309 robots.txt evaluation — the crawl-politeness gate.
+
+A crawl pipeline filters its URL frontier against each host's
+robots.txt BEFORE fetching; re-crawls re-evaluate stored frontiers
+whenever a robots body changes. Implemented from the RFC (and the
+classic Google REP draft it standardized):
+
+* group selection — the group whose ``User-agent`` token is the
+  longest case-insensitive match for the crawler's product token;
+  ``*`` is the fallback group; consecutive UA lines share one group.
+* rule matching — ``Allow``/``Disallow`` patterns match the URL path
+  by prefix, with ``*`` (any octets) and ``$`` (end anchor); the rule
+  with the LONGEST pattern (octet length) wins, and on a tie Allow
+  wins (RFC 9309 §2.2.2). An empty ``Disallow:`` matches nothing, and
+  a missing/empty group allows everything.
+
+Spark shape: robots bodies are parsed ONCE PER HOST into a broadcast
+or hash-joined rules table (hosts number in the millions where pages
+number in the trillions), and the per-URL check is a pandas UDF over
+(path, compiled-rules) — regex compilation amortized per host via an
+lru cache keyed by the rules tuple. Percent-encoding normalization is
+intentionally out of scope (both sides of the comparison come from the
+same crawler's canonicalizer — urls.py).
+
+Reference analogue: none (the reference fetches no web pages); this
+serves the crawl-ingest family (linkgraph.py, urls.py, corpus.py).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_UA_RE = re.compile(r"^\s*user-agent\s*:\s*(.*?)\s*(?:#.*)?$", re.I)
+_RULE_RE = re.compile(r"^\s*(allow|disallow)\s*:\s*(\S*)\s*(?:#.*)?$", re.I)
+
+
+def parse_robots(body: str | None, agent: str = "*") -> tuple:
+    """Extract the (allow, pattern) rules governing ``agent`` from a
+    robots.txt body, per RFC 9309 group selection. Returns a tuple
+    (hashable — it keys the compiled-matcher cache), empty = allow all.
+    """
+    if not body:
+        return ()
+    agent_lc = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_group_body = False
+    for line in body.splitlines():
+        m = _UA_RE.match(line)
+        if m:
+            if in_group_body and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            in_group_body = False
+            cur_agents.append(m.group(1).lower())
+            continue
+        m = _RULE_RE.match(line)
+        if m and cur_agents:
+            in_group_body = True
+            cur_rules.append(
+                (m.group(1).lower() == "allow", m.group(2))
+            )
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    # longest matching UA token wins; '*' is the fallback
+    best: tuple[int, list[tuple[bool, str]]] | None = None
+    fallback: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                if fallback is None:
+                    fallback = rules
+            elif a in agent_lc or agent_lc in a:
+                if best is None or len(a) > best[0]:
+                    best = (len(a), rules)
+    rules = best[1] if best is not None else fallback
+    return tuple(r for r in (rules or ()) if r[1] or r[0])
+
+
+@lru_cache(maxsize=4096)
+def _compiled(rules: tuple):
+    """[(allow, pattern_len, compiled_regex)] sorted longest-first so
+    the first match IS the most specific; Allow sorts before Disallow
+    at equal length (the RFC tiebreak)."""
+    out = []
+    for allow, pat in rules:
+        if not pat:
+            continue  # empty Disallow matches nothing
+        rx = re.escape(pat).replace(r"\*", ".*")
+        if rx.endswith(r"\$"):
+            rx = rx[: -len(r"\$")] + "$"
+        out.append((allow, len(pat), re.compile("^" + rx)))
+    out.sort(key=lambda t: (-t[1], not t[0]))
+    return tuple(out)
+
+
+def robots_allowed(path: str, rules: tuple) -> bool:
+    """Longest-match verdict for one URL path; no rules = allowed."""
+    for allow, _n, rx in _compiled(rules):
+        if rx.match(path):
+            return allow
+    return True
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+    body_col: str = "robots_body",
+) -> DataFrame:
+    """Adds ``crawl_allowed`` to ``urls(host, path, ...)`` by joining
+    ``robots(host, robots_body)`` and evaluating RFC 9309 rules.
+
+    The join is host-keyed (broadcast when the robots table is small —
+    AQE decides); the UDF re-parses one body per DISTINCT body via an
+    lru cache, so per-row cost is one longest-first regex scan.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def _allowed(path: pd.Series, body: pd.Series) -> pd.Series:
+        @lru_cache(maxsize=1024)
+        def rules_for(b):
+            return parse_robots(b, agent)
+
+        return pd.Series(
+            [
+                robots_allowed(p or "/", rules_for(b))
+                for p, b in zip(path, body)
+            ]
+        )
+
+    joined = urls.join(robots, host_col, "left")
+    return joined.withColumn(
+        "crawl_allowed", _allowed(F.col(path_col), F.col(body_col))
+    ).drop(body_col)
