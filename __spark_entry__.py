@@ -1710,6 +1710,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_gate_docs"] = robots_gate_docs
 
+    # ---- sitemap frontier seeding: one synthetic sitemap body per
+    # doc (a <url> entry with an entity-escaped loc + lastmod, plus a
+    # <sitemap> index entry) parsed into frontier rows. Oracle
+    # reconstructs both rows per doc in SQL — the escapes decode and
+    # the block-scoped lastmod attach are what is being checked.
+    def sitemap_frontier_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.robots import (
+            sitemap_urls,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        # host unique per doc: the parse output is host-keyed, so the
+        # doc_id re-attach join must be 1:2, never cross-doc
+        host = F.concat(
+            F.lit("h"), F.col("doc_id").cast("string"),
+            F.lit(".example.org"),
+        )
+        body = F.concat(
+            F.lit("<urlset><url><loc>https://"), host,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.lit("?a=1&amp;b=2</loc><lastmod>2024-01-"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url></urlset>"
+                  "<sitemapindex><sitemap><loc>https://"),
+            host,
+            F.lit("/sitemap-next.xml</loc></sitemap></sitemapindex>"),
+        )
+        sm = d.select("doc_id", host.alias("host"), body.alias("body"))
+        out = sitemap_urls(sm)
+        return out.join(sm.select("doc_id", "host"), "host").select(
+            "doc_id", "host", "loc", "lastmod",
+            F.col("is_index").cast("boolean").alias("is_index"),
+        ).distinct()
+
+    q["sitemap_frontier_docs"] = sitemap_frontier_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4473,6 +4511,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE '/page' || CAST(doc_id AS VARCHAR) END AS path,
                    CAST(doc_id AS BIGINT) % 4 IN (1, 3) AS crawl_allowed
             FROM documents
+        """,
+        # sitemap rows by construction: a url row (escaped loc decoded,
+        # zero-padded lastmod) and an index row per doc
+        "sitemap_frontier_docs": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'h' || CAST(doc_id AS VARCHAR) || '.example.org'
+                       AS host
+              FROM documents)
+            SELECT doc_id, host,
+                   'https://' || host || '/p/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=2' AS loc,
+                   '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0') AS lastmod,
+                   FALSE AS is_index
+            FROM d
+            UNION ALL
+            SELECT doc_id, host,
+                   'https://' || host || '/sitemap-next.xml' AS loc,
+                   NULL AS lastmod, TRUE AS is_index
+            FROM d
         """,
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,

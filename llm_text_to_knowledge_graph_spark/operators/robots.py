@@ -142,3 +142,80 @@ def robots_filter(
     return joined.withColumn(
         "crawl_allowed", _allowed(F.col(path_col), F.col(body_col))
     ).drop(body_col)
+
+
+# --- sitemap parsing (frontier seeding, the robots gate's companion) --
+
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.I | re.S)
+_LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.I | re.S)
+_URL_BLOCK_RE = re.compile(r"<(url|sitemap)\b.*?</\1>", re.I | re.S)
+_XML_ESCAPES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
+}
+
+
+def _xml_unescape(s: str) -> str:
+    for k, v in _XML_ESCAPES.items():
+        s = s.replace(k, v)
+    return s
+
+
+def parse_sitemap(body: str | None) -> list[tuple[str, str | None, bool]]:
+    """(loc, lastmod, is_index) rows from a sitemap or sitemap-index
+    body (sitemaps.org protocol). Regex-scoped per <url>/<sitemap>
+    block so a lastmod never attaches to a neighboring loc; XML entity
+    escapes in locs are decoded (the protocol REQUIRES escaping '&').
+    Malformed blocks without a <loc> are skipped, not fatal — crawl
+    inputs are hostile."""
+    if not body:
+        return []
+    out = []
+    for m in _URL_BLOCK_RE.finditer(body):
+        block = m.group(0)
+        loc = _LOC_RE.search(block)
+        if not loc:
+            continue
+        lm = _LASTMOD_RE.search(block)
+        out.append((
+            _xml_unescape(loc.group(1)),
+            lm.group(1) if lm else None,
+            m.group(1).lower() == "sitemap",
+        ))
+    return out
+
+
+def sitemap_urls(
+    sitemaps: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """sitemaps(host, body) -> (host, loc, lastmod, is_index): one
+    Arrow crossing parses, posexplode flattens — the frontier-seed
+    source that joins against the robots gate and the URL canonicalizer
+    (urls.py). Index rows (is_index=true) are the NEXT fetch round's
+    sitemap list; at scale the fetch loop iterates exactly like the
+    WARC reader's listing pass."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType as _B, StringType as _S, StructField,
+        StructType,
+    )
+
+    row_t = StructType([
+        StructField("loc", _S()),
+        StructField("lastmod", _S()),
+        StructField("is_index", _B()),
+    ])
+
+    @F.pandas_udf(ArrayType(row_t))
+    def _parse(body: pd.Series) -> pd.Series:
+        return pd.Series([parse_sitemap(b) for b in body])
+
+    return (
+        sitemaps.select(
+            host_col, F.explode(_parse(F.col(body_col))).alias("u")
+        )
+        .select(
+            host_col,
+            F.col("u.loc").alias("loc"),
+            F.col("u.lastmod").alias("lastmod"),
+            F.col("u.is_index").alias("is_index"),
+        )
+    )

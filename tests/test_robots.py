@@ -84,3 +84,54 @@ def test_robots_filter_dataframe(spark):
         for r in robots_filter(urls, robots).collect()
     }
     assert got == {1: False, 2: True, 3: True}
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.org/page?x=1&amp;y=2</loc>
+       <lastmod>2024-01-05</lastmod></url>
+  <url><loc> https://a.org/plain </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://a.org/sitemap-1.xml</loc>
+           <lastmod>2024-02-01</lastmod></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap():
+    from llm_text_to_knowledge_graph_spark.operators.robots import (
+        parse_sitemap,
+    )
+
+    got = parse_sitemap(SITEMAP)
+    # entity-unescaped loc, block-scoped lastmod, loc-less block skipped
+    assert got == [
+        ("https://a.org/page?x=1&y=2", "2024-01-05", False),
+        ("https://a.org/plain", None, False),
+    ]
+    assert parse_sitemap(SITEMAP_INDEX) == [
+        ("https://a.org/sitemap-1.xml", "2024-02-01", True),
+    ]
+    assert parse_sitemap(None) == [] and parse_sitemap("junk <loc>") == []
+
+
+def test_sitemap_urls_dataframe(spark):
+    from llm_text_to_knowledge_graph_spark.operators.robots import (
+        sitemap_urls,
+    )
+
+    df = spark.createDataFrame(
+        [("a.org", SITEMAP), ("b.org", SITEMAP_INDEX)],
+        "host string, body string",
+    )
+    rows = {
+        (r["host"], r["loc"], r["lastmod"], r["is_index"])
+        for r in sitemap_urls(df).collect()
+    }
+    assert rows == {
+        ("a.org", "https://a.org/page?x=1&y=2", "2024-01-05", False),
+        ("a.org", "https://a.org/plain", None, False),
+        ("b.org", "https://a.org/sitemap-1.xml", "2024-02-01", True),
+    }
