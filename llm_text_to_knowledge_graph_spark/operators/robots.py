@@ -36,8 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-_UA_RE = re.compile(r"^\s*user-agent\s*:\s*(.*?)\s*(?:#.*)?$", re.I)
-_RULE_RE = re.compile(r"^\s*(allow|disallow)\s*:\s*(\S*)\s*(?:#.*)?$", re.I)
+_UA_RE = re.compile(r"^\s*user-agent\s*:\s*([^#]*?)\s*(?:#.*)?$", re.I)
+# a comment may abut the value with no whitespace ('Disallow: /a#staff')
+_RULE_RE = re.compile(r"^\s*(allow|disallow)\s*:\s*([^\s#]*)", re.I)
+# any other directive (Crawl-delay, Sitemap, ...) still closes a group:
+# a following User-agent line starts a NEW group, not an alias
+_DIRECTIVE_RE = re.compile(r"^\s*[a-z][a-z0-9\-]*\s*:", re.I)
 
 
 def parse_robots(body: str | None, agent: str = "*") -> tuple:
@@ -47,6 +51,7 @@ def parse_robots(body: str | None, agent: str = "*") -> tuple:
     """
     if not body:
         return ()
+    body = body.lstrip("\ufeff")  # real robots.txt files carry BOMs
     agent_lc = agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -67,21 +72,39 @@ def parse_robots(body: str | None, agent: str = "*") -> tuple:
             cur_rules.append(
                 (m.group(1).lower() == "allow", m.group(2))
             )
+            continue
+        if _DIRECTIVE_RE.match(line) and cur_agents:
+            in_group_body = True  # Crawl-delay/Sitemap close the group too
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    # longest matching UA token wins; '*' is the fallback
-    best: tuple[int, list[tuple[bool, str]]] | None = None
-    fallback: list[tuple[bool, str]] | None = None
-    for agents, rules in groups:
+    # the group token matches when it is a prefix of the crawler's
+    # product token (never the reverse: agent 'bot' must not adopt
+    # 'googlebot' rules); longest token wins, '*' is the fallback, and
+    # per RFC 9309 2.2.1 ALL groups at the winning specificity combine
+    best_len = 0
+    for agents, _rules in groups:
         for a in agents:
-            if a == "*":
-                if fallback is None:
-                    fallback = rules
-            elif a in agent_lc or agent_lc in a:
-                if best is None or len(a) > best[0]:
-                    best = (len(a), rules)
-    rules = best[1] if best is not None else fallback
-    return tuple(r for r in (rules or ()) if r[1] or r[0])
+            if a and a != "*" and agent_lc.startswith(a):
+                best_len = max(best_len, len(a))
+    combined: list[tuple[bool, str]] = []
+    for agents, rules in groups:
+        tokens = [a for a in agents if a]
+        if best_len:
+            if any(
+                a != "*" and len(a) == best_len and agent_lc.startswith(a)
+                for a in tokens
+            ):
+                combined.extend(rules)
+        elif "*" in tokens:
+            combined.extend(rules)
+    return tuple(r for r in combined if r[1] or r[0])
+
+
+@lru_cache(maxsize=4096)
+def _rules_cached(body: str | None, agent: str) -> tuple:
+    """Module-level parse cache: one parse per distinct (body, agent)
+    per Python WORKER, not per Arrow batch."""
+    return parse_robots(body, agent)
 
 
 @lru_cache(maxsize=4096)
@@ -127,13 +150,9 @@ def robots_filter(
 
     @F.pandas_udf(BooleanType())
     def _allowed(path: pd.Series, body: pd.Series) -> pd.Series:
-        @lru_cache(maxsize=1024)
-        def rules_for(b):
-            return parse_robots(b, agent)
-
         return pd.Series(
             [
-                robots_allowed(p or "/", rules_for(b))
+                robots_allowed(p or "/", _rules_cached(b, agent))
                 for p, b in zip(path, body)
             ]
         )
@@ -149,15 +168,9 @@ def robots_filter(
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.I | re.S)
 _LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.I | re.S)
 _URL_BLOCK_RE = re.compile(r"<(url|sitemap)\b.*?</\1>", re.I | re.S)
-_XML_ESCAPES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
-}
-
-
-def _xml_unescape(s: str) -> str:
-    for k, v in _XML_ESCAPES.items():
-        s = s.replace(k, v)
-    return s
+# stdlib unescape handles entity ordering correctly ('&amp;lt;' is the
+# LITERAL text '&lt;', not '<') and numeric references
+from html import unescape as _xml_unescape  # noqa: E402
 
 
 def parse_sitemap(body: str | None) -> list[tuple[str, str | None, bool]]:

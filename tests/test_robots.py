@@ -135,3 +135,41 @@ def test_sitemap_urls_dataframe(spark):
         ("a.org", "https://a.org/plain", None, False),
         ("b.org", "https://a.org/sitemap-1.xml", "2024-02-01", True),
     }
+
+
+def test_rfc_edge_cases_from_review():
+    """Eight confirmed edge cases: group combining, prefix-only UA
+    match, BOM, abutting comments, empty tokens, non-rule directives
+    closing groups, and correct entity ordering."""
+    from llm_text_to_knowledge_graph_spark.operators.robots import (
+        _xml_unescape,
+    )
+
+    # RFC 9309 2.2.1: ALL matching groups combine
+    r = parse_robots("User-agent: *\nDisallow: /a\n\n"
+                     "User-agent: *\nDisallow: /b")
+    assert not robots_allowed("/a1", r) and not robots_allowed("/b1", r)
+    # token must be a PREFIX of the crawler name, never the reverse
+    r = parse_robots("User-agent: googlebot\nDisallow: /\n"
+                     "User-agent: *\nAllow: /", "bot")
+    assert robots_allowed("/x", r)
+    r = parse_robots("User-agent: googlebot\nDisallow: /", "Googlebot/2.1")
+    assert not robots_allowed("/x", r)
+    # BOM before the first User-agent line
+    assert not robots_allowed(
+        "/private/x", parse_robots("﻿User-agent: *\nDisallow: /private/")
+    )
+    # comment abutting the value
+    assert not robots_allowed(
+        "/a/secret", parse_robots("User-agent: *\nDisallow: /a#staff")
+    )
+    # malformed empty UA token never hijacks the '*' fallback
+    r = parse_robots("User-agent:\nDisallow: /\n"
+                     "User-agent: *\nAllow: /x", "mybot")
+    assert robots_allowed("/x", r) and robots_allowed("/q", r)
+    # Crawl-delay closes a group: the next UA line is a NEW group
+    r = parse_robots("User-agent: a\nCrawl-delay: 2\n"
+                     "User-agent: b\nDisallow: /x", "a")
+    assert robots_allowed("/x", r)
+    # '&amp;lt;' is the literal text '&lt;', not '<'
+    assert _xml_unescape("x&amp;lt;y") == "x&lt;y"
