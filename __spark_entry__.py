@@ -2706,7 +2706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # JL random projection (similarity.random_projection): 64 -> 8 dims,
     # map-only literal-matrix plan; pure function of (vector, seed) so the
     # oracle regenerates the identical Gaussian matrix. The at-rest
-    # dimension-cut leg of the embedding-compression family.
+    # dimension-cut leg of the embedding-compression family. The 8
+    # projected components are flattened to scalar columns p0..p7 so the
+    # driver's pandas canonicalizer (which cannot hash array cells) can
+    # certify the values.
     def rp_project_embeddings(spark, sf):
         from llm_text_to_knowledge_graph_spark.operators.similarity import (
             random_projection,
@@ -2716,8 +2719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("embedding").cast("array<double>").alias("embedding"),
         )
-        return random_projection(
+        proj = random_projection(
             emb, out_dim=8, dim=64, seed=7, round_digits=6
+        )
+        return proj.select(
+            "vec_id",
+            *[F.col("proj")[i].alias(f"p{i}") for i in range(8)],
         )
 
     q["rp_project_embeddings"] = rp_project_embeddings
@@ -3237,14 +3244,17 @@ def oracle_sql() -> dict[str, str]:
         )
         for i, row in enumerate(_rp_planes)
     )
+    rp_cols = ",\n               ".join(
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], "
+        f"(SELECT p FROM planes WHERE i = {i})) * {_rp_inv!r}, 6) AS p{i}"
+        for i in range(8)
+    )
     rp_sql = f"""
         WITH planes(i, p) AS (
           VALUES {rp_rows})
         SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-               list(ROUND(list_dot_product(e.embedding::DOUBLE[], pl.p)
-                          * {_rp_inv!r}, 6) ORDER BY pl.i) AS proj
-        FROM embeddings e CROSS JOIN planes pl
-        GROUP BY e.vec_id
+               {rp_cols}
+        FROM embeddings e
     """
 
     lsh_sql = f"""
