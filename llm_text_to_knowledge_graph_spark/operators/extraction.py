@@ -1690,9 +1690,19 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
         # last_rel) at this statement — otherwise a following consequence
         # chain composes the new clause's direction with a STALE object
         # from an older statement and can emit the wrong sign.
+        # A prev index whose out[] slot was later nulled (subsumption,
+        # e.g. the synergy composite deleting its cnc precursor) is a
+        # DEAD entry: returning it would re-point the clause-chain state
+        # (last_idx / last_object_m) at a statement that no longer
+        # exists, and the narration that re-asserts the plain relation
+        # deserves a fresh statement anyway.
         prev = seen_stmts.get(stmt)
+        if prev is not None and out[prev] is None:
+            prev = None
         if prev is None and sig is not None:
             prev = seen_sigs.get(sig)
+            if prev is not None and out[prev] is None:
+                prev = None
         if prev is not None:
             return prev
         idx = len(out)

@@ -39,9 +39,11 @@ from pyspark.sql.types import BooleanType
 _UA_RE = re.compile(r"^\s*user-agent\s*:\s*([^#]*?)\s*(?:#.*)?$", re.I)
 # a comment may abut the value with no whitespace ('Disallow: /a#staff')
 _RULE_RE = re.compile(r"^\s*(allow|disallow)\s*:\s*([^\s#]*)", re.I)
-# any other directive (Crawl-delay, Sitemap, ...) still closes a group:
-# a following User-agent line starts a NEW group, not an alias
-_DIRECTIVE_RE = re.compile(r"^\s*[a-z][a-z0-9\-]*\s*:", re.I)
+# RFC 9309 2.2.4: records other than Allow/Disallow (Crawl-delay,
+# Sitemap, ...) MUST NOT interfere with group parsing — they neither
+# open nor close a group body, so 'UA: a / Crawl-delay: 1 / UA: b /
+# Disallow: /x' keeps a and b as consecutive start-group lines that
+# share the rules (matching Google's reference parser)
 
 
 def parse_robots(body: str | None, agent: str = "*") -> tuple:
@@ -73,8 +75,6 @@ def parse_robots(body: str | None, agent: str = "*") -> tuple:
                 (m.group(1).lower() == "allow", m.group(2))
             )
             continue
-        if _DIRECTIVE_RE.match(line) and cur_agents:
-            in_group_body = True  # Crawl-delay/Sitemap close the group too
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     # the group token matches when it is a prefix of the crawler's

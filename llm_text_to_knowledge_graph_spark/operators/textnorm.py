@@ -213,9 +213,15 @@ def _sniff_and_decode(raw: bytes) -> tuple[str, str]:
       2. Strict UTF-8 validity of the WHOLE body: valid and NUL-free
          means utf-8, whatever any meta tag claims (mislabeled legacy
          declarations over valid UTF-8 are endemic on the legacy web).
-         NUL bytes inside "valid UTF-8" are the BOM-less UTF-16
-         signature (ASCII chars carry a zero byte each); the zero
-         parity (even/odd offsets) picks the endianness.
+         DENSE one-sided NUL bytes inside "valid UTF-8" are the
+         BOM-less UTF-16 signature (ASCII chars carry a zero byte
+         each, all on one parity); the zero parity (even/odd offsets)
+         picks the endianness. The branch demands real density
+         (zeros >= 20% of bytes) AND one-sidedness (>= 90% on one
+         parity) so a stray NUL or two in otherwise-valid UTF-8
+         (truncated response, embedded binary — common in crawl HTML)
+         cannot flip the whole page into UTF-16 noise; sparse NULs are
+         stripped and the page stays utf-8.
       3. A real <meta ... charset=...> declaration from the legacy
          latin-1 family (only consulted once UTF-8 has failed).
       4. Nearly-valid UTF-8: a handful of bad bytes (<= 4) against
@@ -238,9 +244,13 @@ def _sniff_and_decode(raw: bytes) -> tuple[str, str]:
             return text, "utf-8"
         even = raw[0::2].count(0)
         odd = raw[1::2].count(0)
-        if odd >= even:  # zeros in high bytes of LE code units
-            return raw.decode("utf-16-le", errors="replace"), "utf-16-le"
-        return raw.decode("utf-16-be", errors="replace"), "utf-16-be"
+        dense = (even + odd) >= max(8, len(raw) // 5)
+        one_sided = max(even, odd) >= 9 * min(even, odd)
+        if dense and one_sided:
+            if odd >= even:  # zeros in high bytes of LE code units
+                return raw.decode("utf-16-le", errors="replace"), "utf-16-le"
+            return raw.decode("utf-16-be", errors="replace"), "utf-16-be"
+        return text.replace("\x00", ""), "utf-8"
     except UnicodeDecodeError:
         pass
     m = _META_CHARSET_RE.search(raw[:1024])

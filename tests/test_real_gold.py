@@ -259,6 +259,24 @@ def test_cnc_plus_pretreatment_becomes_synergy():
     ]
 
 
+def test_renarrated_cnc_after_synergy_subsumption_reemits():
+    """When the synergy composite nulls its cnc precursor out of out[],
+    the dedup maps must not keep pointing at the dead slot: a LATER
+    independent narration of the same cnc relation stands on its own
+    and must re-emit (and the clause-chain state must never anchor to
+    a deleted statement)."""
+    got = _extract(
+        "AAA alone has minimal to no significant effect on the BBB "
+        "promoter. However, after DDD pretreatment, a 6-fold induction "
+        "of the BBB promoter was observed. AAA alone has minimal to no "
+        "significant effect on the BBB promoter."
+    )
+    assert got == [
+        "composite(p(HGNC:AAA),a(CHEBI:ddd)) increases r(HGNC:BBB)",
+        "p(HGNC:AAA) causesNoChange r(HGNC:BBB)",
+    ]
+
+
 def test_phospho_ip_idiom():
     got = _extract(
         "AAA is immunoprecipitated with the anti-phosphotyrosine antibody "

@@ -167,9 +167,18 @@ def test_rfc_edge_cases_from_review():
     r = parse_robots("User-agent:\nDisallow: /\n"
                      "User-agent: *\nAllow: /x", "mybot")
     assert robots_allowed("/x", r) and robots_allowed("/q", r)
-    # Crawl-delay closes a group: the next UA line is a NEW group
-    r = parse_robots("User-agent: a\nCrawl-delay: 2\n"
+    # RFC 9309 2.2.4: non-rule records (Crawl-delay, Sitemap) MUST NOT
+    # interfere with group parsing — a and b here are consecutive
+    # start-group lines sharing the Disallow (Google's parser agrees)
+    for ua in ("a", "b"):
+        r = parse_robots("User-agent: a\nCrawl-delay: 2\n"
+                         "User-agent: b\nDisallow: /x", ua)
+        assert not robots_allowed("/x", r), ua
+        assert robots_allowed("/ok", r), ua
+    # ...but an intervening RULE still closes the group: after a body
+    # has started, a new UA line opens a fresh group
+    r = parse_robots("User-agent: a\nDisallow: /y\n"
                      "User-agent: b\nDisallow: /x", "a")
-    assert robots_allowed("/x", r)
+    assert not robots_allowed("/y", r) and robots_allowed("/x", r)
     # '&amp;lt;' is the literal text '&lt;', not '<'
     assert _xml_unescape("x&amp;lt;y") == "x&lt;y"

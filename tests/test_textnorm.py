@@ -139,6 +139,34 @@ def test_sniff_charset_paths():
     assert sniff_charset("hello world page".encode("utf-16-be")) == "utf-16-be"
 
 
+def test_stray_nul_does_not_flip_to_utf16():
+    """A sparse NUL in otherwise-valid UTF-8 (truncated response,
+    embedded binary — common crawl noise) must NOT flip the page to
+    UTF-16: the branch requires zero DENSITY (>=20% of bytes) and
+    one-sided parity. Sparse NULs are stripped, charset stays utf-8."""
+    from llm_text_to_knowledge_graph_spark.operators.textnorm import (
+        decode_page_bytes,
+        sniff_charset,
+    )
+
+    body = "<p>Café résumé and plenty more text</p>".encode(
+        "utf-8"
+    )
+    for raw in (body + b"\x00", b"\x00" + body, body + b"\x00\x00"):
+        text, cs = decode_page_bytes(raw)
+        assert cs == "utf-8", raw[-4:]
+        assert text == body.decode("utf-8").replace("\x00", "")
+        assert "\x00" not in text
+    # NULs scattered on BOTH parities (binary blob, not UTF-16) stay
+    # utf-8 even when dense-ish
+    noisy = b"ab\x00\x00\x00c" * 20
+    assert sniff_charset(noisy) == "utf-8"
+    # ...while genuine BOM-less UTF-16 (dense, one-sided) still wins
+    assert sniff_charset(
+        "a perfectly ordinary web page title".encode("utf-16-le")
+    ) == "utf-16-le"
+
+
 def test_decode_page_bytes_roundtrips():
     from llm_text_to_knowledge_graph_spark.operators.textnorm import (
         decode_page_bytes,
