@@ -1563,6 +1563,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bowtie_graph"] = bowtie_graph
 
+    # ---- Condensation DAG over the same functional graph: one node
+    # per SCC, one (cs, ct, n_edges) edge per ordered pair of distinct
+    # components with an original edge between them. Oracle recomputes
+    # SCCs via the independent closure CTE and rolls the edges up in
+    # SQL — certifying the composition (SCC fixpoint + two joins +
+    # partial-agg) rather than re-certifying SCC alone.
+    def scc_condensation_graph(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.graph_query import (
+            scc_condensation,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            (F.col("doc_id").cast("long") % 128).alias("x")
+        )
+        base = d.select("x", ((F.col("x") * F.col("x") + 1) % 128).alias("t"))
+        extra = d.filter(F.col("x") % 5 == 0).select(
+            "x", ((F.col("x") * 3 + 1) % 128).alias("t")
+        )
+        e = (
+            base.unionByName(extra)
+            .select(F.col("x").alias("s"), "t")
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+        )
+        out = scc_condensation(e)
+        return out.select(
+            F.col("cs").cast("long").alias("cs"),
+            F.col("ct").cast("long").alias("ct"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+        )
+
+    q["scc_condensation_graph"] = scc_condensation_graph
+
     # ---- Unicode NFC normalization (operators/textnorm.py): the
     # documents table is pure ASCII, so deterministic non-NFC suffixes
     # (combining acute / diaeresis) are appended by doc_id residue and
@@ -4414,6 +4447,45 @@ def oracle_sql() -> dict[str, str]:
                      AS component
             FROM nodes n LEFT JOIN mutual m ON m.v = n.v
             GROUP BY n.v
+        """,
+        # condensation DAG from the same independent closure: component
+        # per node, then roll original edges up to ordered distinct
+        # component pairs
+        "scc_condensation_graph": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT s, t FROM (
+                SELECT (CAST(doc_id AS BIGINT) % 128) AS s,
+                       ((CAST(doc_id AS BIGINT) % 128)
+                        * (CAST(doc_id AS BIGINT) % 128) + 1) % 128 AS t
+                FROM documents
+                UNION ALL
+                SELECT (CAST(doc_id AS BIGINT) % 128),
+                       ((CAST(doc_id AS BIGINT) % 128) * 3 + 1) % 128
+                FROM documents
+                WHERE (CAST(doc_id AS BIGINT) % 128) % 5 = 0
+              ) WHERE s <> t),
+            nodes AS (SELECT s AS v FROM e UNION SELECT t FROM e),
+            reach(a, b) AS (
+              SELECT s, t FROM e
+              UNION
+              SELECT r.a, e2.t FROM reach r JOIN e e2 ON e2.s = r.b),
+            mutual AS (
+              SELECT r1.a AS v, r1.b AS u
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a),
+            comp AS (
+              SELECT n.v AS node_id,
+                     CAST(LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS BIGINT)
+                       AS component
+              FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+              GROUP BY n.v)
+            SELECT cs.component AS cs, ct.component AS ct,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM e
+            JOIN comp cs ON cs.node_id = e.s
+            JOIN comp ct ON ct.node_id = e.t
+            WHERE cs.component <> ct.component
+            GROUP BY cs.component, ct.component
         """,
         # bow-tie regions from the same closure: giant = largest SCC
         # (ties -> min id); IN reaches a core member, OUT is reached

@@ -677,16 +677,26 @@ def main() -> int:
         )
 
     total = round(sum(warm_timings.values()), 3)
+    starved_warm = _noisy(warm_loads)
+    # Validity bit, TOP-LEVEL so a contended official capture can never
+    # masquerade as a regression (round-4 lesson: the driver's capture
+    # ran at loadavg 18-26 and recorded a 17x-low fused headline with
+    # the evidence buried in starved_queries). headline_valid=False
+    # means the kg_* throughput numbers in THIS file measured the host,
+    # not the plan — cross-round comparisons must use the most recent
+    # BENCH/last_run.json with headline_valid=True instead.
+    headline_valid = not any(n.startswith("kg_") for n in starved_warm)
     out = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
+        "headline_valid": headline_valid,
         "queries": warm_timings,
         "queries_cold": cold_timings,
         "total_cold_sec": round(sum(cold_timings.values()), 3),
         "loadavg": warm_loads,
         "loadavg_cold": cold_loads,
-        "starved_queries": _noisy(warm_loads),
+        "starved_queries": starved_warm,
         "starved_queries_cold": _noisy(cold_loads),
         "sf": _SF_GUESS,
         **extras,
