@@ -22,6 +22,7 @@ cap playing the role K plays there.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,10 +51,12 @@ def pmi_pairs(
         )
     # compute-once: `it` (the distinct + optional cap window) fans out to
     # FOUR consumers — n_ids, df_i, and both self-join sides. Without the
-    # lazy checkpoint each consumer's job re-executes the distinct (and
-    # the broadcast build of n_ids is its own job — see plans/ids.py on
-    # why ReuseExchange cannot be relied on across these subtrees).
-    it = it.localCheckpoint(eager=False)
+    # cache each consumer's job re-executes the distinct (and the
+    # broadcast build of n_ids is its own job — see plans/ids.py on why
+    # ReuseExchange cannot be relied on across these subtrees; persist
+    # rather than localCheckpoint, which under AQE runs the upstream
+    # stages at plan-BUILD time).
+    it = it.persist(StorageLevel.MEMORY_AND_DISK)
     n_ids = it.select("_id").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )

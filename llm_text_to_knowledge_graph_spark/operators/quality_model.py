@@ -40,6 +40,7 @@ filtering is mandatory.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,10 +81,12 @@ def ngram_lm(docs: DataFrame, text_col: str = "text", k: float = LM_K) -> dict:
     ).select("w1", F.element_at("_toks", F.col("pos") + 2).alias("w2"))
     # compute-once: `big` feeds bigrams AND (via uni) unigrams, and each
     # later broadcast build of those tables is its own job — without the
-    # lazy checkpoint every build re-explodes the training sample
-    # (see plans/ids.py on the ReuseExchange miss). Sample-sized blocks.
+    # cache every build re-explodes the training sample (see plans/ids.py
+    # on the ReuseExchange miss; persist rather than localCheckpoint,
+    # which under AQE runs the upstream stages at plan-BUILD time).
+    # Sample-sized blocks.
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    big = big.localCheckpoint(eager=False)
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = docs.select(
         F.explode(_tokens(F.col(text_col))).alias("w")

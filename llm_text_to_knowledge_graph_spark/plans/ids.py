@@ -29,7 +29,7 @@ def dense_ids(
     out_col: str = "id",
     buckets: int = 256,
     dedup: bool = False,
-    checkpoint: bool = True,
+    materialize_once: bool = True,
 ) -> DataFrame:
     """Assign dense ids 0..n-1 ordered by (bucket(key), key). Deterministic
     across partitionings and runs (murmur3 hash is seed-fixed).
@@ -42,24 +42,33 @@ def dense_ids(
     carries every input row — the right trade for latency-dominated
     export-sized inputs, the wrong one for a Zipf-skewed 100TB key stream.
 
-    ``checkpoint=True`` materializes the bucketed input ONCE (lazy
-    ``localCheckpoint``) before fanning it into the two consumers (the
-    ranked window and the offsets broadcast). Without it, the offsets
+    ``materialize_once=True`` caches the bucketed input (lazy ``persist``
+    MEMORY_AND_DISK) before fanning it into the two consumers (the ranked
+    window and the offsets broadcast). Without it, the offsets
     broadcast-build job RE-EXECUTES the whole upstream plan: the join-key
     not-null inference rewrites only the probe side's pushed filters
     (``isnotnull(pmod(hash(key)))``), so the two subtrees stop being
     structurally identical and ReuseExchange misses — ``build_nodes``'s
-    union+distinct and ``build_edges``'s two endpoint joins each ran twice
-    (verified from the executed plan; fixing it cut the 80k-page dense
-    graph phase 4.2s -> 3.2s at 8 cores, 9.1s -> 7.7s at 2). The blocks
-    are executor-local (MEMORY_AND_DISK) and carry only this call's
-    projection; at 10^12 rows the dense strategy is the bounded
-    CX2-export path anyway (hash ids are the scale path). Pass
-    ``checkpoint=False`` to keep the plan fully lazy/lineage-complete.
+    union+distinct and ``build_edges``'s two endpoint joins each ran
+    twice (verified from the executed plan). An earlier round used a lazy
+    ``localCheckpoint`` here instead; under AQE that is NOT lazy —
+    ``Dataset.checkpoint`` forces ``queryExecution.toRdd``, which
+    materializes every upstream query stage at PLAN-BUILD time, so merely
+    constructing nodes/edges ran the whole extraction (it halved the
+    benched modular-pipeline throughput by shifting graph work into the
+    construction window and double-executing it). ``persist`` gives the
+    same compute-once sharing (BlockManager write-locks dedupe concurrent
+    first computes) with zero jobs before the first action. Blocks carry
+    only this call's projection; at 10^12 rows the dense strategy is the
+    bounded CX2-export path anyway (hash ids are the scale path). Pass
+    ``materialize_once=False`` to keep the plan fully lazy and
+    cache-free.
     """
     b = df.withColumn("_bkt", F.pmod(F.hash(*key_cols), F.lit(buckets)).cast("int"))
-    if checkpoint:
-        b = b.localCheckpoint(eager=False)
+    if materialize_once:
+        from pyspark import StorageLevel
+
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("_bkt").orderBy(*key_cols)
     if dedup:
         key_struct = F.struct(*key_cols)

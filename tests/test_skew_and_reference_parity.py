@@ -75,14 +75,16 @@ def test_dense_ids_dedup_fold_matches_distinct_path(spark):
     n = via_fold.count()
     assert sorted(r.id for r in via_fold.collect()) == list(range(n))
     # the fold saves the distinct's exchange: strictly fewer shuffles overall.
-    # Compare with checkpoint=False — the compute-once localCheckpoint cuts
-    # the executed plan at an ExistingRDD scan, hiding the upstream
-    # exchanges this assertion is about.
+    # Compare with materialize_once=False — the cached path reads an
+    # InMemoryTableScan, hiding the upstream exchanges this assertion is
+    # about.
     lazy_fold = dense_ids(
-        df, ["a", "b"], out_col="id", buckets=8, dedup=True, checkpoint=False
+        df, ["a", "b"], out_col="id", buckets=8, dedup=True,
+        materialize_once=False,
     )
     lazy_dist = dense_ids(
-        df.distinct(), ["a", "b"], out_col="id", buckets=8, checkpoint=False
+        df.distinct(), ["a", "b"], out_col="id", buckets=8,
+        materialize_once=False,
     )
     lazy_fold.collect()
     lazy_dist.collect()
@@ -96,10 +98,12 @@ def test_dense_ids_executes_upstream_once(spark):
 
     Join-key not-null inference rewrites the probe side's pushed filters, so
     the ranked subtree and the offsets subtree stop being structurally
-    identical and ReuseExchange misses — before the compute-once
-    localCheckpoint, an expensive upstream (build_nodes's union+distinct,
-    build_edges's endpoint joins) ran once per consumer. Pin exactly-once
-    with an accumulator-counting upstream stage."""
+    identical and ReuseExchange misses — before the compute-once persist,
+    an expensive upstream (build_nodes's union+distinct, build_edges's
+    endpoint joins) ran once per consumer. Pin exactly-once with an
+    accumulator-counting upstream stage. (persist, NOT localCheckpoint:
+    under AQE a "lazy" localCheckpoint materializes every upstream query
+    stage at plan-BUILD time — see test below.)"""
     import pandas as pd
 
     from llm_text_to_knowledge_graph_spark.plans.ids import dense_ids
@@ -116,9 +120,15 @@ def test_dense_ids_executes_upstream_once(spark):
     ).repartition(4)
     upstream = df.mapInPandas(counting, schema="name string")
     out = dense_ids(upstream, ["name"], out_col="id", buckets=8)
+    # CONSTRUCTION IS LAZY: building the plan must run zero jobs. The
+    # round-4 localCheckpoint variant violated this under AQE (checkpoint
+    # forces queryExecution.toRdd, which materializes every upstream query
+    # stage eagerly), which made merely composing nodes/edges execute the
+    # whole extraction and halved the benched modular-pipeline throughput.
+    assert acc.value == 0
     n = out.count()
     assert n == 400
     assert sorted(r.id for r in out.collect()) == list(range(400))
-    # every downstream action re-reads the checkpointed blocks, never the
+    # every downstream action re-reads the cached blocks, never the
     # Python stage: the accumulator saw each row exactly once
     assert acc.value == 400
