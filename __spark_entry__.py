@@ -890,18 +890,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["real_gold_miss_audit"] = real_gold_miss_audit
 
-    # Round 4: the FULL Selventa small corpus (papers/small_corpus.bel,
+    # Round 4: the Selventa small corpus (papers/small_corpus.bel,
     # ~2,000 curated statements from 57 PubMeds — 14x more gold than the
     # four single papers) end-to-end under ONE mechanically-derived
     # lexicon. One summary row + one row per mechanical miss category.
     # Rows-only by nature (runs the extraction engine); exact numbers
     # pinned in tests/test_real_gold.py::test_selventa_corpus_pinned.
+    # Round 5: the corpus is split — this query reports the DEV shard
+    # (46 PubMeds, the only shard audits may read); the frozen held-out
+    # shard is the separate real_gold_selventa_heldout_pr query.
     def real_gold_selventa_pr(spark, sf):
         from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
             run_selventa_corpus_eval,
         )
 
-        r = run_selventa_corpus_eval()
+        r = run_selventa_corpus_eval("dev")
         rows = [
             (
                 "ALL",
@@ -929,6 +932,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["real_gold_selventa_pr"] = real_gold_selventa_pr
+
+    # Round 5: THE GENERALIZATION NUMBER. The 11 frozen held-out PubMeds
+    # (SELVENTA_HELDOUT_PMIDS, literal list — see real_gold_bel.py for
+    # the freeze rules) were never audited or developed against; this
+    # summary row is the only thing development ever sees of them.
+    # Baseline frozen 2026-08-21: P 0.80 (24/30), R 0.0608 (24/395) —
+    # pinned in tests/test_real_gold.py::test_selventa_heldout_pinned.
+    def real_gold_selventa_heldout_pr(spark, sf):
+        from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+            run_selventa_corpus_eval,
+        )
+
+        r = run_selventa_corpus_eval("heldout")
+        rows = [
+            (
+                "HELDOUT",
+                r["matched"],
+                r["pred_total"],
+                r["gold_total"],
+                round(r["precision"], 4),
+                round(r["recall"], 4),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "section string, matched long, pred_total long, "
+            "gold_total long, precision double, recall double",
+        )
+
+    q["real_gold_selventa_heldout_pr"] = real_gold_selventa_heldout_pr
 
     # C1 (vocab matcher) + C2-cooccurrence + P6/P7 graph build, resolved
     # back to entity names so the single-token VOCAB makes the whole chain
@@ -2868,7 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ROWS_ONLY_BY_DESIGN = frozenset([
     "minhash_pairs", "simhash_pairs", "multimodal_features",
     "fuzzy_linking_synthetic", "snapshot_delta_merge", "bpe_token_count",
-    "real_gold_selventa_pr",
+    "real_gold_selventa_pr", "real_gold_selventa_heldout_pr",
 ])
 
 # rows-only entries that already got a (rows-only) driver row in round 1/2
@@ -2908,6 +2941,24 @@ _DRIVER_CERTIFIED = frozenset([
     "annotation_faithfulness_docs", "lsh_ann_topk", "ivf_ann_topk",
     "connected_components_graph", "dedup_clusters", "asof_events",
     "range_join_prices", "pagerank_graph",
+    # r4 window greens (49 of 50; the one error, rp_project_embeddings,
+    # stays in the front group so its round-5 shape fix gets certified)
+    "rag_context_docs", "hybrid_rrf_docs", "transe_energy_graph",
+    "media_probe", "semdedup_embeddings", "quantize_embeddings",
+    "ivf_ann_quantized", "pq_ann_topk", "ivf_pq_ann_topk", "scc_graph",
+    "bowtie_graph", "unicode_nfc_docs", "mojibake_repair_docs",
+    "charset_decode_docs", "robots_gate_docs", "sitemap_frontier_docs",
+    "interval_join_events", "kcore_graph", "label_propagation_graph",
+    "snapshot_delta_classify", "snapshot_delta_counts",
+    "url_canonicalize", "warc_scan", "domain_stats", "cap_per_domain",
+    "redact_docs", "lm_perplexity_docs", "quality_model_score",
+    "bloom_seen_urls", "dup_substring_docs", "dup_substring_winnowed",
+    "hll_partkey_distinct", "cms_token_hitters", "triangle_counts",
+    "bm25_topical_docs", "doclen_quantiles", "dsir_weights",
+    "dsir_resample_docs", "link_prediction_pairs", "ppr_graph",
+    "kg_negative_samples", "random_walk_corpus", "skipgram_pairs_walks",
+    "host_link_graph", "hits_graph", "anchor_alias_counts",
+    "pagerank_hosts_weighted", "session_windows", "pmi_token_pairs",
 ])
 
 

@@ -24,16 +24,23 @@ GOLD_BEL_DIR = "/root/reference/papers"
 
 _EVIDENCE_RE = re.compile(r'SET Evidence = "(.*?)"', re.DOTALL)
 _WS_RE = re.compile(r"\s+")
+_CITATION_RE = re.compile(r'SET Citation = \{"PubMed","[^"]*","(\d+)"')
 
 
 def parse_bel_file(path: str) -> list[dict]:
-    """BEL-script -> [{key, text, gold}] evidence blocks.
+    """BEL-script -> [{key, text, gold, pmid}] evidence blocks.
 
     Statements = non-SET, non-comment lines following their Evidence block
     (inline ``//`` comments stripped); blocks without statements dropped.
+    ``pmid`` is the PubMed id of the most recent ``SET Citation`` before
+    the block (None before the first citation) — the unit the held-out
+    split partitions on.
     """
     with open(path) as f:
         raw = f.read()
+    citations = [
+        (m.start(), m.group(1)) for m in _CITATION_RE.finditer(raw)
+    ]
     blocks: list[dict] = []
     pos = 0
     idx = 0
@@ -49,7 +56,15 @@ def parse_bel_file(path: str) -> list[dict]:
             stmts.append(line)
         if stmts:
             idx += 1
-            blocks.append({"key": str(idx), "text": text, "gold": stmts})
+            pmid = None
+            for cpos, cid in citations:
+                if cpos < m.start():
+                    pmid = cid
+                else:
+                    break
+            blocks.append(
+                {"key": str(idx), "text": text, "gold": stmts, "pmid": pmid}
+            )
         pos = end
     return blocks
 
@@ -458,6 +473,33 @@ def audit_misses(pmid: str, lexicon: list | None = None) -> dict:
 
 SELVENTA_CORPUS = os.path.join(GOLD_BEL_DIR, "small_corpus.bel")
 
+# ---------------------------------------------------------------------------
+# FROZEN HELD-OUT SHARD (round 5). By round 4 every reference gold asset had
+# been consumed as development data (miss audits drove idiom work on all four
+# .bel papers and the full corpus), leaving no unseen gold to evidence
+# generalization. This shard re-creates one, frozen BY LITERAL LIST so the
+# split can never drift with code changes:
+#   * candidates = the corpus's 57 PubMed ids MINUS the four papers already
+#     developed against (12928037 / 15350900 / 16962653 / 9813040);
+#   * rank candidates by md5(pmid) hex digest (a fixed, content-only order
+#     with no tunable seed); take the first 11 (~20%: 149 of 795 blocks).
+# RULES: no development against these papers — the per-miss/per-FP audits
+# (development tools) must never run on them; their P/R is REPORTED each
+# round (rows-only query + pinned test) and must move only as a side effect
+# of work validated on the dev shard. The grounding dictionary remains
+# corpus-wide: it stands in for a production KB alias table (which exists
+# independently of any evaluation split), and a dev-only dictionary would
+# confound extraction generalization with dictionary coverage.
+# ---------------------------------------------------------------------------
+SELVENTA_DEV_PAPER_PMIDS = frozenset(
+    {"12928037", "15350900", "16962653", "9813040"}
+)
+SELVENTA_HELDOUT_PMIDS = frozenset({
+    "11358816", "12077342", "12110143", "12778166", "12932384",
+    "14657031", "15001544", "15345710", "18421013", "18483491",
+    "18705745",
+})
+
 _TERM_NAME_RE = re.compile(r'\b([A-Z]+):("([^"]+)"|[\w\-./]+)')
 
 
@@ -567,22 +609,37 @@ def selventa_lexicon() -> list:
     return lex + variants + merged
 
 
-def run_selventa_corpus_eval() -> dict:
-    """End-to-end block-engine P/R over all 796 evidence blocks / 2,067
-    gold statements of the Selventa small corpus under ONE lexicon
-    (:func:`selventa_lexicon`), plus the mechanical per-miss audit.
-    Exact numbers pinned in tests/test_real_gold.py — honest and low by
-    design: the corpus encodes curator background knowledge (71% of
-    misses name an entity that never appears in the evidence text),
+def run_selventa_corpus_eval(subset: str = "dev") -> dict:
+    """End-to-end block-engine P/R over the Selventa small corpus under
+    ONE lexicon (:func:`selventa_lexicon`), plus the mechanical per-miss
+    audit. Exact numbers pinned in tests/test_real_gold.py — honest and
+    low by design: the corpus encodes curator background knowledge (71%
+    of misses name an entity that never appears in the evidence text),
     nested statements, and relation-less golds the pinned scorer cannot
-    match. Returns the score_blocks summary + ``audit`` counts."""
+    match. Returns the score_blocks summary + ``audit`` counts.
+
+    ``subset`` selects the evaluation shard (see the frozen-shard note
+    above ``SELVENTA_HELDOUT_PMIDS``): ``"dev"`` (default) excludes the
+    held-out PubMeds and is the ONLY shard development/audit work may
+    read; ``"heldout"`` is the frozen generalization shard whose audits
+    must never be inspected during development (the audit dicts are
+    withheld from its result); ``"all"`` is the full corpus (round-4
+    backward comparison only)."""
     from ..operators.extraction import extract_from_block, normalize_block_text
     from ..operators.mentions import AliasMatcher
     from .real_gold import score_blocks
 
+    if subset not in ("dev", "heldout", "all"):
+        raise ValueError(f"unknown subset {subset!r}")
     lex = selventa_lexicon()
     matcher = AliasMatcher(lex)
     blocks = parse_bel_file(SELVENTA_CORPUS)
+    if subset == "dev":
+        blocks = [
+            b for b in blocks if b["pmid"] not in SELVENTA_HELDOUT_PMIDS
+        ]
+    elif subset == "heldout":
+        blocks = [b for b in blocks if b["pmid"] in SELVENTA_HELDOUT_PMIDS]
     text_by_key: dict[str, str] = {}
     mentions_by_key: dict[str, set[str]] = {}
     for b in blocks:
@@ -602,6 +659,12 @@ def run_selventa_corpus_eval() -> dict:
         text_by_key[b["key"]] = text
         mentions_by_key[b["key"]] = {m[5] for m in ms} | {m[2] for m in ms}
     result = score_blocks(blocks)
+    if subset == "heldout":
+        # audits are DEVELOPMENT tools; running them on the frozen shard
+        # would be developing against it. Summary numbers only, plus the
+        # per-row match table sanitized out for the same reason.
+        result.pop("rows", None)
+        return result
     # names the corpus gold grounds under >=2 namespaces (species /
     # vocabulary splits like HGNC:VEGFA vs MGI:Vegfa) — the audit's
     # species detection must see them even though the single-namespace

@@ -817,8 +817,16 @@ def test_selventa_corpus_pinned():
         run_selventa_corpus_eval,
     )
 
+    # round 5: the corpus is SPLIT — subset="dev" (default, 646 blocks /
+    # 1,672 golds from 46 PubMeds) is the only shard development and this
+    # audit may read; the 11 held-out PubMeds (149 blocks / 395 golds)
+    # are pinned separately in test_selventa_heldout_pinned and their
+    # audits are withheld by construction. The round-4 full-corpus
+    # numbers (matched 153 / pred 211 / gold 2067, P 0.725 / R 0.074)
+    # remain in git history for comparison; every audit bucket below is
+    # the dev-shard slice of those counts.
     r = run_selventa_corpus_eval()
-    assert r["gold_total"] == 2067
+    assert r["gold_total"] == 1672
     # r4d closed 5 more with general constructions: modal passive with a
     # contrastive coordinated predicate ("is constitutive but may be
     # enhanced by a wide variety of compounds, including A, B, C" — the
@@ -854,37 +862,70 @@ def test_selventa_corpus_pinned():
     # correct relations blocked by the curator's per-block namespace or
     # nested-statement choice ("VEGFA increases angiogenesis" vs MGI:
     # Vegfa, "LRIG1 decreases EGF" vs the nested gold).
-    assert r["matched"] == 153
-    assert r["pred_total"] == 211
-    assert r["precision"] >= 0.72
-    assert r["recall"] >= 0.073
+    assert r["matched"] == 129
+    assert r["pred_total"] == 181
+    assert r["precision"] >= 0.71
+    assert r["recall"] >= 0.077
     assert r["audit"] == {
         # the audit's boundary class is [\w-], identical to
-        # AliasMatcher._WB_RE: 7 former wrapper/namespace misses whose
+        # AliasMatcher._WB_RE: former wrapper/namespace misses whose
         # only gold-name occurrence is hyphen-adjacent ("SDF" inside
         # "SDF-1alpha") count as non_surface — the dictionary can never
         # match there, whatever the extraction pattern does
-        "non_surface_entity": 1482,
-        "mechanism_wrapper": 38,
-        "nested_statement": 223,
-        "species_namespace": 41,
-        "relationless_gold": 125,
-        "duplicate_gold": 5,
+        "non_surface_entity": 1204,
+        "mechanism_wrapper": 25,
+        "nested_statement": 182,
+        "species_namespace": 27,
+        "relationless_gold": 101,
+        "duplicate_gold": 4,
     }
     # precision-side mirror: every unmatched prediction mechanically
-    # attributed. 43/56 trace to a recorded gold (nested flattening,
+    # attributed. 38/52 trace to a recorded gold (nested flattening,
     # cross-block duplicates, namespace/family variants, class-vs-
-    # member); the 13 no_gold_recorded are content-correct surface
+    # member); the 14 no_gold_recorded are content-correct surface
     # relations the curators did not record ("wortmannin decreases
     # Akt", "EGF increases cell proliferation").
     assert r["fp_audit"] == {
-        "nested_gold": 6,
-        "cross_block_gold": 9,
-        "cross_block_namespace": 11,
-        "namespace_variant": 12,
-        "class_member": 7,
-        "no_gold_recorded": 13,
+        "nested_gold": 5,
+        "cross_block_gold": 8,
+        "cross_block_namespace": 8,
+        "namespace_variant": 11,
+        "class_member": 6,
+        "no_gold_recorded": 14,
     }
+
+
+@needs_reference
+def test_selventa_heldout_pinned():
+    """THE GENERALIZATION EVIDENCE (round-5 freeze). The 11 held-out
+    PubMeds (SELVENTA_HELDOUT_PMIDS — literal list, md5-ranked
+    candidates minus the four development papers) were never audited or
+    developed against: every extraction idiom and dictionary variant was
+    built from the dev shard or the four papers, so these numbers
+    measure how the engine behaves on curated text it has never seen.
+    Baseline frozen 2026-08-21: P 0.80 (24/30), R 0.0608 (24/395).
+    Future rounds report this shard unchanged-or-better; it must move
+    only as a side effect of work validated on the dev shard, never by
+    reading its own misses (run_selventa_corpus_eval withholds the
+    audit and the per-row match table for subset='heldout' by
+    construction)."""
+    from llm_text_to_knowledge_graph_spark.eval.real_gold_bel import (
+        SELVENTA_DEV_PAPER_PMIDS,
+        SELVENTA_HELDOUT_PMIDS,
+        run_selventa_corpus_eval,
+    )
+
+    # the frozen list never overlaps the development papers and never
+    # changes size
+    assert len(SELVENTA_HELDOUT_PMIDS) == 11
+    assert not (SELVENTA_HELDOUT_PMIDS & SELVENTA_DEV_PAPER_PMIDS)
+    r = run_selventa_corpus_eval("heldout")
+    assert r["gold_total"] == 395
+    assert r["matched"] >= 24
+    assert r["precision"] >= 0.80
+    assert r["recall"] >= 0.0607
+    # audits withheld by construction
+    assert "audit" not in r and "rows" not in r
 
 
 @needs_reference
