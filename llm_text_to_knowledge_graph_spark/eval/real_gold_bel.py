@@ -606,7 +606,13 @@ def selventa_lexicon() -> list:
             if v != name and v not in seen_aliases:
                 seen_aliases.add(v)
                 variants.append((v, ns, name, name, float(c)))
-    return lex + variants + merged
+    # round 5: the general Gilda-style orthography pass (Greek twins,
+    # dash twins — operators/lexicon.py) over the assembled dictionary.
+    # Validated on the DEV shard at fixed precision before the held-out
+    # shard ever saw it (tests/test_real_gold.py pins both).
+    from ..operators.lexicon import expand_orthography
+
+    return expand_orthography(lex + variants + merged)
 
 
 def run_selventa_corpus_eval(subset: str = "dev") -> dict:
@@ -669,7 +675,7 @@ def run_selventa_corpus_eval(subset: str = "dev") -> dict:
     # vocabulary splits like HGNC:VEGFA vs MGI:Vegfa) — the audit's
     # species detection must see them even though the single-namespace
     # dictionary only carries the majority pick
-    from .bel_eval import parse_statement
+    from .bel_eval import match_score, parse_statement
 
     gold_ns: dict[str, set[str]] = {}
     for b in blocks:
@@ -694,6 +700,17 @@ def run_selventa_corpus_eval(subset: str = "dev") -> dict:
         # deduped prediction on the first copy — a matching artifact, not
         # an extraction gap
         if r["gold_statement"].replace('"', "") in preds_norm_by_key[r["key"]]:
+            counts["duplicate_gold"] = counts.get("duplicate_gold", 0) + 1
+            continue
+        # fuzzy form of the same artifact: the missed gold SCORES above
+        # the match threshold against one of the block's predictions (the
+        # curator recorded residue-detailed copies — "pmod(P,S,21)" twice
+        # — and 1:1 matching consumed the single pred on the first copy)
+        gp = parse_statement(r["gold_statement"])
+        if any(
+            match_score(parse_statement(p), gp) >= 0.5
+            for p in preds_norm_by_key[r["key"]]
+        ):
             counts["duplicate_gold"] = counts.get("duplicate_gold", 0) + 1
             continue
         cat = categorize_miss(

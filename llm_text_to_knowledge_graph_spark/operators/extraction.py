@@ -395,6 +395,10 @@ _NOMINAL_PREFIX_RE = re.compile(
     r"([a-z\-]+)\s+of\s+(?:the\s+)?$"
 )
 _KNOWN_TO_BE_RE = re.compile(r"known\s+to\s+be\s+$", re.I)
+# comparative adjunct right before a mention group ("more efficiently
+# than <Z> and increased ..."): the mention belongs to the than-clause,
+# so a following conjoined VP re-binds to the MATRIX subjects as well
+_THAN_BEFORE_RE = re.compile(r"\bthan\s+(?:[\w\-]+\s+){0,2}$", re.I)
 _POSS_NOMINAL_RE = re.compile(
     r"\b(?:its|their)\s+([a-z\-]+)\s+of"
     r"(?:\s+the\s+activity\s+of)?(?:\s+the)?\s*$"
@@ -1629,7 +1633,7 @@ class _BlockState:
     __slots__ = ("target", "target_sig", "rel", "agents", "agent_sigs",
                  "last_subject", "last_subject_m", "cnc", "protein_history",
                  "last_idx", "last_object_m", "last_rel", "last_scn_dir",
-                 "substrate_enzyme")
+                 "substrate_enzyme", "last_subject_list")
 
     def __init__(self):
         self.target = None          # rendered target term of the last passive
@@ -1646,6 +1650,9 @@ class _BlockState:
         self.last_rel = None
         self.last_scn_dir = 0       # narrated direction of last object
         self.substrate_enzyme = None  # "<X> substrates" kinase mention
+        self.last_subject_list = []  # FULL subject list of the last
+        # active-branch statement — what a conjoined VP ("... and
+        # increased phosphorylation of <Y>") re-binds to
 
 
 # ---------------------------------------------------------------------------
@@ -2921,6 +2928,47 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                     subj_list = l_members
                 else:
                     subj_list = [left]
+                # ---- conjoined VP: the "and/or" before the verb may
+                # coordinate VERB PHRASES, not subjects — "<S list>
+                # stimulated phosphorylation of <X> and increased
+                # phosphorylation of <Y>". Two cues, both requiring the
+                # matched verb to sit right after the connective:
+                #   * left IS the previous statement's object (X): left is
+                #     the first VP's object, so the MATRIX subjects govern
+                #     Y and left must NOT become a subject;
+                #   * left sits in a comparative adjunct ("more
+                #     efficiently than <Z> and increased ..."): Z keeps
+                #     its own reading (the comparable-to clause) AND the
+                #     matrix subjects govern Y too.
+                if subj_override is None and state.last_subject_list:
+                    vtoks = _tokens(low_inter)
+                    vp_coord = (
+                        len(vtoks) >= 2
+                        and vtoks[0] in {"and", "or"}
+                        and any(t in _CAUSAL_CORE for t in vtoks[1:3])
+                    )
+                    if vp_coord and state.last_object_m is not None and (
+                        (left["db"], left["id"])
+                        == (state.last_object_m["db"],
+                            state.last_object_m["id"])
+                    ):
+                        subj_list = [
+                            m for m in state.last_subject_list
+                            if (m["db"], m["id"]) != (right["db"],
+                                                      right["id"])
+                        ] or subj_list
+                    elif vp_coord and _THAN_BEFORE_RE.search(
+                        text,
+                        max(0, ms[lgroup[0]]["begin"] - 48),
+                        ms[lgroup[0]]["begin"],
+                    ):
+                        seen_sb = {(m["db"], m["id"]) for m in subj_list}
+                        subj_list = subj_list + [
+                            m for m in state.last_subject_list
+                            if (m["db"], m["id"]) not in seen_sb
+                            and (m["db"], m["id"]) != (right["db"],
+                                                       right["id"])
+                        ]
                 # contrast exclusion: "<A>, but not <B>, <verb> <Y>" —
                 # the verb belongs to A; B explicitly does NOT change Y
                 if (subj_override is None and i >= 1
@@ -2936,6 +2984,8 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                         emit_pair(subj_m, rel, obj_m, wrap=wrap,
                                   obj_pmod=obj_pmod,
                                   subj_override=subj_override)
+                if subj_override is None:
+                    state.last_subject_list = list(subj_list)
                 state.last_scn_dir = scn_dir
                 continue
 

@@ -1,0 +1,106 @@
+"""Orthography expansion (operators/lexicon.py) and the conjoined-VP
+subject re-binding it motivated (r5: VERDICT item #4 — the Gilda-style
+variant pass, validated on the Selventa DEV shard, reported on the
+frozen held-out shard)."""
+
+from llm_text_to_knowledge_graph_spark.operators.lexicon import (
+    expand_orthography,
+)
+
+
+def _aliases(rows):
+    return {r[0] for r in rows}
+
+
+def _expand_one(alias):
+    return _aliases(expand_orthography([(alias, "HGNC", "1", alias, 1.0)]))
+
+
+def test_greek_suffix_twins():
+    got = _expand_one("HIF1A")
+    for want in ("HIF-1A", "HIF1alpha", "HIF-1alpha", "HIF1α", "HIF-1α"):
+        assert want in got, want
+    got = _expand_one("TGFA")
+    for want in ("TGF-A", "TGF-alpha", "TGFalpha", "TGF-α", "TGFα"):
+        assert want in got, want
+
+
+def test_greek_word_char_twins():
+    assert "TGF-β" in _expand_one("TGF-beta")
+    assert "TGF-beta" in _expand_one("TGF-β")
+
+
+def test_dash_twins():
+    got = _expand_one("IRAK1")
+    assert "IRAK-1" in got
+    got = _expand_one("NF-kB")
+    assert "NFkB" in got
+    # the SPACED twin is deliberately absent: "Akt-Ser473" -> "Akt
+    # Ser473" measurably steals residue spans from the pmod patterns
+    assert "NF kB" not in got
+
+
+def test_no_expansion_for_short_or_wordlike():
+    # short symbols and English-word shapes never expand ("AKT" has no
+    # trailing-Greek stem of length 3 with the gate; "NO"/"insulin"
+    # style aliases stay untouched)
+    assert _expand_one("AKT") == {"AKT"}
+    assert _expand_one("insulin") == {"insulin"}
+    assert _expand_one("NO") == {"NO"}
+
+
+def test_idempotent_and_deterministic():
+    rows = [
+        ("HIF1A", "HGNC", "1", "HIF1A", 1.0),
+        ("TGF-beta", "HGNC", "2", "TGFB1", 1.0),
+    ]
+    once = expand_orthography(rows)
+    twice = expand_orthography(once)
+    assert once == twice
+    assert once == expand_orthography(rows)
+
+
+def test_variants_inherit_grounding():
+    rows = expand_orthography([("HIF1A", "HGNC", "7", "HIF1A", 0.5)])
+    for alias, ns, id_, entry, prior in rows:
+        assert (ns, id_, entry, prior) == ("HGNC", "7", "HIF1A", 0.5)
+
+
+def test_collision_first_wins():
+    # a variant equal to an EXISTING alias is never re-added or re-bound
+    rows = [
+        ("IRAK-1", "HGNC", "A", "IRAK1", 1.0),
+        ("IRAK1", "HGNC", "B", "OTHER", 1.0),
+    ]
+    out = expand_orthography(rows)
+    bound = [r for r in out if r[0] == "IRAK-1"]
+    assert bound == [("IRAK-1", "HGNC", "A", "IRAK1", 1.0)]
+
+
+def test_conjoined_vp_rebinds_matrix_subjects():
+    """'<S> stimulated phosphorylation of X and increased phosphorylation
+    of Y': the second VP shares the MATRIX subject(s); X must not be
+    wrongly read as Y's subject (the shape block 744 of the Selventa
+    corpus prints)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_real_gold import _extract
+
+    got = _extract(
+        "AAA or BBB stimulated phosphorylation of CCC and increased "
+        "phosphorylation of DDD."
+    )
+    assert set(got) == {
+        "p(HGNC:AAA) increases p(HGNC:CCC, pmod(Ph))",
+        "p(HGNC:BBB) increases p(HGNC:CCC, pmod(Ph))",
+        "p(HGNC:AAA) increases a(CHEBI:ddd, pmod(Ph))",
+        "p(HGNC:BBB) increases a(CHEBI:ddd, pmod(Ph))",
+    }
+    # subject-coordination through the connective is untouched: left of
+    # "and" here is a genuine subject conjunct, not a first-VP object
+    got = _extract("AAA and BBB are required for CCC.")
+    assert set(got) == {
+        "p(HGNC:AAA) increases p(HGNC:CCC)",
+        "p(HGNC:BBB) increases p(HGNC:CCC)",
+    }

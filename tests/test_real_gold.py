@@ -862,36 +862,53 @@ def test_selventa_corpus_pinned():
     # correct relations blocked by the curator's per-block namespace or
     # nested-statement choice ("VEGFA increases angiogenesis" vs MGI:
     # Vegfa, "LRIG1 decreases EGF" vs the nested gold).
-    assert r["matched"] == 129
-    assert r["pred_total"] == 181
-    assert r["precision"] >= 0.71
-    assert r["recall"] >= 0.077
+    # r5: the Gilda-style orthography expansion (operators/lexicon.py:
+    # Greek twins "GSK-3α"<->"GSK3A", dash twins "VEGF-A"<->"VEGFA")
+    # surfaces 25 previously-invisible gold mentions (non_surface 1204
+    # -> 1178) and the conjoined-VP idiom ("<agents> stimulated
+    # phosphorylation of X ... and increased phosphorylation of Y"
+    # re-binds the second VP to the MATRIX subjects instead of wrongly
+    # subjecting X) converts them: matched 129 -> 134 at pred 181 ->
+    # 192. Precision 0.713 -> 0.698: every one of the 6 new unmatched
+    # preds audits to no_gold_recorded (+3 content-correct surface
+    # relations the curators didn't record), cross-block namespace (+2)
+    # or cross-block gold (+1) — zero wrong-content. The 6 remaining pattern_gap rows are ALL
+    # block 740's family-anaphora shape ("Forskolin ... triggered a
+    # similar elevation in GSK-3 phosphorylation at serine 21 and 9"
+    # — the curator resolved family "GSK-3" to BOTH paralogs and
+    # distributed the two sites "respectively" from an earlier
+    # sentence), which needs real coreference+family inference, not a
+    # pattern. duplicate_gold includes the fuzzy form (residue-detailed
+    # gold copies scoring >=0.5 against the block's own consumed pred).
+    assert r["matched"] == 134
+    assert r["pred_total"] == 192
+    assert r["precision"] >= 0.69
+    assert r["recall"] >= 0.08
     assert r["audit"] == {
         # the audit's boundary class is [\w-], identical to
         # AliasMatcher._WB_RE: former wrapper/namespace misses whose
         # only gold-name occurrence is hyphen-adjacent ("SDF" inside
         # "SDF-1alpha") count as non_surface — the dictionary can never
         # match there, whatever the extraction pattern does
-        "non_surface_entity": 1204,
-        "mechanism_wrapper": 25,
+        "non_surface_entity": 1178,
+        "mechanism_wrapper": 30,
         "nested_statement": 182,
-        "species_namespace": 27,
+        "species_namespace": 32,
         "relationless_gold": 101,
-        "duplicate_gold": 4,
+        "duplicate_gold": 9,
+        "pattern_gap": 6,
     }
     # precision-side mirror: every unmatched prediction mechanically
-    # attributed. 38/52 trace to a recorded gold (nested flattening,
-    # cross-block duplicates, namespace/family variants, class-vs-
-    # member); the 14 no_gold_recorded are content-correct surface
+    # attributed. The no_gold_recorded rows are content-correct surface
     # relations the curators did not record ("wortmannin decreases
     # Akt", "EGF increases cell proliferation").
     assert r["fp_audit"] == {
         "nested_gold": 5,
-        "cross_block_gold": 8,
-        "cross_block_namespace": 8,
+        "cross_block_gold": 9,
+        "cross_block_namespace": 10,
         "namespace_variant": 11,
         "class_member": 6,
-        "no_gold_recorded": 14,
+        "no_gold_recorded": 17,
     }
 
 
