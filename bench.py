@@ -651,6 +651,26 @@ def main() -> int:
     loads = warm_loads
     run_suite()
 
+    # charset-decode default (r5 decision): auto sniffing is the crawl-path
+    # default; this row is the measured cost vs the reference's blind utf-8
+    # decode on the same warm pages (positive pct = auto slower). Expected
+    # ~2-6% of the PARAGRAPHS stage only — the strict-decode fast path.
+    from llm_text_to_knowledge_graph_spark.operators.paragraphs import (
+        extract_paragraphs,
+    )
+
+    (_, dt_auto) = timed(
+        "kg_paragraphs_charset_auto",
+        lambda: extract_paragraphs(pages, charset="auto").count(),
+    )
+    (_, dt_blind) = timed(
+        "kg_paragraphs_charset_utf8",
+        lambda: extract_paragraphs(pages, charset="utf-8").count(),
+    )
+    extras["charset_auto_overhead_pct"] = round(
+        100.0 * (dt_auto - dt_blind) / max(dt_blind, 1e-9), 1
+    )
+
     # Starvation flags (purely load-based, pre-registered): this sandbox is
     # a VM whose host sometimes starves it — observed signature is loadavg
     # >> machine-busy-cores (runnable tasks pile up while almost no jiffies

@@ -28,8 +28,8 @@ def _make_paragraphs_udf(charset: str):
     return _udf
 
 
-# one definition, two decode modes (blind utf-8 = reference parity;
-# auto = charset-sniffing ingest)
+# one definition, two decode modes (auto = charset-sniffing ingest,
+# the r5 default; blind utf-8 = reference bit-parity mode)
 _extract_paragraphs_udf = _make_paragraphs_udf("utf-8")
 _extract_paragraphs_auto_udf = _make_paragraphs_udf("auto")
 
@@ -40,16 +40,19 @@ def _split_sentences_udf(text: pd.Series) -> pd.Series:
 
 
 def extract_paragraphs(
-    pages: DataFrame, lang: str | None = "en", charset: str = "utf-8"
+    pages: DataFrame, lang: str | None = "en", charset: str = "auto"
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> paragraphs(url, warc_ts, para_idx, text).
 
     ``lang`` predicate is applied before the UDF so Catalyst pushes it to the
     scan (partition pruning on a lang-partitioned table at scale).
-    ``charset="auto"`` sniffs each page's encoding (BOM / meta / content,
-    operators/textnorm.py) instead of the reference's blind utf-8 decode —
-    identical output on valid UTF-8, correct output on latin-1/UTF-16
-    crawl pages.
+    ``charset="auto"`` (DEFAULT since round 5 — at 100 TB the non-UTF-8
+    tail is real and the sniff is ~free, see extract_paragraphs_text)
+    sniffs each page's encoding (BOM / meta / content,
+    operators/textnorm.py) instead of the reference's blind utf-8
+    decode — identical output on valid UTF-8, correct output on
+    latin-1/UTF-16 crawl pages. Pass ``charset="utf-8"`` for the
+    reference's blind-decode bit-parity mode.
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)

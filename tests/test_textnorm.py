@@ -236,9 +236,15 @@ def test_extract_paragraphs_charset_auto(spark):
     want = "Caf\u00e9 touch\u00e9 over there, a long paragraph body."
     assert auto["u://latin1"] == want
     assert auto["u://utf8"] == want
-    blind = {
+    # r5: auto IS the default — the no-arg path behaves like auto
+    default = {
         r["url"]: r["text"]
         for r in extract_paragraphs(pages).collect()
+    }
+    assert default == auto
+    blind = {
+        r["url"]: r["text"]
+        for r in extract_paragraphs(pages, charset="utf-8").collect()
     }
     assert blind["u://utf8"] == want          # identical on valid UTF-8
     assert "\ufffd" in blind["u://latin1"]    # the garble auto avoids
