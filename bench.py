@@ -659,16 +659,19 @@ def main() -> int:
         extract_paragraphs,
     )
 
-    (_, dt_auto) = timed(
-        "kg_paragraphs_charset_auto",
-        lambda: extract_paragraphs(pages, charset="auto").count(),
-    )
-    (_, dt_blind) = timed(
-        "kg_paragraphs_charset_utf8",
-        lambda: extract_paragraphs(pages, charset="utf-8").count(),
-    )
+    # alternating 2x2 with best-per-mode: a single ordered pair puts all
+    # the first-evaluation warmup cost on whichever mode runs first and
+    # read as a fake 12% overhead on an A/B that is actually flat
+    dts = {"auto": [], "utf-8": []}
+    for mode in ("auto", "utf-8", "utf-8", "auto"):
+        (_, dt) = timed(
+            f"kg_paragraphs_charset_{mode.replace('-', '')}",
+            lambda m=mode: extract_paragraphs(pages, charset=m).count(),
+        )
+        dts[mode].append(dt)
     extras["charset_auto_overhead_pct"] = round(
-        100.0 * (dt_auto - dt_blind) / max(dt_blind, 1e-9), 1
+        100.0 * (min(dts["auto"]) - min(dts["utf-8"]))
+        / max(min(dts["utf-8"]), 1e-9), 1
     )
 
     # Starvation flags (purely load-based, pre-registered): this sandbox is

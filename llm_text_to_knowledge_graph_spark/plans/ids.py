@@ -29,7 +29,7 @@ def dense_ids(
     out_col: str = "id",
     buckets: int = 256,
     dedup: bool = False,
-    materialize_once: bool = True,
+    materialize_once: bool = False,
 ) -> DataFrame:
     """Assign dense ids 0..n-1 ordered by (bucket(key), key). Deterministic
     across partitionings and runs (murmur3 hash is seed-fixed).
@@ -42,27 +42,31 @@ def dense_ids(
     carries every input row — the right trade for latency-dominated
     export-sized inputs, the wrong one for a Zipf-skewed 100TB key stream.
 
-    ``materialize_once=True`` caches the bucketed input (lazy ``persist``
-    MEMORY_AND_DISK) before fanning it into the two consumers (the ranked
-    window and the offsets broadcast). Without it, the offsets
-    broadcast-build job RE-EXECUTES the whole upstream plan: the join-key
-    not-null inference rewrites only the probe side's pushed filters
-    (``isnotnull(pmod(hash(key)))``), so the two subtrees stop being
-    structurally identical and ReuseExchange misses — ``build_nodes``'s
-    union+distinct and ``build_edges``'s two endpoint joins each ran
-    twice (verified from the executed plan). An earlier round used a lazy
-    ``localCheckpoint`` here instead; under AQE that is NOT lazy —
-    ``Dataset.checkpoint`` forces ``queryExecution.toRdd``, which
-    materializes every upstream query stage at PLAN-BUILD time, so merely
-    constructing nodes/edges ran the whole extraction (it halved the
-    benched modular-pipeline throughput by shifting graph work into the
-    construction window and double-executing it). ``persist`` gives the
-    same compute-once sharing (BlockManager write-locks dedupe concurrent
-    first computes) with zero jobs before the first action. Blocks carry
-    only this call's projection; at 10^12 rows the dense strategy is the
-    bounded CX2-export path anyway (hash ids are the scale path). Pass
-    ``materialize_once=False`` to keep the plan fully lazy and
-    cache-free.
+    ``materialize_once=False`` (DEFAULT) keeps the plan pure and lazy:
+    the offsets broadcast-build job re-executes the bucketed subtree
+    once (the join-key not-null inference rewrites only the probe
+    side's pushed filters, so the two subtrees stop being structurally
+    identical and ReuseExchange misses). That double execution is the
+    deliberate, bounded cost of statelessness — callers on the dense
+    path (``run_pipeline(persist=True)``, the export jobs) already
+    cache the expensive upstream, so what re-runs is one
+    distinct/projection over cached input.
+
+    ``materialize_once=True`` caches the bucketed input (lazy
+    ``persist`` MEMORY_AND_DISK) so each consumer reads it computed
+    once. Use it ONLY for one-shot latency-sensitive exports, and know
+    the cost: CacheManager pins the entry FOREVER (no GC reclaims a
+    cached DataFrame the way it reclaims checkpoint blocks), so
+    repeated dense_ids calls in a long-lived driver accumulate
+    edge-sized cache entries — measured as a trial-2 driver-heap OOM in
+    the 1 GB spark-submit scaling job. History, for the record: round 4
+    used a "lazy" ``localCheckpoint`` here; under AQE that is NOT lazy
+    (``Dataset.checkpoint`` forces ``queryExecution.toRdd``, which
+    materializes every upstream query stage at PLAN-BUILD time), so
+    merely constructing nodes/edges ran the whole extraction and halved
+    the benched modular-pipeline throughput. At 10^12 rows the dense
+    strategy is the bounded CX2-export path anyway (hash ids are the
+    scale path).
     """
     b = df.withColumn("_bkt", F.pmod(F.hash(*key_cols), F.lit(buckets)).cast("int"))
     if materialize_once:

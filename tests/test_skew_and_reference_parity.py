@@ -93,42 +93,58 @@ def test_dense_ids_dedup_fold_matches_distinct_path(spark):
     assert plan_fold.count("Exchange") < plan_dist.count("Exchange")
 
 
-def test_dense_ids_executes_upstream_once(spark):
-    """The offsets broadcast-build job must NOT re-execute the upstream plan.
+def test_dense_ids_laziness_and_materialize_modes(spark):
+    """dense_ids construction must run ZERO jobs, in both modes — the
+    round-4 localCheckpoint variant violated this under AQE (checkpoint
+    forces queryExecution.toRdd, which materializes every upstream query
+    stage at plan-BUILD time), which made merely composing nodes/edges
+    execute the whole extraction and halved the benched modular-pipeline
+    throughput.
 
-    Join-key not-null inference rewrites the probe side's pushed filters, so
-    the ranked subtree and the offsets subtree stop being structurally
-    identical and ReuseExchange misses — before the compute-once persist,
-    an expensive upstream (build_nodes's union+distinct, build_edges's
-    endpoint joins) ran once per consumer. Pin exactly-once with an
-    accumulator-counting upstream stage. (persist, NOT localCheckpoint:
-    under AQE a "lazy" localCheckpoint materializes every upstream query
-    stage at plan-BUILD time — see test below.)"""
+    Execution counts are mode-dependent and DELIBERATE: the default
+    (materialize_once=False, pure/stateless — no CacheManager entry
+    pinned forever, the leak that OOM'd the 1 GB scaling-job driver at
+    trial 2) lets the offsets broadcast job re-execute the bucketed
+    subtree once (ReuseExchange misses after not-null inference);
+    materialize_once=True pins exactly-once via a lazy persist."""
     import pandas as pd
 
     from llm_text_to_knowledge_graph_spark.plans.ids import dense_ids
 
-    acc = spark.sparkContext.accumulator(0)
-
-    def counting(batches):
-        for pdf in batches:
-            acc.add(len(pdf))
-            yield pdf
+    def make(acc_):
+        def counting(batches):
+            for pdf in batches:
+                acc_.add(len(pdf))
+                yield pdf
+        return counting
 
     df = spark.createDataFrame(
         [(f"key-{i}",) for i in range(400)], "name string"
     ).repartition(4)
-    upstream = df.mapInPandas(counting, schema="name string")
-    out = dense_ids(upstream, ["name"], out_col="id", buckets=8)
-    # CONSTRUCTION IS LAZY: building the plan must run zero jobs. The
-    # round-4 localCheckpoint variant violated this under AQE (checkpoint
-    # forces queryExecution.toRdd, which materializes every upstream query
-    # stage eagerly), which made merely composing nodes/edges execute the
-    # whole extraction and halved the benched modular-pipeline throughput.
-    assert acc.value == 0
-    n = out.count()
-    assert n == 400
+
+    # default: lazy construction, stateless, upstream runs once per
+    # consumer (ranked window + offsets broadcast = 2x)
+    acc = spark.sparkContext.accumulator(0)
+    out = dense_ids(
+        df.mapInPandas(make(acc), schema="name string"),
+        ["name"], out_col="id", buckets=8,
+    )
+    assert acc.value == 0  # zero jobs at plan-build
+    assert out.count() == 400
     assert sorted(r.id for r in out.collect()) == list(range(400))
+    assert acc.value >= 400  # ran; exactly-once NOT promised here
+
+    # materialize_once=True: still lazy at build, exactly-once at run
+    acc2 = spark.sparkContext.accumulator(0)
+    out2 = dense_ids(
+        df.mapInPandas(make(acc2), schema="name string"),
+        ["name"], out_col="id", buckets=8, materialize_once=True,
+    )
+    assert acc2.value == 0
+    n = out2.count()
+    assert n == 400
+    assert sorted(r.id for r in out2.collect()) == list(range(400))
     # every downstream action re-reads the cached blocks, never the
     # Python stage: the accumulator saw each row exactly once
-    assert acc.value == 400
+    assert acc2.value == 400
+    spark.catalog.clearCache()  # drop the pinned b-cache entry
