@@ -705,10 +705,16 @@ def main() -> int:
     # masquerade as a regression (round-4 lesson: the driver's capture
     # ran at loadavg 18-26 and recorded a 17x-low fused headline with
     # the evidence buried in starved_queries). headline_valid=False
-    # means the kg_* throughput numbers in THIS file measured the host,
-    # not the plan — cross-round comparisons must use the most recent
-    # BENCH/last_run.json with headline_valid=True instead.
-    headline_valid = not any(n.startswith("kg_") for n in starved_warm)
+    # means the headline throughput numbers in THIS file measured the
+    # host, not the plan — cross-round comparisons must use the most
+    # recent BENCH/last_run.json with headline_valid=True instead.
+    # Explicit set, NOT a kg_ prefix match: the informational charset
+    # A/B rows are kg_-prefixed but not headlines.
+    _HEADLINES = {
+        "kg_extract_fused", "kg_extract_fused_block", "kg_pipeline",
+        "kg_graph_materialize", "kg_graph_hash",
+    }
+    headline_valid = not (_HEADLINES & set(starved_warm))
     out = {
         "metric": "total_bench_sec",
         "value": total,
