@@ -2878,14 +2878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     certified = [k for k in q if k in _DRIVER_CERTIFIED]
     front = [k for k in q if k not in _DRIVER_CERTIFIED]
-    # within the front group: the formerly-red oracle first, then
-    # oracle-bearing entries (a green hash row is the strong evidence),
-    # rows-only-by-design entries last (their driver row is weaker, so
-    # they yield window slots to oracles); stable sort keeps registration
-    # order within each tier
+    # within the front group: the formerly-red row first (r5:
+    # rp_project_embeddings, whose r4 row was the canonicalizer shape
+    # error), then oracle-bearing entries (a green hash row is the
+    # strong evidence), rows-only-by-design entries last (their driver
+    # row is weaker, so they yield window slots to oracles); stable
+    # sort keeps registration order within each tier
     front.sort(
         key=lambda k: 0
-        if k == "rag_context_docs"
+        if k == "rp_project_embeddings"
         else (
             1
             if k not in _ROWS_ONLY_BY_DESIGN

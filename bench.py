@@ -654,7 +654,10 @@ def main() -> int:
     # charset-decode default (r5 decision): auto sniffing is the crawl-path
     # default; this row is the measured cost vs the reference's blind utf-8
     # decode on the same warm pages (positive pct = auto slower). Expected
-    # ~2-6% of the PARAGRAPHS stage only — the strict-decode fast path.
+    # ~flat-to-6% of the PARAGRAPHS stage only — the strict-decode fast
+    # path. Timed OUTSIDE warm_timings: these are informational A/B rows,
+    # not suite queries — adding them to the total would bias
+    # total_bench_sec against every pre-r5 round's capture.
     from llm_text_to_knowledge_graph_spark.operators.paragraphs import (
         extract_paragraphs,
     )
@@ -664,11 +667,11 @@ def main() -> int:
     # read as a fake 12% overhead on an A/B that is actually flat
     dts = {"auto": [], "utf-8": []}
     for mode in ("auto", "utf-8", "utf-8", "auto"):
-        (_, dt) = timed(
-            f"kg_paragraphs_charset_{mode.replace('-', '')}",
-            lambda m=mode: extract_paragraphs(pages, charset=m).count(),
-        )
-        dts[mode].append(dt)
+        t0 = time.monotonic()
+        extract_paragraphs(pages, charset=mode).count()
+        dts[mode].append(time.monotonic() - t0)
+    extras["charset_auto_sec"] = round(min(dts["auto"]), 3)
+    extras["charset_utf8_sec"] = round(min(dts["utf-8"]), 3)
     extras["charset_auto_overhead_pct"] = round(
         100.0 * (min(dts["auto"]) - min(dts["utf-8"]))
         / max(min(dts["utf-8"]), 1e-9), 1

@@ -482,7 +482,9 @@ SELVENTA_CORPUS = os.path.join(GOLD_BEL_DIR, "small_corpus.bel")
 #   * candidates = the corpus's 57 PubMed ids MINUS the four papers already
 #     developed against (12928037 / 15350900 / 16962653 / 9813040);
 #   * rank candidates by md5(pmid) hex digest (a fixed, content-only order
-#     with no tunable seed); take the first 11 (~20%: 149 of 795 blocks).
+#     with no tunable seed); take the first 11 (~20%: 149 of 796 blocks /
+#     395 of 2,067 golds; the dev shard is the remaining 647 blocks,
+#     including the ONE pre-citation block whose pmid is None).
 # RULES: no development against these papers — the per-miss/per-FP audits
 # (development tools) must never run on them; their P/R is REPORTED each
 # round (rows-only query + pinned test) and must move only as a side effect

@@ -22,7 +22,6 @@ cap playing the role K plays there.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,13 +49,15 @@ def pmi_pairs(
             .drop("_rn")
         )
     # compute-once: `it` (the distinct + optional cap window) fans out to
-    # FOUR consumers — n_ids, df_i, and both self-join sides. Without the
-    # cache each consumer's job re-executes the distinct (and the
-    # broadcast build of n_ids is its own job — see plans/ids.py on why
-    # ReuseExchange cannot be relied on across these subtrees; persist
-    # rather than localCheckpoint, which under AQE runs the upstream
-    # stages at plan-BUILD time).
-    it = it.persist(StorageLevel.MEMORY_AND_DISK)
+    # FOUR consumers — n_ids, df_i, and both self-join sides. Without
+    # the materialization each consumer's job re-executes the distinct
+    # (and the broadcast build of n_ids is its own job — see
+    # plans/ids.py on why ReuseExchange cannot be relied on across
+    # these subtrees). localCheckpoint, NOT persist: persist pins a
+    # CacheManager entry nothing ever unpersists; checkpoint blocks are
+    # GC-reclaimed, and construction-eagerness is harmless for a
+    # terminal operator evaluated in the same window.
+    it = it.localCheckpoint(eager=False)
     n_ids = it.select("_id").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )

@@ -79,15 +79,24 @@ def _symbol_like(alias: str) -> bool:
 
 
 def _greek_word_twins(alias: str) -> set[str]:
-    """Spelled Greek word <-> Greek character, anywhere in the alias."""
-    out = set()
+    """Spelled Greek word <-> Greek character, as a COMPLETE alpha token
+    only: the word must not abut other letters ('Betaine' must never
+    become 'βine'), and an alias that IS just the Greek word ('Gamma')
+    never expands — its char twin would round-trip to a case-folded
+    bare 'gamma', the blind-case-folding precision-killer this module
+    forbids."""
+    out: set[str] = set()
     low = alias.lower()
     for word, ch in GREEK_WORD_TO_CHAR.items():
-        if word in low:
-            # replace case-insensitively, preserving surrounding text
-            i = low.find(word)
-            out.add(alias[:i] + ch + alias[i + len(word):])
-        if ch in alias:
+        i = low.find(word)
+        if i >= 0:
+            before_ok = i == 0 or not alias[i - 1].isalpha()
+            j = i + len(word)
+            after_ok = j == len(alias) or not alias[j].isalpha()
+            # at least 3 chars of non-Greek stem must remain
+            if before_ok and after_ok and len(alias) - len(word) >= 3:
+                out.add(alias[:i] + ch + alias[j:])
+        if ch in alias and len(alias) - 1 >= 3:
             out.add(alias.replace(ch, word))
     return out
 

@@ -40,7 +40,6 @@ filtering is mandatory.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -81,12 +80,17 @@ def ngram_lm(docs: DataFrame, text_col: str = "text", k: float = LM_K) -> dict:
     ).select("w1", F.element_at("_toks", F.col("pos") + 2).alias("w2"))
     # compute-once: `big` feeds bigrams AND (via uni) unigrams, and each
     # later broadcast build of those tables is its own job — without the
-    # cache every build re-explodes the training sample (see plans/ids.py
-    # on the ReuseExchange miss; persist rather than localCheckpoint,
-    # which under AQE runs the upstream stages at plan-BUILD time).
+    # materialization every build re-explodes the training sample (see
+    # plans/ids.py on the ReuseExchange miss). localCheckpoint, NOT
+    # persist: a persist here pins a CacheManager entry that nothing
+    # ever unpersists (the leak class plans/ids.py documents), while
+    # checkpoint blocks are GC-reclaimed when the model DataFrames die.
+    # The checkpoint's AQE construction-eagerness is harmless for a
+    # TERMINAL scoring operator built and evaluated in the same window
+    # (unlike dense_ids, which composes into larger lazy plans).
     # Sample-sized blocks.
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    big = big.persist(StorageLevel.MEMORY_AND_DISK)
+    big = big.localCheckpoint(eager=False)
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_size = docs.select(
         F.explode(_tokens(F.col(text_col))).alias("w")

@@ -38,7 +38,6 @@ explodes.)
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,11 +89,13 @@ def bm25_scores(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     # compute-once: df derives from tf (one row per (doc, term), so rows
-    # per term == document frequency); without the cache the df
-    # broadcast-build job re-executes the corpus pass (plans/ids.py;
-    # persist rather than localCheckpoint, which under AQE runs the
-    # upstream stages at plan-BUILD time)
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    # per term == document frequency); without the materialization the
+    # df broadcast-build job re-executes the corpus pass (plans/ids.py).
+    # localCheckpoint, NOT persist: persist pins a CacheManager entry
+    # nothing ever unpersists; checkpoint blocks are GC-reclaimed, and
+    # construction-eagerness is harmless for a terminal operator
+    # evaluated in the same window.
+    tf = tf.localCheckpoint(eager=False)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = tf.join(F.broadcast(df_t), "term").crossJoin(

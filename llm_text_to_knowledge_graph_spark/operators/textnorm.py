@@ -221,7 +221,12 @@ def _sniff_and_decode(raw: bytes) -> tuple[str, str]:
          parity) so a stray NUL or two in otherwise-valid UTF-8
          (truncated response, embedded binary — common in crawl HTML)
          cannot flip the whole page into UTF-16 noise; sparse NULs are
-         stripped and the page stays utf-8.
+         stripped and the page stays utf-8. Accepted trade at the tiny
+         end: a BOM-less UTF-16 body under ~16 bytes (fewer than 8
+         zeros) fails the density floor and is labeled utf-8 with its
+         NULs stripped — the recovered TEXT is still right, only the
+         label is conservative, and real crawl pages are never that
+         short.
       3. A real <meta ... charset=...> declaration from the legacy
          latin-1 family (only consulted once UTF-8 has failed).
       4. Nearly-valid UTF-8: a handful of bad bytes (<= 4) against

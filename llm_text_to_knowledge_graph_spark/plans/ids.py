@@ -32,7 +32,13 @@ def dense_ids(
     materialize_once: bool = False,
 ) -> DataFrame:
     """Assign dense ids 0..n-1 ordered by (bucket(key), key). Deterministic
-    across partitionings and runs (murmur3 hash is seed-fixed).
+    across partitionings and runs (murmur3 hash is seed-fixed) — PROVIDED
+    the input plan is deterministic: under the stateless default the two
+    consumers (ranked window, offsets broadcast) each execute the input,
+    so a nondeterministic upstream (rand(), sample(), limit() over an
+    unordered set) can give them different row sets and break density
+    (gaps/duplicate ids). For such inputs pass ``materialize_once=True``
+    or materialize upstream first.
 
     ``dedup=False`` (default) assumes unique keys — the caller's upstream
     ``distinct`` gets map-side partial aggregation, so at scale the bucket

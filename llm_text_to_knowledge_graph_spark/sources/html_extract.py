@@ -43,11 +43,13 @@ def extract_paragraphs_text(
     ``charset="auto"`` (DEFAULT since round 5) sniffs per page (BOM /
     meta declaration / content — operators/textnorm.py), so latin-1 and
     UTF-16 crawl pages decode correctly instead of garbling. On
-    strict-valid UTF-8 — every reference fixture and the dominant crawl
-    case — auto produces text IDENTICAL to the reference's blind
-    decode, so the per-url byte-identity invariant is preserved exactly
-    where the reference itself decodes meaningfully; pages the
-    reference would garble differ DELIBERATELY. Measured cost vs blind
+    strict-valid NUL-FREE UTF-8 — every reference fixture and the
+    dominant crawl case — auto produces text IDENTICAL to the
+    reference's blind decode, so the per-url byte-identity invariant is
+    preserved exactly where the reference itself decodes meaningfully;
+    pages the reference would garble differ DELIBERATELY, and valid
+    UTF-8 pages carrying sparse NULs differ by exactly those stripped
+    NULs (the blind mode keeps U+0000 in the text). Measured cost vs blind
     utf-8: ~2-6%% of the paragraphs stage (one strict decode on the hot
     path vs one errors=replace decode). ``charset="utf-8"`` keeps the
     reference's blind decode semantics (utf-8, errors=replace) for

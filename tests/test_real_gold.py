@@ -817,7 +817,7 @@ def test_selventa_corpus_pinned():
         run_selventa_corpus_eval,
     )
 
-    # round 5: the corpus is SPLIT — subset="dev" (default, 646 blocks /
+    # round 5: the corpus is SPLIT — subset="dev" (default, 647 blocks /
     # 1,672 golds from 46 PubMeds) is the only shard development and this
     # audit may read; the 11 held-out PubMeds (149 blocks / 395 golds)
     # are pinned separately in test_selventa_heldout_pinned and their
