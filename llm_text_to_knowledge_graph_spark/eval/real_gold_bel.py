@@ -692,6 +692,7 @@ def run_selventa_corpus_eval(subset: str = "dev") -> dict:
     preds_norm_by_key = {
         b["key"]: {p.replace('"', "") for p in b["pred"]} for b in blocks
     }
+    preds_by_key = {b["key"]: set(b["pred"]) for b in blocks}
     counts: dict[str, int] = {}
     for r in result["rows"]:
         if r["match_type"] != "gold_only":
@@ -707,11 +708,14 @@ def run_selventa_corpus_eval(subset: str = "dev") -> dict:
         # fuzzy form of the same artifact: the missed gold SCORES above
         # the match threshold against one of the block's predictions (the
         # curator recorded residue-detailed copies — "pmod(P,S,21)" twice
-        # — and 1:1 matching consumed the single pred on the first copy)
+        # — and 1:1 matching consumed the single pred on the first copy).
+        # Parse the ORIGINAL quoted predictions: stripping quotes breaks
+        # multi-word entity parsing ('a(SCHEM:lysophosphatidic acid)')
+        # and would zero the entity-overlap gate.
         gp = parse_statement(r["gold_statement"])
         if any(
             match_score(parse_statement(p), gp) >= 0.5
-            for p in preds_norm_by_key[r["key"]]
+            for p in preds_by_key[r["key"]]
         ):
             counts["duplicate_gold"] = counts.get("duplicate_gold", 0) + 1
             continue

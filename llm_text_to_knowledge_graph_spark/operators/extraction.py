@@ -61,12 +61,18 @@ _ABBREV_TOK_RE = re.compile(r"(\w+)[.!?]+[)\]]*$")
 
 
 def _sentence_spans(text: str) -> list[tuple[int, int]]:
-    """Sentence (begin, end) spans, skipping splits after abbreviations."""
+    """Sentence (begin, end) spans, skipping splits after abbreviations
+    and before a lowercase continuation: English sentences do not start
+    with a lowercase letter, so a period followed by one is corpus noise
+    ("such as lysophosphatidic acid. also led to ...") or an unlisted
+    abbreviation ("vs. control") — both must stay one sentence."""
     spans: list[tuple[int, int]] = []
     start = 0
     for m in _SENT_SPLIT_RE.finditer(text):
         tok = _ABBREV_TOK_RE.search(text, max(0, m.start() - 12), m.start())
         if tok is not None and tok.group(1).lower() in _SENT_ABBREV:
+            continue
+        if m.end() < len(text) and text[m.end()].islower():
             continue
         spans.append((start, m.start()))
         start = m.end()
@@ -101,6 +107,9 @@ _ACT_UP = {
     "causes", "caused", "cause",
     "transactivates", "transactivated", "transactivate",
     "results", "resulted",
+    # "led/leads to <Y>": the causal-consequence verb (bare "lead" is
+    # excluded — it collides with the metal, a legitimate mention)
+    "leads", "led",
 }
 _ACT_DOWN = {
     "inhibits", "inhibited", "inhibit", "suppresses", "suppressed", "suppress",
@@ -180,7 +189,8 @@ _ACT_TRAIL = {
     "translocation", "of", "portion", "levels", "level", "expression",
     "transcription", "transcriptional", "activity", "from", "promoter",
     "promoters", "amount", "amounts", "endogenous", "corresponding",
-    "significant", "message", "mrna", "phosphorylation", "accumulation",
+    "significant", "similar", "comparable", "marked",
+    "message", "mrna", "phosphorylation", "accumulation",
     "generation", "formation", "production", "sensitivity", "susceptibility",
     "to", "on", "both", "gene", "genes", "encoding", "enzymes", "enzyme",
     "effects", "effect", "cells", "cell", "cellular", "various", "different",
@@ -399,6 +409,19 @@ _KNOWN_TO_BE_RE = re.compile(r"known\s+to\s+be\s+$", re.I)
 # than <Z> and increased ..."): the mention belongs to the than-clause,
 # so a following conjoined VP re-binds to the MATRIX subjects as well
 _THAN_BEFORE_RE = re.compile(r"\bthan\s+(?:[\w\-]+\s+){0,2}$", re.I)
+# family-member anaphora head: a symbol token naming a family right
+# before "phosphorylation" ("GSK-3 phosphorylation")
+_FAM_PHOS_RE = re.compile(
+    r"\b([A-Za-z][A-Za-z0-9-]{2,})[ -]phosphorylation\b"
+)
+# a member alias extends the family token with an optional hyphen plus a
+# Greek letter, spelled Greek word, or ONE UPPERCASE Latin letter
+# (GSK-3α, TGF-beta, VEGF-A). Digits excluded ("CD40" is a different
+# gene, not a member of "CD4"); lowercase letters excluded ("CDKs" is a
+# plural, not a member).
+_FAM_EXT_RE = re.compile(
+    r"-?(?:[αβγδεκσω]|alpha|beta|gamma|delta|epsilon|kappa|[A-Z])$"
+)
 _POSS_NOMINAL_RE = re.compile(
     r"\b(?:its|their)\s+([a-z\-]+)\s+of"
     r"(?:\s+the\s+activity\s+of)?(?:\s+the)?\s*$"
@@ -1802,6 +1825,56 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                             f"{_render(obj_m, text)}",
                             _sig(g, rel4, obj_m, None, None, None),
                         )
+
+        # ---- family-member anaphora: "<agent> <verb> ... <FAM>
+        # phosphorylation" where FAM is NOT itself a mention but the
+        # block's own mentions extend it with a Greek/uppercase-letter
+        # suffix ("GSK-3" after the block printed "GSK-3α"): the family
+        # NP denotes the member(s) the block already named — prose
+        # routinely drops the paralog suffix on subsequent reference —
+        # so the statement distributes over them with pmod(Ph). The
+        # agent is the sentence's FIRST mention (subject position, never
+        # a member itself); the predicate between agent and family NP
+        # must be a real active verb phrase (comma-segment retry strips
+        # relative clauses: "Forskolin, which activates ... , triggered
+        # a similar elevation in GSK-3 phosphorylation"). Literal-gated.
+        if "phosphorylation" in sent_lo and ms:
+            for fam_m in _FAM_PHOS_RE.finditer(text, s_begin, s_end):
+                f0 = fam_m.start(1)
+                f1 = fam_m.end(1)
+                if any(m["begin"] < f1 and m["end"] > f0 for m in ms_all):
+                    continue  # the head is (part of) a real mention
+                fam = fam_m.group(1)
+                members: dict[tuple, dict] = {}
+                for m in ms_all:
+                    alias_txt = text[m["begin"]: m["end"]]
+                    if (
+                        len(alias_txt) > len(fam)
+                        and alias_txt.startswith(fam)
+                        and _FAM_EXT_RE.fullmatch(alias_txt[len(fam):])
+                    ):
+                        members.setdefault((m["db"], m["id"]), m)
+                if not members:
+                    continue
+                first = next((m for m in ms if m["end"] <= f0), None)
+                if first is None or (first["db"], first["id"]) in members:
+                    continue
+                # a leading period can only be the merged noise-split
+                # (". also led to ..." — the splitter keeps lowercase
+                # continuations); strip it so the verb matcher sees words
+                inter = text[first["end"]: f0].lower().lstrip(" .;:")
+                if _NEG_RE.search(inter):
+                    continue
+                seg = inter.rsplit(",", 1)[1] if "," in inter else None
+                act = _retry_seg(_match_active, inter, seg)
+                if act is None:
+                    continue
+                for mem in members.values():
+                    emit(
+                        f"{_render(first, text)} {act[0]} "
+                        f"{_render(mem, text, pmod=('Ph', None, None))}",
+                        _sig(first, act[0], mem, None, None, "Ph"),
+                    )
 
         # ---- loss-of-protein-name bridge over a KO-marked block ----------
         # "Pgf-/- mice ... Thus, loss of PlGF impaired ... angiogenesis":

@@ -104,3 +104,70 @@ def test_conjoined_vp_rebinds_matrix_subjects():
         "p(HGNC:AAA) increases p(HGNC:CCC)",
         "p(HGNC:BBB) increases p(HGNC:CCC)",
     }
+
+
+_FAM_LEX = [
+    ("GSK-3α", "HGNC", "1", "GSK3A", 1.0),
+    ("GSK-3β", "HGNC", "2", "GSK3B", 1.0),
+    ("forskolin", "CHEBI", "f", "forskolin", 1.0),
+    ("Forskolin", "CHEBI", "f", "forskolin", 1.0),
+    ("CD40", "HGNC", "c", "CD40", 1.0),
+]
+
+
+def _fam_extract(text):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_real_gold import _ments_for
+
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        extract_from_block,
+    )
+
+    return [
+        s for s, _ in extract_from_block(text, _ments_for(text, _FAM_LEX))
+    ]
+
+
+def test_family_member_anaphora():
+    """A family token the block's own mentions extend with a
+    Greek/uppercase suffix ('GSK-3' after 'GSK-3α' was printed) denotes
+    those members on subsequent reference; the statement distributes
+    with pmod(Ph). Relative clauses between agent and family NP are
+    stripped by the comma-segment retry."""
+    got = _fam_extract(
+        "GSK-3α and GSK-3β were examined. Forskolin, which raises "
+        "intracellular cAMP levels, triggered a similar elevation in "
+        "GSK-3 phosphorylation at serine 21 and 9."
+    )
+    assert set(got) == {
+        "a(CHEBI:forskolin) increases p(HGNC:GSK3A, pmod(Ph))",
+        "a(CHEBI:forskolin) increases p(HGNC:GSK3B, pmod(Ph))",
+    }
+    # digit extensions are NOT family members: "CD4 phosphorylation"
+    # never resolves to the CD40 mention (a different gene)
+    got = _fam_extract(
+        "CD40 was examined. Forskolin stimulated CD4 phosphorylation."
+    )
+    assert got == []
+    # a family token that IS part of a real mention never fires twice:
+    # the normal pair machinery owns it
+    got = _fam_extract("Forskolin stimulated GSK-3α phosphorylation.")
+    assert got == [
+        "a(CHEBI:forskolin) increases p(HGNC:GSK3A, pmod(Ph))"
+    ]
+
+
+def test_lowercase_continuation_is_not_a_sentence_boundary():
+    """English sentences never start lowercase: a period followed by a
+    lowercase word is corpus noise ('acid. also led to') or an unlisted
+    abbreviation ('vs. control') and must not split the sentence — here
+    the agent and the family NP sit on opposite sides of the noise."""
+    got = _fam_extract(
+        "GSK-3α was examined. Stimulation with agonists, such as "
+        "forskolin. also led to GSK-3 phosphorylation (data not shown)"
+    )
+    assert got == [
+        "a(CHEBI:forskolin) increases p(HGNC:GSK3A, pmod(Ph))"
+    ]

@@ -872,18 +872,24 @@ def test_selventa_corpus_pinned():
     # 192. Precision 0.713 -> 0.698: every one of the 6 new unmatched
     # preds audits to no_gold_recorded (+3 content-correct surface
     # relations the curators didn't record), cross-block namespace (+2)
-    # or cross-block gold (+1) — zero wrong-content. The 6 remaining pattern_gap rows are ALL
-    # block 740's family-anaphora shape ("Forskolin ... triggered a
-    # similar elevation in GSK-3 phosphorylation at serine 21 and 9"
-    # — the curator resolved family "GSK-3" to BOTH paralogs and
-    # distributed the two sites "respectively" from an earlier
-    # sentence), which needs real coreference+family inference, not a
-    # pattern. duplicate_gold includes the fuzzy form (residue-detailed
-    # gold copies scoring >=0.5 against the block's own consumed pred).
-    assert r["matched"] == 134
-    assert r["pred_total"] == 192
-    assert r["precision"] >= 0.69
-    assert r["recall"] >= 0.08
+    # or cross-block gold (+1) — zero wrong-content. The exposed
+    # reachable bucket then CLOSED again: the family-member anaphora
+    # idiom ("Forskolin ... triggered a similar elevation in GSK-3
+    # phosphorylation" — the family token the block's own GSK-3α
+    # mention extends with a Greek/uppercase suffix denotes that
+    # member) converts 3 more with ZERO new FPs; "led/leads to" joins
+    # the up-verbs; the lowercase-continuation sentence rule keeps the
+    # corpus's "acid. also led to" noise-split whole; and
+    # duplicate_gold includes the fuzzy form (residue-detailed gold
+    # copies scoring >=0.5 against the block's own consumed pred,
+    # parsed from the ORIGINAL quoted statements — quote-stripping
+    # breaks multi-word entity parsing). pattern_gap is 0 again AT THE
+    # WIDER dictionary reach: matched 137 / pred 195, precision back
+    # up to 0.703.
+    assert r["matched"] == 137
+    assert r["pred_total"] == 195
+    assert r["precision"] >= 0.70
+    assert r["recall"] >= 0.081
     assert r["audit"] == {
         # the audit's boundary class is [\w-], identical to
         # AliasMatcher._WB_RE: former wrapper/namespace misses whose
@@ -895,8 +901,7 @@ def test_selventa_corpus_pinned():
         "nested_statement": 182,
         "species_namespace": 32,
         "relationless_gold": 101,
-        "duplicate_gold": 9,
-        "pattern_gap": 6,
+        "duplicate_gold": 12,
     }
     # precision-side mirror: every unmatched prediction mechanically
     # attributed. The no_gold_recorded rows are content-correct surface
