@@ -60,19 +60,34 @@ _SENT_ABBREV = frozenset(
 _ABBREV_TOK_RE = re.compile(r"(\w+)[.!?]+[)\]]*$")
 
 
+# function words that continue a clause but can never OPEN an English
+# sentence-after-noise-split context unambiguously enough to matter —
+# the gate for treating ". <word>" as a typo'd non-boundary. Biomedical
+# prose legitimately starts sentences with lowercase SYMBOLS (p53,
+# eNOS, mTOR, β-catenin), so a bare islower() test over-merges; only a
+# lowercase FUNCTION word after a period marks the mid-clause
+# noise-split ("such as lysophosphatidic acid. also led to ...").
+_LOWER_CONT_RE = re.compile(
+    r"(?:also|and|but|or|nor|yet|so|thus|then|however|therefore|hence|"
+    r"which|whereas|while|with|without|as|in|on|at|of|for|to|by|from|"
+    r"the|a|an|this|these|those|that|its|their|such|after|before|"
+    r"although|though|because|since|during|between|via|whose)\b"
+)
+
+
 def _sentence_spans(text: str) -> list[tuple[int, int]]:
     """Sentence (begin, end) spans, skipping splits after abbreviations
-    and before a lowercase continuation: English sentences do not start
-    with a lowercase letter, so a period followed by one is corpus noise
-    ("such as lysophosphatidic acid. also led to ...") or an unlisted
-    abbreviation ("vs. control") — both must stay one sentence."""
+    and before a lowercase FUNCTION-word continuation (a mid-clause
+    noise period: "acid. also led to ..."). Lowercase content words do
+    NOT suppress the split — biomedical sentences legitimately open
+    with lowercase symbols (p53, eNOS)."""
     spans: list[tuple[int, int]] = []
     start = 0
     for m in _SENT_SPLIT_RE.finditer(text):
         tok = _ABBREV_TOK_RE.search(text, max(0, m.start() - 12), m.start())
         if tok is not None and tok.group(1).lower() in _SENT_ABBREV:
             continue
-        if m.end() < len(text) and text[m.end()].islower():
+        if _LOWER_CONT_RE.match(text, m.end()):
             continue
         spans.append((start, m.start()))
         start = m.end()
@@ -414,13 +429,14 @@ _THAN_BEFORE_RE = re.compile(r"\bthan\s+(?:[\w\-]+\s+){0,2}$", re.I)
 _FAM_PHOS_RE = re.compile(
     r"\b([A-Za-z][A-Za-z0-9-]{2,})[ -]phosphorylation\b"
 )
-# a member alias extends the family token with an optional hyphen plus a
-# Greek letter, spelled Greek word, or ONE UPPERCASE Latin letter
-# (GSK-3α, TGF-beta, VEGF-A). Digits excluded ("CD40" is a different
-# gene, not a member of "CD4"); lowercase letters excluded ("CDKs" is a
-# plural, not a member).
+# a member alias extends the family token with an optional hyphen plus
+# a Greek letter / spelled Greek word, or a HYPHEN plus one uppercase
+# Latin letter (GSK-3α, TGF-beta, VEGF-A). Digits excluded ("CD40" is a
+# different gene, not a member of "CD4"); lowercase letters excluded
+# ("CDKs" is a plural); an UNhyphenated Latin letter excluded too —
+# "EGFR" is EGF's RECEPTOR, a different protein, not a paralog.
 _FAM_EXT_RE = re.compile(
-    r"-?(?:[αβγδεκσω]|alpha|beta|gamma|delta|epsilon|kappa|[A-Z])$"
+    r"(?:-?(?:[αβγδεκσω]|alpha|beta|gamma|delta|epsilon|kappa)|-[A-Z])$"
 )
 _POSS_NOMINAL_RE = re.compile(
     r"\b(?:its|their)\s+([a-z\-]+)\s+of"
@@ -1845,8 +1861,14 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 if any(m["begin"] < f1 and m["end"] > f0 for m in ms_all):
                     continue  # the head is (part of) a real mention
                 fam = fam_m.group(1)
+                # true ANAPHORA only: members must have been printed
+                # BEFORE the family reference — a later sentence naming
+                # the paralog may be contrasting it ("In contrast,
+                # GSK-3β was unaffected"), not co-referring
                 members: dict[tuple, dict] = {}
                 for m in ms_all:
+                    if m["begin"] >= f0:
+                        continue
                     alias_txt = text[m["begin"]: m["end"]]
                     if (
                         len(alias_txt) > len(fam)
@@ -1869,11 +1891,26 @@ def extract_from_block(text: str, mentions: list) -> list[tuple[str, str]]:
                 act = _retry_seg(_match_active, inter, seg)
                 if act is None:
                     continue
+                rel5 = act[0]
+                # "Inhibition/ablation of <first> ... led to ...": the
+                # agent is the LOSS of first, so the observed sign flips
+                # — the ablation rule the active pair branch applies,
+                # widened to the down-nominal prefixes ("inhibition of")
+                pref = text[
+                    first["begin"] - 72 if first["begin"] > 72 else 0:
+                    first["begin"]
+                ]
+                npref = _NOMINAL_PREFIX_RE.search(pref.lower())
+                if _ABLATION_PREFIX_RE.search(pref) or (
+                    npref is not None and npref.group(1) in _NOMINAL_DOWN
+                ):
+                    rel5 = _FLIP.get(rel5, rel5)
+                pm5 = ("Ph", None, None)
                 for mem in members.values():
                     emit(
-                        f"{_render(first, text)} {act[0]} "
-                        f"{_render(mem, text, pmod=('Ph', None, None))}",
-                        _sig(first, act[0], mem, None, None, "Ph"),
+                        f"{_render(first, text)} {rel5} "
+                        f"{_render(mem, text, pmod=pm5)}",
+                        _sig(first, rel5, mem, None, None, pm5),
                     )
 
         # ---- loss-of-protein-name bridge over a KO-marked block ----------

@@ -160,14 +160,66 @@ def test_family_member_anaphora():
 
 
 def test_lowercase_continuation_is_not_a_sentence_boundary():
-    """English sentences never start lowercase: a period followed by a
-    lowercase word is corpus noise ('acid. also led to') or an unlisted
-    abbreviation ('vs. control') and must not split the sentence — here
-    the agent and the family NP sit on opposite sides of the noise."""
+    """A period followed by a lowercase FUNCTION word is corpus noise
+    ('acid. also led to') and must not split the sentence — here the
+    agent and the family NP sit on opposite sides of the noise."""
     got = _fam_extract(
         "GSK-3α was examined. Stimulation with agonists, such as "
         "forskolin. also led to GSK-3 phosphorylation (data not shown)"
     )
     assert got == [
         "a(CHEBI:forskolin) increases p(HGNC:GSK3A, pmod(Ph))"
+    ]
+    # ...but a lowercase CONTENT word still splits: biomedical prose
+    # legitimately opens sentences with lowercase symbols, and merging
+    # them would create cross-boundary false pairs
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        _sentence_spans,
+    )
+
+    t = "GSK-3β plays a role. forskolin treatment was examined."
+    assert len(_sentence_spans(t)) == 2
+
+
+def test_family_anaphora_hardening():
+    """Review-closed hazards: (a) members resolve ANAPHORICALLY only —
+    a paralog first printed AFTER the family NP may be contrasted, not
+    co-referred; (b) an unhyphenated trailing Latin letter is not a
+    member (EGFR is EGF's receptor, not a paralog); (c) a loss-of
+    prefix before the agent flips the sign, same as the pair branch."""
+    got = _fam_extract(
+        "forskolin led to GSK-3 phosphorylation. In contrast, "
+        "GSK-3β was unaffected."
+    )
+    assert got == []  # no member printed BEFORE the family NP
+    egfr_lex = [
+        ("EGFR", "HGNC", "e", "EGFR", 1.0),
+        ("forskolin", "CHEBI", "f", "forskolin", 1.0),
+    ]
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_real_gold import _ments_for
+
+    from llm_text_to_knowledge_graph_spark.operators.extraction import (
+        extract_from_block,
+    )
+
+    got = [
+        s for s, _ in extract_from_block(
+            "EGFR was examined. forskolin stimulated EGF phosphorylation.",
+            _ments_for(
+                "EGFR was examined. forskolin stimulated EGF "
+                "phosphorylation.",
+                egfr_lex,
+            ),
+        )
+    ]
+    assert got == []  # EGFR is not a member of family "EGF"
+    got = _fam_extract(
+        "GSK-3α was examined. Inhibition of forskolin, however, "
+        "led to GSK-3 phosphorylation."
+    )
+    assert got == [
+        "a(CHEBI:forskolin) decreases p(HGNC:GSK3A, pmod(Ph))"
     ]
