@@ -1814,6 +1814,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_frontier_docs"] = sitemap_frontier_docs
 
+    # ---- Crawl-delay politeness schedule (operators/robots.py::
+    # politeness_schedule): per-host fetch sequencing honoring the
+    # folklore Crawl-delay extension. Bodies constructed by residue so
+    # every delay is known a priori — residue 0 declares 2s, residue 1
+    # exercises GROUP SELECTION (agent-specific 0.5 beats the star
+    # group's 10 for agent "kgbot"), residue 2 declares nothing
+    # (default), residue 3's only group doesn't match (default),
+    # residue 4 shares a delay across a merged UA run. The oracle
+    # replays delay + ROW_NUMBER schedule exactly.
+    def crawl_schedule_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.robots import (
+            politeness_schedule,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host"),
+            F.concat(
+                F.lit("/p"), F.col("doc_id").cast("string")
+            ).alias("path"),
+        )
+        bodies = {
+            0: "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n",
+            1: (
+                "User-agent: kg\nCrawl-delay: 0.5\nDisallow: /a\n"
+                "User-agent: *\nCrawl-delay: 10\nDisallow: /b\n"
+            ),
+            2: "User-agent: *\nDisallow: /private/\n",
+            3: "User-agent: otherbot\nCrawl-delay: 9\nDisallow: /\n",
+            4: (
+                "User-agent: kg\nUser-agent: zbot\n"
+                "Crawl-delay: 3\nDisallow: /x\n"
+            ),
+        }
+        robots = (
+            urls.select("host").distinct().withColumn(
+                "robots_body",
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for kv in bodies.items()
+                            for x in (
+                                f"h{kv[0]}.example.org", kv[1]
+                            )
+                        ]
+                    ),
+                    F.col("host"),
+                ),
+            )
+        )
+        out = politeness_schedule(
+            urls, robots, agent="kgbot", default_delay=1.0
+        )
+        return out.select(
+            "doc_id", "host",
+            F.round("crawl_delay", 3).alias("crawl_delay"),
+            F.col("fetch_seq").cast("long").alias("fetch_seq"),
+            "fetch_at_s",
+        )
+
+    q["crawl_schedule_docs"] = crawl_schedule_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4666,6 +4735,30 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || host || '/sitemap-next.xml' AS loc,
                    NULL AS lastmod, TRUE AS is_index
             FROM d
+        """,
+        # Crawl-delay schedule by construction: delay per host residue
+        # (0 -> declared 2s; 1 -> the kg-specific group's 0.5 beats the
+        # star group's 10 for agent kgbot; 2 -> nothing declared ->
+        # default 1.0; 3 -> only a non-matching group -> default;
+        # 4 -> a merged UA run shares 3s), then the per-host ROW_NUMBER
+        # schedule over path order
+        "crawl_schedule_docs": """
+            WITH u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'h' || CAST(CAST(doc_id AS BIGINT) % 5 AS VARCHAR)
+                       || '.example.org' AS host,
+                     '/p' || CAST(doc_id AS VARCHAR) AS path,
+                     CASE CAST(doc_id AS BIGINT) % 5
+                       WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
+                       WHEN 3 THEN 1.0 ELSE 3.0 END AS crawl_delay
+              FROM documents)
+            SELECT doc_id, host, crawl_delay,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY path) - 1 AS BIGINT) AS fetch_seq,
+                   ROUND((ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY path) - 1) * crawl_delay, 3)
+                     AS fetch_at_s
+            FROM u
         """,
         "lsh_ann_topk": lsh_sql,
         "minhash_pairs_det": minhash_det_sql,

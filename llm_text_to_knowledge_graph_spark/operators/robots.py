@@ -107,6 +107,78 @@ def _rules_cached(body: str | None, agent: str) -> tuple:
     return parse_robots(body, agent)
 
 
+_CRAWL_DELAY_RE = re.compile(
+    r"^\s*crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)", re.I
+)
+
+
+def parse_crawl_delay(body: str | None, agent: str = "*") -> float | None:
+    """Crawl-delay seconds governing ``agent``, or None when no
+    applicable group declares one.
+
+    Crawl-delay is pre-RFC folklore (Bing/Yandex honor it, RFC 9309
+    only says it must not break Allow/Disallow group parsing), so the
+    semantics here are the consensus reading: a delay line attaches to
+    the group of the most recent User-agent run AND (unlike the
+    RFC-governed rule parser above, deliberately) counts as group body
+    — 'UA: a / Crawl-delay: 1.5 / UA: * / Crawl-delay: 10' is two
+    groups with two delays, which is what its author plainly meant
+    (urllib.robotparser agrees); group selection is then identical to
+    the Allow/Disallow path (longest UA-prefix wins, '*' is the
+    fallback, all groups at the winning specificity combine); when
+    winning groups disagree, the LARGEST delay wins — the
+    conservative-for-the-server choice."""
+    if not body:
+        return None
+    body = body.lstrip("﻿")
+    agent_lc = agent.lower()
+    groups: list[tuple[list[str], list[float]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[float] = []
+    in_group_body = False
+    for line in body.splitlines():
+        m = _UA_RE.match(line)
+        if m:
+            if in_group_body and cur_agents:
+                groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+            in_group_body = False
+            cur_agents.append(m.group(1).lower())
+            continue
+        if _RULE_RE.match(line) and cur_agents:
+            in_group_body = True
+            continue
+        m = _CRAWL_DELAY_RE.match(line)
+        if m and cur_agents:
+            in_group_body = True
+            cur_delays.append(float(m.group(1)))
+    if cur_agents:
+        groups.append((cur_agents, cur_delays))
+    best_len = 0
+    for agents, _d in groups:
+        for a in agents:
+            if a and a != "*" and agent_lc.startswith(a):
+                best_len = max(best_len, len(a))
+    combined: list[float] = []
+    for agents, delays in groups:
+        tokens = [a for a in agents if a]
+        if best_len:
+            if any(
+                a != "*" and len(a) == best_len and agent_lc.startswith(a)
+                for a in tokens
+            ):
+                combined.extend(delays)
+        elif "*" in tokens:
+            combined.extend(delays)
+    return max(combined) if combined else None
+
+
+@lru_cache(maxsize=4096)
+def _delay_cached(body: str | None, agent: str) -> float | None:
+    """One crawl-delay parse per distinct (body, agent) per worker."""
+    return parse_crawl_delay(body, agent)
+
+
 @lru_cache(maxsize=4096)
 def _compiled(rules: tuple):
     """[(allow, pattern_len, compiled_regex)] sorted longest-first so
@@ -161,6 +233,61 @@ def robots_filter(
     return joined.withColumn(
         "crawl_allowed", _allowed(F.col(path_col), F.col(body_col))
     ).drop(body_col)
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    path_col: str = "path",
+    body_col: str = "robots_body",
+) -> DataFrame:
+    """Per-host fetch schedule honoring Crawl-delay: adds ``crawl_delay``
+    (the host's declared delay via :func:`parse_crawl_delay`, else
+    ``default_delay``), ``fetch_seq`` (0-based deterministic per-host
+    order by ``path_col``) and ``fetch_at_s`` (= fetch_seq * delay,
+    seconds after the host's crawl start) to ``urls``.
+
+    Plan: one host-keyed join (broadcast-able robots side), one pandas
+    UDF evaluating one parse per DISTINCT body via the lru cache, and
+    ONE window per host. The per-host window is the honest shape:
+    politeness scheduling is inherently serial per host (the schedule
+    IS a sequence), so the window's partition matches the problem; at
+    10^12 URLs compose AFTER ``curation.cap_per_domain`` so no host's
+    partition exceeds the per-domain cap. Deterministic: same inputs →
+    same schedule on any partitioning/engine (the SQL oracle replays
+    it row for row)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _delay(body: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                (
+                    d
+                    if (d := _delay_cached(b, agent)) is not None
+                    else float(default_delay)
+                )
+                for b in body
+            ]
+        )
+
+    w = Window.partitionBy(host_col).orderBy(path_col)
+    return (
+        urls.join(robots, host_col, "left")
+        .withColumn("crawl_delay", _delay(F.col(body_col)))
+        .drop(body_col)
+        .withColumn(
+            "fetch_seq", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "fetch_at_s",
+            F.round(F.col("fetch_seq") * F.col("crawl_delay"), 3),
+        )
+    )
 
 
 # --- sitemap parsing (frontier seeding, the robots gate's companion) --

@@ -182,3 +182,67 @@ def test_rfc_edge_cases_from_review():
     assert not robots_allowed("/y", r) and robots_allowed("/x", r)
     # '&amp;lt;' is the literal text '&lt;', not '<'
     assert _xml_unescape("x&amp;lt;y") == "x&lt;y"
+
+
+def test_parse_crawl_delay_semantics():
+    """Crawl-delay folklore semantics: delay lines attach to the most
+    recent UA run and DO count as group body for this parser (two
+    UA/delay pairs are two groups — the author's plain intent, unlike
+    the RFC-governed Allow/Disallow parser where non-rule records never
+    interfere); selection mirrors the rule path (longest UA-prefix,
+    '*' fallback, winning groups combine, largest delay wins)."""
+    from llm_text_to_knowledge_graph_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    two = ("User-agent: a\nCrawl-delay: 1.5\n"
+           "User-agent: *\nCrawl-delay: 10\nDisallow: /\n")
+    assert parse_crawl_delay(two, "abot") == 1.5
+    assert parse_crawl_delay(two) == 10.0
+    # consecutive UA lines before any body share the delay
+    merged = "User-agent: a\nUser-agent: b\nCrawl-delay: 3\nDisallow: /x"
+    assert parse_crawl_delay(merged, "a") == 3.0
+    assert parse_crawl_delay(merged, "b") == 3.0
+    # no declaration -> None; empty/None body -> None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x") is None
+    assert parse_crawl_delay(None) is None
+    # winning groups at equal specificity combine; largest wins
+    dup = ("User-agent: a\nCrawl-delay: 2\nDisallow: /\n"
+           "User-agent: a\nCrawl-delay: 5\nDisallow: /y\n")
+    assert parse_crawl_delay(dup, "abot") == 5.0
+    # fractional values parse
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 0.25") == 0.25
+
+
+def test_politeness_schedule(spark):
+    """Per-host fetch schedule: declared delay via parse_crawl_delay,
+    default for hosts without one, deterministic per-host order by
+    path, fetch_at_s = fetch_seq * delay."""
+    from llm_text_to_knowledge_graph_spark.operators.robots import (
+        politeness_schedule,
+    )
+
+    urls = spark.createDataFrame(
+        [("h1", "/b"), ("h1", "/a"), ("h1", "/c"), ("h2", "/x"),
+         ("h2", "/y"), ("h3", "/z")],
+        "host string, path string",
+    )
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nCrawl-delay: 2\nDisallow: /private/"),
+         ("h2", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_body string",
+    )
+    out = {
+        (r["host"], r["path"]): (
+            r["crawl_delay"], r["fetch_seq"], r["fetch_at_s"]
+        )
+        for r in politeness_schedule(
+            urls, robots, default_delay=1.5
+        ).collect()
+    }
+    assert out[("h1", "/a")] == (2.0, 0, 0.0)
+    assert out[("h1", "/b")] == (2.0, 1, 2.0)
+    assert out[("h1", "/c")] == (2.0, 2, 4.0)
+    assert out[("h2", "/x")] == (1.5, 0, 0.0)   # no declared delay
+    assert out[("h2", "/y")] == (1.5, 1, 1.5)
+    assert out[("h3", "/z")] == (1.5, 0, 0.0)   # no robots row at all
