@@ -1883,6 +1883,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_schedule_docs"] = crawl_schedule_docs
 
+    # ---- per-host boilerplate strip (curation.strip_host_boilerplate):
+    # CCNet-style site-template removal. Constructed so the verdict is
+    # known a priori: every doc gets a host-wide NAV header and
+    # Copyright footer (100% document frequency -> stripped) plus, on
+    # every 10th doc, a PROMO line (10% of the host's docs — under the
+    # 50% threshold -> kept). The oracle reassembles the expected text
+    # by construction and replays the kept/dropped counts.
+    def boilerplate_strip_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.curation import (
+            strip_host_boilerplate,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        host = F.concat(
+            F.lit("h"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.org"),
+        )
+        pages = d.select(
+            "doc_id",
+            host.alias("host"),
+            F.concat(
+                F.lit("NAV "), host, F.lit("\n"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.lit("\nPROMO "), host),
+                ).otherwise(F.lit("")),
+                F.lit("\nCopyright "), host,
+            ).alias("text"),
+        )
+        out = strip_host_boilerplate(
+            pages, host_col="host", min_docs=2, max_doc_frac=0.5
+        )
+        return out.select(
+            "doc_id",
+            "host",
+            F.md5("text").alias("text_md5"),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+
+    q["boilerplate_strip_docs"] = boilerplate_strip_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4735,6 +4780,23 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || host || '/sitemap-next.xml' AS loc,
                    NULL AS lastmod, TRUE AS is_index
             FROM d
+        """,
+        # boilerplate strip by construction: the NAV/Copyright lines hit
+        # 100% of each host's docs (stripped), PROMO hits 10% (kept) —
+        # the cleaned text is the body plus the optional PROMO line
+        "boilerplate_strip_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'h' || CAST(CAST(doc_id AS BIGINT) % 4 AS VARCHAR)
+                     || '.example.org' AS host,
+                   md5(text || CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0
+                        THEN chr(10) || 'PROMO h'
+                             || CAST(CAST(doc_id AS BIGINT) % 4 AS VARCHAR)
+                             || '.example.org'
+                        ELSE '' END) AS text_md5,
+                   CAST(CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_lines_kept,
+                   CAST(2 AS BIGINT) AS n_lines_dropped
+            FROM documents
         """,
         # Crawl-delay schedule by construction: delay per host residue
         # (0 -> declared 2s; 1 -> the kg-specific group's 0.5 beats the

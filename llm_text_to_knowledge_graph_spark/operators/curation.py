@@ -303,6 +303,87 @@ def line_dedup(
     )
 
 
+def strip_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    max_doc_frac: float = 0.5,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style per-host boilerplate removal: a line that
+    appears on more than ``max_doc_frac`` of a HOST's documents (and on
+    at least ``min_docs`` of them) is site template — navigation,
+    cookie banner, footer — and is stripped from EVERY document of that
+    host. Complementary to :func:`line_dedup` (C4's global
+    keep-one-occurrence rule): boilerplate is defined by per-host
+    document frequency, duplication by global occurrence count, and a
+    host's unique-but-repeated footer is exactly the text the C4 rule
+    keeps once but this pass deletes everywhere.
+
+    Plan shape at 10^12 docs: one explode; the per-(host, line)
+    document frequency is a (host, line, doc) distinct (map-side
+    partial agg — the heavy template lines collapse per partition
+    before shuffling) + one count groupBy; per-host doc counts are a
+    host-sized aggregate joined on host (AQE picks broadcast while it
+    fits; at web scale host cardinality ~10^8 makes this a normal
+    shuffle join over two already-host-keyed sides); the boilerplate
+    set (tiny — template lines per host) LEFT-ANTI joins the exploded lines on
+    (host, line); one groupBy(doc) reassembles order via array_sort (no
+    window, no global sort). Hot template lines ARE the skew and are
+    absorbed by the partial aggs. Deterministic; the SQL oracle replays
+    the thresholds exactly."""
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias(
+            "n_lines"
+        ),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    df_line = (
+        lines.select("host", "line", "doc_id")
+        .distinct()
+        .groupBy("host", "line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("_nd")
+    )
+    boiler = (
+        df_line.join(host_docs, "host")
+        .filter(
+            (F.col("_df") >= min_docs)
+            & (F.col("_df") > F.lit(max_doc_frac) * F.col("_nd"))
+        )
+        .select("host", "line")
+    )
+    kept = lines.join(boiler, ["host", "line"], "left_anti")
+    return (
+        kept.groupBy("host", "doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias(
+                "ls"
+            ),
+            F.max("n_lines").alias("n_lines"),
+        )
+        .select(
+            "host",
+            "doc_id",
+            F.concat_ws(
+                sep, F.transform("ls", lambda s: s["line"])
+            ).alias("text"),
+            F.size("ls").cast("long").alias("n_lines_kept"),
+            (F.col("n_lines") - F.size("ls")).cast("long").alias(
+                "n_lines_dropped"
+            ),
+        )
+    )
+
+
 def cap_per_key(
     docs: DataFrame,
     n: int,

@@ -287,3 +287,36 @@ def test_redact_is_jvm_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_strip_host_boilerplate(spark):
+    """Per-host template removal: a line on >max_doc_frac of a HOST's
+    docs (and >= min_docs) is stripped from every doc of that host;
+    rarer repeated lines and other hosts' identical lines survive."""
+    from llm_text_to_knowledge_graph_spark.operators.curation import (
+        strip_host_boilerplate,
+    )
+
+    rows = []
+    for i in range(4):
+        rows.append(("a.org", i, f"NAV\nbody a{i}\nFOOT"))
+    # the PROMO line appears on 1/4 of a.org docs -> kept
+    rows[0] = ("a.org", 0, "NAV\nbody a0\nPROMO\nFOOT")
+    # b.org also prints 'NAV' but only on 1 of its 3 docs -> kept there
+    rows += [
+        ("b.org", 10, "NAV\nbody b0"),
+        ("b.org", 11, "body b1"),
+        ("b.org", 12, "body b2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "host string, doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in strip_host_boilerplate(docs).collect()
+    }
+    assert out[0] == ("body a0\nPROMO", 2, 2)
+    assert out[1] == ("body a1", 1, 2)
+    assert out[3] == ("body a3", 1, 2)
+    assert out[10] == ("NAV\nbody b0", 2, 0)  # per-HOST statistics
+    assert out[11] == ("body b1", 1, 0)
