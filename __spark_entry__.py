@@ -1928,6 +1928,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boilerplate_strip_docs"] = boilerplate_strip_docs
 
+    # ---- redirect-chain resolution (urls.resolve_redirects): path
+    # doubling over a constructed redirect graph — residues 0-2 chain
+    # forward (s_i -> s_{i+1}), residue 3 exits to a terminal, residue
+    # 4 self-redirects (cycle). Every chain/cycle verdict is known a
+    # priori; the oracle re-walks the same graph with a recursive CTE
+    # and an independent terminal test.
+    def redirect_resolve_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.urls import (
+            resolve_redirects,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        e = d.select(
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias(
+                "src"
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 4,
+                F.concat(F.lit("s"), F.col("doc_id").cast("string")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(F.lit("t"), F.col("doc_id").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("s"), (F.col("doc_id") + 1).cast("string")
+                )
+            )
+            .alias("dst"),
+        )
+        return resolve_redirects(e, max_hops=8)
+
+    q["redirect_resolve_docs"] = redirect_resolve_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4780,6 +4817,39 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || host || '/sitemap-next.xml' AS loc,
                    NULL AS lastmod, TRUE AS is_index
             FROM d
+        """,
+        # redirect chains re-walked by an independent recursive CTE
+        # (per-hop walking vs the engine's path doubling), resolution =
+        # an explicit terminal test on the reached node
+        "redirect_resolve_docs": """
+            WITH RECURSIVE e AS (
+              SELECT 's' || CAST(doc_id AS VARCHAR) AS src,
+                     CASE WHEN CAST(doc_id AS BIGINT) % 5 = 4
+                            THEN 's' || CAST(doc_id AS VARCHAR)
+                          WHEN CAST(doc_id AS BIGINT) % 5 = 3
+                            THEN 't' || CAST(doc_id AS VARCHAR)
+                          ELSE 's' || CAST(CAST(doc_id AS BIGINT) + 1
+                                           AS VARCHAR) END AS dst
+              FROM documents),
+            g AS (SELECT src, MIN(dst) AS dst FROM e GROUP BY src),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM g
+              UNION ALL
+              SELECT w.src, g.dst, w.hops + 1
+              FROM walk w JOIN g ON g.src = w.cur
+              WHERE w.hops < 8),
+            fin AS (
+              SELECT src, cur, hops,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY hops DESC) AS rn
+              FROM walk)
+            SELECT f.src,
+                   CASE WHEN t.src IS NULL THEN f.cur END AS final_url,
+                   CASE WHEN t.src IS NULL THEN CAST(f.hops AS BIGINT)
+                     END AS n_hops,
+                   t.src IS NULL AS resolved
+            FROM fin f LEFT JOIN g t ON t.src = f.cur
+            WHERE f.rn = 1
         """,
         # boilerplate strip by construction: the NAV/Copyright lines hit
         # 100% of each host's docs (stripped), PROMO hits 10% (kept) —

@@ -100,3 +100,81 @@ def url_dedup_groups(
             F.min("url").alias("first_url"),
         )
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve redirect CHAINS to their final targets — the crawl-graph
+    pass that turns per-fetch ``301/302 (src, dst)`` observations into a
+    canonical-location map (chains are endemic: http->https->www->path
+    renames stack, and link-graph / frontier / PageRank all want the
+    FINAL identity).
+
+    Returns one row per distinct src: ``(src, final_url, n_hops,
+    resolved)``. A src resolves when its chain reaches a TERMINAL node
+    (one with no outgoing redirect) within the hop budget; ``n_hops``
+    is the exact chain length. Chains still redirecting after the
+    budget — including every cycle (self-redirects, A<->B loops) —
+    report ``(src, NULL, NULL, false)``. Multiple observed targets for
+    one src (flapping servers) collapse deterministically to the
+    lexicographic-min dst BEFORE resolution, so the whole map is a pure
+    function of the input set.
+
+    Scale shape: PATH DOUBLING, not per-hop walking — round k composes
+    the 2^k-step map with itself (one self-join on the chain key), so a
+    10^9-row redirect table with chains of length L costs
+    ceil(log2(L)) join rounds instead of L. The operator stays FULLY
+    LAZY — no checkpoint inside (a "lazy" localCheckpoint runs every
+    upstream stage at plan-BUILD time under AQE, the round-5 dense_ids
+    finding; plans/ids.py) — at the cost of the logical plan doubling
+    per round (2^rounds copies of the base map's subtree: 16 at the
+    default budget, trivial for Catalyst; callers wanting 100+-hop
+    budgets should materialize the map between rounds themselves).
+    ``max_hops`` rounds UP to the next power of two (the doubling
+    granularity); hop counts stay EXACT because composition stops at
+    terminals — a settled row carries its true chain length through
+    every later round unchanged.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    rounds = max(1, (max_hops - 1).bit_length())
+    # deterministic 1-step map: min dst per src
+    g = (
+        redirects.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .groupBy("src")
+        .agg(F.min("dst").alias("cur"))
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    one = g.select("src", "cur", "hops")
+    for _ in range(rounds):
+        nxt = one.select(
+            F.col("src").alias("_s"),
+            F.col("cur").alias("_c"),
+            F.col("hops").alias("_h"),
+        )
+        one = one.join(nxt, one["cur"] == nxt["_s"], "left").select(
+            "src",
+            F.coalesce("_c", "cur").alias("cur"),
+            (
+                F.col("hops") + F.coalesce("_h", F.lit(0))
+            ).cast("long").alias("hops"),
+        )
+    # a src is resolved iff its reached node has NO outgoing redirect
+    heads = one.select(F.col("src").alias("_s2")).distinct()
+    return (
+        one.join(heads, one["cur"] == heads["_s2"], "left")
+        .select(
+            "src",
+            F.when(F.col("_s2").isNull(), F.col("cur")).alias("final_url"),
+            F.when(F.col("_s2").isNull(), F.col("hops"))
+            .cast("long")
+            .alias("n_hops"),
+            F.col("_s2").isNull().alias("resolved"),
+        )
+    )

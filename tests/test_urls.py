@@ -73,3 +73,34 @@ def test_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # zero-UDF projection
+
+
+def test_resolve_redirects(spark):
+    """Path-doubling chain resolution: exact hop counts to the terminal,
+    flapping src collapses to min dst, cycles (self and mutual) report
+    unresolved NULLs, and the hop budget rounds up to a power of two."""
+    from llm_text_to_knowledge_graph_spark.operators.urls import (
+        resolve_redirects,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("x", "x"), ("p", "q"), ("q", "p"),
+         ("m", "n2"), ("m", "n1"),
+         ("l0", "l1"), ("l1", "l2"), ("l2", "l3"), ("l3", "l4"),
+         ("l4", "l5")],
+        "src string, dst string",
+    )
+    got = {r["src"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(e, max_hops=8).collect()}
+    assert got["a"] == ("d", 3, True)
+    assert got["c"] == ("d", 1, True)
+    assert got["l0"] == ("l5", 5, True)
+    assert got["m"] == ("n1", 1, True)       # flapping -> min dst
+    for cyc in ("x", "p", "q"):
+        assert got[cyc] == (None, None, False)
+    # budget rounds UP to a power of two: max_hops=3 -> 4 reach, so the
+    # 5-hop chain is unresolved but the 3-hop one resolves
+    got3 = {r["src"]: r["resolved"]
+            for r in resolve_redirects(e, max_hops=3).collect()}
+    assert got3["a"] is True and got3["l0"] is False
