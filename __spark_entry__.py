@@ -1965,6 +1965,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redirect_resolve_docs"] = redirect_resolve_docs
 
+    # ---- canonical-link extraction (urls.canonical_links): pure-JVM
+    # <link rel=canonical> read from constructed html bytes — residue 0
+    # quoted rel-then-href with &amp;, residue 1 unquoted
+    # href-then-rel, residue 2 no tag, residue 3 uppercase
+    # single-quoted. Expected values known a priori.
+    def canonical_links_docs(spark, sf):
+        from llm_text_to_knowledge_graph_spark.operators.urls import (
+            canonical_links,
+        )
+
+        d = _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        target = F.concat(
+            F.lit("https://c.example.org/p"),
+            F.col("doc_id").cast("string"),
+        )
+        html = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<html><head><link rel="canonical" href="'),
+                    target,
+                    F.lit('?a=1&amp;b=2"/></head><body>x</body></html>'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit("<html><head><link href="),
+                    target,
+                    F.lit(" rel=canonical></head></html>"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit("<html><head><title>t</title></head></html>"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("<head><LINK REL='canonical' HREF='"),
+                    target,
+                    F.lit("'></head>"),
+                ),
+            )
+        )
+        pages = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return canonical_links(pages)
+
+    q["canonical_links_docs"] = canonical_links_docs
+
     # near-duplicate CLUSTERS: components over the Jaccard pair graph —
     # transitive chains (A~B~C, A!~C) land in one cluster, which pairwise
     # dedup cannot do. Oracle recomputes with a recursive-CTE closure.
@@ -4817,6 +4873,22 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || host || '/sitemap-next.xml' AS loc,
                    NULL AS lastmod, TRUE AS is_index
             FROM d
+        """,
+        # canonical links by construction: expected canonical per
+        # residue (0 -> target + unescaped query, 1/3 -> target,
+        # 2 -> none)
+        "canonical_links_docs": """
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE CAST(doc_id AS BIGINT) % 4
+                     WHEN 0 THEN 'https://c.example.org/p'
+                       || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+                     WHEN 1 THEN 'https://c.example.org/p'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN 'https://c.example.org/p'
+                       || CAST(doc_id AS VARCHAR)
+                     END AS canonical_url,
+                   CAST(doc_id AS BIGINT) % 4 <> 2 AS has_canonical
+            FROM documents
         """,
         # redirect chains re-walked by an independent recursive CTE
         # (per-hop walking vs the engine's path doubling), resolution =

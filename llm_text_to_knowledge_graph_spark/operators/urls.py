@@ -178,3 +178,48 @@ def resolve_redirects(
             F.col("_s2").isNull().alias("resolved"),
         )
     )
+
+
+def canonical_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    head_bytes: int = 8192,
+) -> DataFrame:
+    """Extract the ``<link rel="canonical" href=...>`` declaration — the
+    page's OWN statement of its canonical identity, the third leg of the
+    URL-identity family (normalize_url fixes spelling, resolve_redirects
+    follows server redirects, this reads the in-document declaration;
+    crawl dedup wants the composition of all three).
+
+    Pure JVM, map-only, zero Python: decode + substring + two
+    ``regexp_extract`` (the two attribute orders — href-then-rel and
+    rel-then-href — are both idiomatic HTML) inside whole-stage codegen,
+    riding the same scan that feeds paragraph extraction. Only the first
+    ``head_bytes`` chars are scanned: the declaration lives in <head>,
+    and an unbounded regex over multi-MB bodies is the classic
+    scan-stage regression. Quoted and unquoted attribute values are
+    handled; entity-unescape of '&amp;' is applied (the one entity
+    legitimately common in URLs). Returns (url, canonical_url,
+    has_canonical); pages without html or without the tag report NULL /
+    false.
+    """
+    head = F.substring(F.decode(F.col(html_col), "UTF-8"), 1, head_bytes)
+    pat_rel_href = (
+        "(?i)<link[^>]*rel=[\"']?canonical[\"']?[^>]*"
+        "href=[\"']?([^\"' >]+)"
+    )
+    pat_href_rel = (
+        "(?i)<link[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*"
+        "rel=[\"']?canonical"
+    )
+    canon = F.coalesce(
+        F.nullif(F.regexp_extract(head, pat_rel_href, 1), F.lit("")),
+        F.nullif(F.regexp_extract(head, pat_href_rel, 1), F.lit("")),
+    )
+    canon = F.replace(canon, F.lit("&amp;"), F.lit("&"))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        canon.alias("canonical_url"),
+        canon.isNotNull().alias("has_canonical"),
+    )

@@ -104,3 +104,29 @@ def test_resolve_redirects(spark):
     got3 = {r["src"]: r["resolved"]
             for r in resolve_redirects(e, max_hops=3).collect()}
     assert got3["a"] is True and got3["l0"] is False
+
+
+def test_canonical_links(spark):
+    """Pure-JVM <link rel=canonical> extraction: both attribute orders,
+    quoted/unquoted/uppercase forms, &amp; unescape, NULL-safe on
+    missing html or tag."""
+    from llm_text_to_knowledge_graph_spark.operators.urls import (
+        canonical_links,
+    )
+
+    rows = [
+        ("u1", b'<html><head><link rel="canonical" '
+               b'href="https://a.org/x?a=1&amp;b=2"/></head></html>'),
+        ("u2", b"<html><head><link href=https://a.org/y rel=canonical>"),
+        ("u3", b"<html><head><title>t</title></head><body>n</body>"),
+        ("u4", None),
+        ("u5", b"<head><LINK REL='canonical' HREF='https://a.org/z'>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["canonical_url"], r["has_canonical"])
+           for r in canonical_links(df).collect()}
+    assert got["u1"] == ("https://a.org/x?a=1&b=2", True)
+    assert got["u2"] == ("https://a.org/y", True)
+    assert got["u3"] == (None, False)
+    assert got["u4"] == (None, False)
+    assert got["u5"] == ("https://a.org/z", True)
