@@ -141,12 +141,18 @@ def resolve_redirects(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    rounds = max(1, (max_hops - 1).bit_length())
-    # deterministic 1-step map: min dst per src
+    # max_hops=1 -> 0 rounds: the 1-step map already IS the answer
+    rounds = (max_hops - 1).bit_length()
+    # deterministic 1-step map: min dst per src. NULL dsts (a fetch log
+    # row with a missing Location header) are dropped BEFORE the agg —
+    # a src whose only observations are NULL leaves the map entirely
+    # (it is a terminal as far as the data can say), never a
+    # resolved-to-NULL row.
     g = (
         redirects.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .filter(F.col("dst").isNotNull())
         .groupBy("src")
         .agg(F.min("dst").alias("cur"))
         .withColumn("hops", F.lit(1).cast("long"))
@@ -165,8 +171,11 @@ def resolve_redirects(
                 F.col("hops") + F.coalesce("_h", F.lit(0))
             ).cast("long").alias("hops"),
         )
-    # a src is resolved iff its reached node has NO outgoing redirect
-    heads = one.select(F.col("src").alias("_s2")).distinct()
+    # a src is resolved iff its reached node has NO outgoing redirect.
+    # The head set comes from g (already distinct by construction, one
+    # un-doubled subtree) — deriving it from `one` would re-execute the
+    # whole doubling pipeline a second time just to recover its key set.
+    heads = g.select(F.col("src").alias("_s2"))
     return (
         one.join(heads, one["cur"] == heads["_s2"], "left")
         .select(
@@ -196,7 +205,8 @@ def canonical_links(
     ``regexp_extract`` (the two attribute orders — href-then-rel and
     rel-then-href — are both idiomatic HTML) inside whole-stage codegen,
     riding the same scan that feeds paragraph extraction. Only the first
-    ``head_bytes`` chars are scanned: the declaration lives in <head>,
+    ``head_bytes`` BYTES are scanned (binary substring before decode):
+    the declaration lives in <head>,
     and an unbounded regex over multi-MB bodies is the classic
     scan-stage regression. Quoted and unquoted attribute values are
     handled; entity-unescape of '&amp;' is applied (the one entity
@@ -204,14 +214,21 @@ def canonical_links(
     has_canonical); pages without html or without the tag report NULL /
     false.
     """
-    head = F.substring(F.decode(F.col(html_col), "UTF-8"), 1, head_bytes)
+    # substring the BINARY first, decode second: decoding a multi-MB
+    # body before truncation would defeat the head bound (at most one
+    # trailing multi-byte char is mangled at the cut, harmless here)
+    head = F.decode(F.substring(F.col(html_col), 1, head_bytes), "UTF-8")
+    # rel token is boundary-anchored (a closing quote, whitespace, '/'
+    # or '>' must follow) so rel="canonicalized" never matches; '='
+    # tolerates surrounding whitespace; the unquoted value class
+    # excludes ALL whitespace (same class as linkgraph.HREF_PATTERN)
     pat_rel_href = (
-        "(?i)<link[^>]*rel=[\"']?canonical[\"']?[^>]*"
-        "href=[\"']?([^\"' >]+)"
+        "(?i)<link[^>]*rel\\s*=\\s*[\"']?canonical(?=[\"'\\s/>])"
+        "[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)"
     )
     pat_href_rel = (
-        "(?i)<link[^>]*href=[\"']?([^\"' >]+)[\"']?[^>]*"
-        "rel=[\"']?canonical"
+        "(?i)<link[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*"
+        "rel\\s*=\\s*[\"']?canonical(?=[\"'\\s/>]|$)"
     )
     canon = F.coalesce(
         F.nullif(F.regexp_extract(head, pat_rel_href, 1), F.lit("")),

@@ -130,3 +130,46 @@ def test_canonical_links(spark):
     assert got["u3"] == (None, False)
     assert got["u4"] == (None, False)
     assert got["u5"] == ("https://a.org/z", True)
+
+
+def test_canonical_links_review_hardening(spark):
+    """Third review pass: whitespace around '=', newline-separated
+    unquoted attributes, rel-token boundary (rel='canonicalized' is NOT
+    canonical), and the head bound cutting mid-declaration."""
+    from llm_text_to_knowledge_graph_spark.operators.urls import (
+        canonical_links,
+    )
+
+    rows = [
+        ("w1", b'<link rel="canonical" href = "https://a.org/sp">'),
+        ("w2", b"<link href=https://a.org/nl\nrel=canonical>"),
+        ("w3", b'<link rel="canonicalized" href="https://evil/x">'),
+        ("w4", b'<link rel=canonical href=https://a.org/uq>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r["canonical_url"] for r in canonical_links(df).collect()}
+    assert got["w1"] == "https://a.org/sp"
+    assert got["w2"] == "https://a.org/nl"
+    assert got["w3"] is None
+    assert got["w4"] == "https://a.org/uq"
+
+
+def test_resolve_redirects_review_hardening(spark):
+    """Third review pass: max_hops=1 is an exact 1-hop budget (no
+    silent round-up to 2), and NULL dsts never produce resolved-to-NULL
+    rows."""
+    from llm_text_to_knowledge_graph_spark.operators.urls import (
+        resolve_redirects,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("n", None)],
+        "src string, dst string",
+    )
+    got = {r["src"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(e, max_hops=1).collect()}
+    # 'b' -> 'c' resolves in exactly 1 hop; 'a' needs 2 -> unresolved
+    assert got["b"] == ("c", 1, True)
+    assert got["a"] == (None, None, False)
+    # the NULL-observation src leaves the map entirely
+    assert "n" not in got
